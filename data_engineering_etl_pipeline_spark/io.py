@@ -1,0 +1,119 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S11).
+
+The reference's IO surface is: parquet scan/sink, JSON config read/write, a
+two-tier (local disk + GCS) cache, and an idempotent dated-snapshot sink
+(reference: all-etl-pipelines/pipeline_helpers.py:34-102,
+derivatives/derivatives_snapshot_etl.py:48-56). On Spark the two-tier cache
+collapses into "a path the cluster filesystem can read" plus ``df.persist()``
+for in-session reuse, so this module provides:
+
+- star-schema loaders for the driver testdata (the measurement substrate),
+- layered lake paths (bronze/silver/gold) with schema-contract hooks,
+- an idempotent date-partitioned snapshot sink,
+- a REST-records constructor (driver-side rows → DataFrame) mirroring S4-S7.
+
+Scale notes: all readers return lazy DataFrames; sinks use
+``partitionBy(date)`` so a 1000-executor job prunes partitions on read and
+overwrites only the day it recomputes (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAR_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1 parquet scan (reference: pipeline_helpers.py:96). Columnar,
+    predicate-pushdown and column-pruning come from Catalyst for free."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver star-schema table from ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_star(spark: SparkSession, sf_dir: str,
+              tables: Iterable[str] = STAR_TABLES) -> dict[str, DataFrame]:
+    """Load the star schema as a dict of lazy DataFrames."""
+    return {t: load_table(spark, sf_dir, t) for t in tables}
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: Sequence[str] | None = None) -> None:
+    """S2 parquet sink (reference: pipeline_helpers.py:81 et al.)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def snapshot_exists(spark: SparkSession, root: str, date_str: str,
+                    partition_col: str = "snapshot_date") -> bool:
+    """S10 idempotency probe: is today's partition already materialized?
+
+    Mirrors the reference's existence check before writing the daily
+    derivatives snapshot (reference: derivatives_snapshot_etl.py:48-56), but
+    as a partition-directory check so it works on any Hadoop filesystem.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(f"{root}/{partition_col}={date_str}")
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
+def write_daily_snapshot(df: DataFrame, root: str, date_col: str = "snapshot_date",
+                         skip_if_exists: bool = True) -> bool:
+    """S10 idempotent daily-snapshot sink.
+
+    Appends exactly the partitions present in ``df``; with
+    ``skip_if_exists`` the write is a no-op when every partition already
+    exists — the reference's "already ran today, skipping" behavior
+    (derivatives_snapshot_etl.py:48-56). Returns True iff data was written.
+    At scale: dynamic partition overwrite keeps re-runs exactly-once per day.
+    """
+    spark = df.sparkSession
+    if skip_if_exists:
+        dates = [r[0] for r in df.select(F.col(date_col).cast("string")).distinct().collect()]
+        missing = [d for d in dates if not snapshot_exists(spark, root, d, date_col)]
+        if not missing:
+            return False
+        df = df.filter(F.col(date_col).cast("string").isin(missing))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(date_col).parquet(root)
+    return True
+
+
+def records_to_df(spark: SparkSession, records: Sequence[Mapping], schema) -> DataFrame:
+    """S4-S7: driver-side fetched rows (REST payload pages) → DataFrame.
+
+    The reference builds ``pd.DataFrame(list_of_dicts)`` from paginated API
+    responses (pipeline_helpers.py:208-210, universe…py:86). At cluster scale
+    the fetch itself moves into ``mapInPandas`` over a partitioned URL frame;
+    the constructor stays the same.
+    """
+    return spark.createDataFrame(list(records), schema=schema)
+
+
+def union_by_name(dfs: Sequence[DataFrame], allow_missing: bool = True) -> DataFrame:
+    """U1/A11 concat of homogeneous frames (reference: historical_data_etl.py:173).
+
+    ``unionByName`` is metadata-only (no shuffle); missing columns become
+    nulls, matching pandas ``concat`` outer-column behavior.
+    """
+    if not dfs:
+        raise ValueError("union_by_name needs at least one DataFrame")
+    out = dfs[0]
+    for other in dfs[1:]:
+        out = out.unionByName(other, allowMissingColumns=allow_missing)
+    return out

@@ -1,0 +1,84 @@
+"""Core relational/aggregate/window queries over the driver star schema.
+
+Each query is the star-schema analog of a reference capability (SURVEY.md §2,
+FIXTURES.md §B mapping table). Oracles are DuckDB SQL with identical aliases
+and identical rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..universe import monthly_top_n
+from . import register
+
+
+# --------------------------------------------------------------------------
+# Flagship: monthly top-N customers by average order value (SURVEY §7.2;
+# reference universe_generation_pipeline.py:146-171 — A3 + W1 + O3).
+# --------------------------------------------------------------------------
+@register(
+    "monthly_top_customers",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_custkey,
+             ROUND(AVG(o_totalprice), 4) AS agg_value
+      FROM orders
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT month, o_custkey, agg_value,
+             ROW_NUMBER() OVER (PARTITION BY month
+                                ORDER BY agg_value DESC, o_custkey ASC) AS rank
+      FROM monthly
+    )
+    SELECT month, o_custkey, agg_value, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def monthly_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    uni = monthly_top_n(orders, "o_orderdate", "o_custkey", "o_totalprice", n=5)
+    return uni.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): declarative multi-agg — A2/A6/A9 +
+# arithmetic F14 (reference agg-dict coinbase_universe_pipeline.py:149-159).
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

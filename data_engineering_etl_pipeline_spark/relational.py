@@ -1,0 +1,97 @@
+"""Relational core: projections, filters, joins, set ops, null handling
+(SURVEY.md §2.2 P1-P12, §2.3 J1-J9, §2.7 U1-U5).
+
+Everything here is a thin, intention-revealing composition of built-in
+DataFrame ops — Catalyst handles pushdown, pruning, join selection. The two
+patterns that deserve names:
+
+- ``map_join``: the reference's dict-lookup "joins" (``col.map(ticker_map)``,
+  pipeline_helpers.py:250; historical_data_etl.py:186) become broadcast hash
+  joins against a tiny dimension — the scale-correct form of a Python dict.
+- ``pit_cutoff_join``: the point-in-time universe slice
+  (historical_data_etl.py:159-168) becomes a theta join
+  ``fact.date <= universe.month_end`` with the (small) universe broadcast, so
+  the big fact table never shuffles for it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonicalize(df: DataFrame, col: str, mapping: Mapping[str, str],
+                 out_col: str | None = None) -> DataFrame:
+    """P9/J5: null-coalescing dict-map lookup.
+
+    Reference: ``df[col].map(canonical_map).fillna(df[col])``
+    (historical_data_etl.py:186, live_data_pipeline.py:152,
+    coinbase_universe_pipeline.py:145). Implemented as a literal MapType
+    expression (constant-folded by Catalyst) — no shuffle, no UDF. For maps
+    too big to inline (>~10k entries) use ``map_join`` instead.
+    """
+    out_col = out_col or col
+    if not mapping:
+        return df.withColumn(out_col, F.col(col))
+    pairs = [F.lit(x) for kv in mapping.items() for x in kv]
+    m = F.create_map(*pairs)
+    return df.withColumn(out_col, F.coalesce(m[F.col(col)], F.col(col)))
+
+
+def map_join(df: DataFrame, dim: DataFrame, key: str, value_col: str,
+             out_col: str, default_col: str | None = None) -> DataFrame:
+    """J5 as a broadcast join: left-join a small dim ``(key, value_col)`` and
+    coalesce with a fallback column — the distributed form of
+    ``col.map(d).fillna(col)``."""
+    dim = F.broadcast(dim.select(F.col(key), F.col(value_col).alias("__mapped")))
+    out = df.join(dim, on=key, how="left")
+    fallback = F.col(default_col) if default_col else F.lit(None)
+    return out.withColumn(out_col, F.coalesce(F.col("__mapped"), fallback)).drop("__mapped")
+
+
+def ohlc_violation(close: str = "close", low: str = "low", high: str = "high",
+                   tol: float = 1e-6) -> Column:
+    """P7 compound predicate (reference: data_quality_gate.py:52-56):
+    close must lie in [low - tol, high + tol]."""
+    return (F.col(close) < F.col(low) - tol) | (F.col(close) > F.col(high) + tol)
+
+
+def replace_inf_with_null(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """F13 ±inf → null (reference: feature_calculation_functions.py:21).
+
+    Spark distinguishes null from NaN; the reference's pandas code treats
+    inf/NaN as missing. Normalizing at operator boundaries keeps aggregation
+    semantics (ignorenulls) aligned with pandas skipna.
+    """
+    out = df
+    for c in cols:
+        col = F.col(c)
+        out = out.withColumn(
+            c, F.when(col.isNull() | F.isnan(col) | (F.abs(col) == float("inf")),
+                      F.lit(None)).otherwise(col))
+    return out
+
+
+def pit_cutoff_join(fact: DataFrame, universe: DataFrame, fact_key: str,
+                    fact_date: str, uni_key: str, uni_month: str) -> DataFrame:
+    """P6/J9 point-in-time membership join.
+
+    For each ``(month, member)`` universe row, keep fact rows of that member
+    with ``fact_date <= month`` (the reference slices
+    ``history[history['date'] <= period_date]`` per month,
+    historical_data_etl.py:159-168). The universe is small (months × top-N)
+    → broadcast, so the fact side streams through map-side without a shuffle.
+    """
+    return fact.join(
+        F.broadcast(universe),
+        on=[fact[fact_key] == universe[uni_key], fact[fact_date] <= universe[uni_month]],
+        how="inner",
+    )
+
+
+def distinct_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P12/U5 row dedup via distinct projection (reference:
+    historical_data_etl.py:132 set-comprehension)."""
+    return df.select(*cols).distinct()

@@ -1,0 +1,29 @@
+"""The local mirror of the driver's t2 gate: every registered query with an
+oracle must hash-match DuckDB on the same parquet; oracle-less queries must
+at least run and return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_etl_pipeline_spark.queries import ORACLES, QUERIES
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    if name in ORACLES:
+        assert_matches_oracle(df, duck, ORACLES[name], name)
+    else:
+        n = df.count()
+        assert n >= 0
+        assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
