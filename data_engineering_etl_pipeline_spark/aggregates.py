@@ -30,7 +30,8 @@ def canonical_aggregate(df: DataFrame,
                         date_col: str,
                         value_cols: Sequence[str],
                         sum_cols: Sequence[str],
-                        priority_col: str) -> DataFrame:
+                        priority_col: str,
+                        count_alias: str | None = None) -> DataFrame:
     """A1 canonical aggregation, native-Spark form.
 
     Priority: native member first (member == canonical), then highest
@@ -56,6 +57,8 @@ def canonical_aggregate(df: DataFrame,
         aggs.append(F.coalesce(chosen, backfill).alias(c))
     for c in sum_cols:
         aggs.append(F.sum(F.col(c)).alias(c))
+    if count_alias:
+        aggs.append(F.count(F.lit(1)).alias(count_alias))
     return df.groupBy(canonical_col, date_col).agg(*aggs)
 
 

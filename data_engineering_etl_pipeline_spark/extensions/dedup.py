@@ -1,0 +1,191 @@
+"""Deduplication operators (SURVEY.md §2.11): exact, n-gram Jaccard,
+MinHash+LSH banding, SimHash — the standard public near-dup toolkit
+(Broder 1997 minhash/shingling; Charikar 2002 simhash; Leskovec-Rajaraman-
+Ullman MMDS ch.3 banding), each expressed as distributed DataFrame plans.
+
+Scale design:
+- exact dedup: hash-groupBy on a cheap fingerprint, never on raw text;
+- near-dup: candidate generation via LSH buckets (equi-join on band hash —
+  a plain shuffle join, no cross product), then exact Jaccard verification
+  on the candidate pairs only;
+- all hashes are Spark's built-in xxhash64/hash (JVM, codegen) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Large Mersenne prime for minhash permutations ((a*h+b) mod p).
+_MINHASH_P = 2305843009213693951  # 2^61 - 1
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups: keeper = min id per identical text; returns
+    one row per duplicated text: keeper id + the number of copies.
+
+    At scale, group on ``xxhash64(text)`` (+ length) instead of the raw
+    string so the shuffle carries 8-byte keys; here we keep the text equality
+    semantics (hash collisions are then resolved by a second exact pass).
+    """
+    return (
+        docs.groupBy(F.col(text_col))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: ``(id, shingle)``.
+
+    Built with split + a sequence-of-offsets transform — no UDF, and the
+    same construction is SQL-expressible for the oracle.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]))
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan: explode distinct shingles → self-equi-join on shingle (inverted
+    index) → per-pair intersection counts → |A∪B| = |A|+|B|−|A∩B|.
+    The join is an equi-join on the shingle key, so Catalyst shuffles both
+    sides by shingle — no cross product. Hot shingles (stopword n-grams) are
+    the skew risk at 100 TB: mitigate by dropping shingles with document
+    frequency above a cap before the join (standard inverted-index pruning).
+    """
+    sh = word_shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, num_perm: int = 64,
+                       seed: int = 42) -> DataFrame:
+    """Minhash signature per doc: for permutation i, min over shingles of
+    ``(a_i * xxhash64(shingle) + b_i) mod p``. One groupBy computes all
+    ``num_perm`` mins (map-side partial agg keeps the shuffle tiny)."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P))
+              for _ in range(num_perm)]
+    h = F.abs(F.xxhash64(F.col("shingle")))
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+
+    bands×rows = num_perm; docs agreeing on any band become candidates
+    (equi-join on band hash), then candidates are verified with exact
+    shingle Jaccard so the output has no false positives — false-negative
+    rate ≈ (1−s^r)^b for true similarity s. At 100 TB only the candidate
+    pairs (a tiny fraction) ever pay the verification join.
+    """
+    rows = num_perm // bands
+    sh = word_shingles(docs, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, id_col, num_perm)
+    band_cols = [
+        F.xxhash64(F.concat_ws("_", F.lit(bi), *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]))
+        .alias(f"band_{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    bucket = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("bh"))
+            for bi in range(bands)
+        ])).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = bucket.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = bucket.select(F.col(id_col).alias("id_b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact verification on candidates only.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (Charikar): sign-sum of token-hash bits.
+
+    Pure array expressions: token → xxhash64 → per-bit ±1 votes summed via
+    ``aggregate`` over the token array, sign → bit. Hamming-near docs are
+    near-dups; pair search = group by rotated bit-blocks (not included here).
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # votes[i] = sum over tokens of (bit_i ? 1 : -1); bit i of xxhash64
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i.cast("int"))) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(votes, F.sequence(F.lit(0), F.lit(63)),
+                   lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc.bitwiseOR(bit),
+    )
+    return docs.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,103 @@
+"""Text analysis operators (SURVEY.md §2.11): tokenization, quality scoring,
+language-ID heuristic, document fingerprinting. All pure column expressions
+(whole-stage codegen, no Python) so they stream through a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Public common-word lists; enough signal for a coarse language call.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "den", "im", "ein", "zu", "mit"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"  # BPE-ish: words + punct singles
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization (split + trim of empty edges)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(t), r"\s+")
+
+
+def token_count_regex(text: str | Column, pattern: str = TOKEN_PATTERN) -> Column:
+    """Token count under a BPE-ish regex (words + punctuation singletons)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+
+
+def punct_ratio(text: str | Column) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    t = F.col(text) if isinstance(text, str) else text
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+
+
+def stopword_count(toks: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang`` (lambda filter —
+    executes JVM-side, no UDF)."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda x: F.lower(x).isin(sw)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    return {lang: stopword_count(toks, lang) for lang in STOPWORDS}
+
+
+def predict_lang(toks: Column) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when no hits.
+
+    Deterministic tiebreak: language code ascending (stable cross-engine).
+    """
+    scores = lang_scores(toks)
+    pairs = sorted(scores.items())
+    best_score: Column = F.greatest(*[s for _, s in pairs])
+    expr: Column = F.lit("und")
+    # Build innermost-last so the alphabetically-first language is the
+    # outermost WHEN and therefore wins ties.
+    for lang, score in pairs[::-1]:
+        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite quality heuristic in [0,1]: length score × (1 − punct ratio)
+    × alpha-token fraction. Mirrors the 'length/punct/stopword ratio' style
+    filters used in public LLM-data pipelines (C4/Gopher rules)."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    alpha_frac = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda x: x.rlike(r"^[A-Za-z]+$"))) / n_tok,
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    return F.round(len_score * (1 - punct_ratio(t)) * alpha_frac, 6)
+
+
+def rolling_fingerprint(text: str | Column, mod: int = 1_000_000_007,
+                        base: int = 31) -> Column:
+    """Polynomial rolling hash of the whole document (deterministic,
+    engine-portable): ``h = (h*base + ascii(char)) % mod`` over characters.
+
+    Pure ``aggregate`` over a character sequence — no UDF, and the same
+    recurrence is expressible in ANSI-ish SQL for the oracle. For 100 TB use
+    this as the cheap exact-dup fingerprint (vs carrying full text through
+    the shuffle).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    chars = F.split(t, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

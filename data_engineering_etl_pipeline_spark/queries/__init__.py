@@ -30,4 +30,4 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-from . import core  # noqa: E402,F401
+from . import analytics, core, events, joins, quality  # noqa: E402,F401

@@ -1,0 +1,118 @@
+"""Event-stream queries (SURVEY.md §2.9): windowed aggregation,
+sessionization, frequency tables, JSON payload flattening — batch forms that
+double as oracles for the Structured Streaming path (streaming.py; the
+streaming twin is exercised in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..streaming import sessionize_batch, windowed_agg
+from . import register
+
+
+@register(
+    "hourly_event_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (F.window — identical semantics batch vs
+    readStream+watermark; §2.9 extension for the events table)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = windowed_agg(ev, "ts", "1 hour", keys=["event_type"])
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), ids AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM ids GROUP BY 1, 2
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via lag + running sum — the
+    batch twin of ``session_window`` (guide: common OLAP patterns)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, "user_id", "ts", gap_minutes=30)
+
+
+@register(
+    "event_type_freq",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 frequency table (reference value_counts,
+    cg_attributes…py:155)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "props_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS null_k
+    FROM events GROUP BY 1
+    """,
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 nested-JSON flatten (reference parse_asset_metadata,
+    pipeline_helpers.py:107-156): extract a typed field from a JSON payload
+    column and aggregate it."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNull(), 1)).alias("null_k"),
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(DISTINCT event_type) FROM events) AS n_types,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_active_customers
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 distinct counts (reference nunique, historical_data_etl.py:196).
+    At 100 TB swap to approx_count_distinct (HLL) — exact here to match the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    a = ev.agg(F.countDistinct("user_id").alias("n_users"),
+               F.countDistinct("event_type").alias("n_types"))
+    b = o.agg(F.countDistinct("o_custkey").alias("n_active_customers"))
+    return a.crossJoin(b)

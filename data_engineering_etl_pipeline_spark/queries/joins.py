@@ -1,0 +1,165 @@
+"""Join-family queries (SURVEY.md §2.3 J1-J9) on the star schema.
+
+Dimension tables (region/nation/customer) are broadcast — the scale-correct
+form of the reference's driver-side dict maps (J5). The PIT universe join is
+the reference's flagship point-in-time semantics (P6/J9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..relational import pit_cutoff_join
+from ..universe import monthly_top_n
+from . import register
+
+
+@register(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4/J5 multi-join chain: big fact ⋈ broadcast dims, revenue rollup.
+
+    Plan check: customer/nation/region all under the broadcast threshold →
+    three BroadcastHashJoins, one shuffle for the final agg (reference's
+    chained left-merges, pipeline_helpers.py:364-369, minus the Python)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "daily_activity_outer",
+    oracle="""
+    WITH od AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS order_value
+      FROM orders GROUP BY 1
+    ), ld AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, ROUND(SUM(l_extendedprice), 2) AS ship_value
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(od.d, ld.d) AS d, od.order_value, ld.ship_value
+    FROM od FULL OUTER JOIN ld ON od.d = ld.d
+    """,
+)
+def daily_activity_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 full-outer date-keyed stitch (reference TVL×DEX outer merge,
+    pipeline_helpers.py:291): daily order value vs daily shipped value."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+          .agg(F.round(F.sum("o_totalprice"), 2).alias("order_value")))
+    ld = (li.groupBy(F.to_date("l_shipdate").alias("d"))
+          .agg(F.round(F.sum("l_extendedprice"), 2).alias("ship_value")))
+    return (
+        od.join(ld, "d", "full_outer")
+        .select("d", "order_value", "ship_value")
+    )
+
+
+_UNIVERSE_CTE = """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_custkey,
+             ROUND(AVG(o_totalprice), 4) AS agg_value
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT month, o_custkey, agg_value,
+             ROW_NUMBER() OVER (PARTITION BY month
+                                ORDER BY agg_value DESC, o_custkey ASC) AS rnk
+      FROM monthly
+    ), uni AS (
+      SELECT month, o_custkey FROM ranked WHERE rnk <= 10
+    )
+"""
+
+
+@register(
+    "pit_universe_history",
+    oracle=_UNIVERSE_CTE + """
+    SELECT u.month, u.o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_value
+    FROM uni u
+    JOIN orders o
+      ON o.o_custkey = u.o_custkey AND o.o_orderdate <= u.month
+    GROUP BY 1, 2
+    """,
+)
+def pit_universe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J9 point-in-time assembly: monthly top-10 universe (broadcast) ⋈
+    fact history cut at the membership month — no future rows leak in
+    (reference: historical_data_etl.py:154-168). The fact side never
+    shuffles: the tiny universe broadcasts into a map-side theta join."""
+    orders = load_table(spark, sf_dir, "orders")
+    uni = (monthly_top_n(orders, "o_orderdate", "o_custkey", "o_totalprice", n=10)
+           .select("month", F.col("o_custkey").alias("u_custkey")))
+    joined = pit_cutoff_join(orders, uni, "o_custkey", "o_orderdate",
+                             "u_custkey", "month")
+    return (
+        joined.groupBy("month", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "segment_union_align",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      UNION ALL
+      SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT (o_totalprice IS NULL) AS missing_price,
+           (o_orderpriority IS NULL) AS missing_priority,
+           COUNT(*) AS n
+    FROM unioned GROUP BY 1, 2
+    """,
+)
+def segment_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/A11 schema-aligning union (reference pd.concat of heterogeneous
+    per-source frames): two projections with disjoint columns united by
+    name, missing columns null-filled, then profiled."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    a = o.filter(F.col("o_orderdate") < cutoff).select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_orderdate") >= cutoff).select("o_orderkey", "o_orderpriority")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy(
+            F.col("o_totalprice").isNull().alias("missing_price"),
+            F.col("o_orderpriority").isNull().alias("missing_priority"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,89 @@
+"""Technical-analysis kernel (SURVEY.md §2.5 W9-W12, §2.10 UD2-UD3).
+
+The reference computes RSI-14, MACD(12,26,9), Bollinger(20,2) and ATR-14 via
+TA-Lib per asset (feature_calculation_functions.py:44-92). RSI/MACD/ATR are
+Wilder/EMA *recurrences* — infinite-memory per-asset state that no Spark
+window frame expresses — so they run as ONE Arrow-batched ``applyInPandas``
+kernel per asset group (one shuffle, all four indicators in a single pass).
+Bollinger is SMA-based and therefore ALSO implemented natively
+(windows.rolling_mean/std) — the native/twin pair cross-checks the kernel.
+
+Scale notes: per-asset sequential state means one task per asset group;
+skew = one giant asset dominating a task. The kernel is O(n) per group and
+numpy-vectorized (scan recurrences via pandas ewm), so throughput is
+Arrow-bound. No TA-Lib dependency — formulas are standard public recurrences
+(Wilder 1978; Appel MACD; Bollinger 1980s), implemented on pandas.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _wilder_ema(s: pd.Series, n: int) -> pd.Series:
+    """Wilder smoothing = EMA with alpha=1/n, seeded by the first-n SMA."""
+    return s.ewm(alpha=1.0 / n, min_periods=n, adjust=False).mean()
+
+
+def _ta_one_asset(pdf: pd.DataFrame, close: str, high: str, low: str) -> pd.DataFrame:
+    pdf = pdf.sort_values("__order").reset_index(drop=True)
+    c = pdf[close].astype(float)
+
+    # RSI-14 (Wilder): 100 - 100/(1+RS), RS = smoothed gain / smoothed loss.
+    delta = c.diff()
+    gain = delta.clip(lower=0.0)
+    loss = (-delta).clip(lower=0.0)
+    avg_gain = _wilder_ema(gain, 14)
+    avg_loss = _wilder_ema(loss, 14)
+    rs = avg_gain / avg_loss
+    pdf["rsi_14"] = 100.0 - 100.0 / (1.0 + rs)
+
+    # MACD 12/26/9 (standard EMA, adjust=False matches streaming recurrence).
+    ema12 = c.ewm(span=12, adjust=False).mean()
+    ema26 = c.ewm(span=26, adjust=False).mean()
+    macd = ema12 - ema26
+    signal = macd.ewm(span=9, adjust=False).mean()
+    pdf["macd"] = macd
+    pdf["macd_signal"] = signal
+    pdf["macd_hist"] = macd - signal
+
+    # Bollinger 20/2 + width (SMA-based; native twin in windows.py).
+    mid = c.rolling(20).mean()
+    sd = c.rolling(20).std()
+    pdf["bb_mid"] = mid
+    pdf["bb_upper"] = mid + 2 * sd
+    pdf["bb_lower"] = mid - 2 * sd
+    pdf["bb_width"] = (pdf["bb_upper"] - pdf["bb_lower"]) / mid
+
+    # ATR-14: true range then Wilder smoothing.
+    if high in pdf and low in pdf:
+        h = pdf[high].astype(float)
+        lo = pdf[low].astype(float)
+        prev_c = c.shift(1)
+        tr = pd.concat([(h - lo), (h - prev_c).abs(), (lo - prev_c).abs()], axis=1).max(axis=1)
+        if len(tr):
+            tr.iloc[0] = float("nan")  # no prior close → TR undefined on row 0
+        pdf["atr_14"] = _wilder_ema(tr, 14)
+    else:
+        pdf["atr_14"] = float("nan")
+    return pdf.drop(columns=["__order"])
+
+
+def ta_features(df: DataFrame, entity_col: str, order_col: str,
+                close: str, high: str | None = None, low: str | None = None) -> DataFrame:
+    """Append rsi_14, macd(_signal,_hist), bb_(mid,upper,lower,width), atr_14
+    per entity ordered by ``order_col`` — one grouped Arrow pass."""
+    high = high or close
+    low = low or close
+    base = df.withColumn("__order", F.col(order_col).cast("string"))
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["rsi_14 double", "macd double", "macd_signal double", "macd_hist double",
+           "bb_mid double", "bb_upper double", "bb_lower double", "bb_width double",
+           "atr_14 double"]
+    )
+    return base.groupBy(entity_col).applyInPandas(
+        lambda pdf: _ta_one_asset(pdf, close, high, low), schema=out_schema)

@@ -49,7 +49,7 @@ def value_hash(df: pd.DataFrame) -> str:
             if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
                 cells.append("NULL")
             elif isinstance(v, float):
-                cells.append(repr(round(v, 9)))
+                cells.append(repr(round(v, 9) + 0.0))  # +0.0: -0.0 → 0.0
             else:
                 cells.append(str(v))
         rows.append("|".join(cells))
