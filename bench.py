@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. ``value`` is the sum of per-query wall
+times (each timed to full materialization via a count-style action that
+forces every operator but keeps driver transfer out of the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: every family — scan+agg, broadcast join chain, window
+# families, PIT theta join, canonical agg, dedup (exact + LSH), similarity,
+# text stats, sessionization, TA kernel.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "region_revenue",
+    "monthly_top_customers",
+    "pit_universe_history",
+    "canonical_part_agg",
+    "customer_order_returns",
+    "rolling_price_stats",
+    "daily_share_and_rank",
+    "hml_factor",
+    "quality_gate_summary",
+    "user_sessions",
+    "hourly_event_windows",
+    "doc_exact_dedup",
+    "doc_ngram_jaccard",
+    "doc_minhash_lsh",
+    "doc_text_stats",
+    "embedding_cosine_topk",
+    "supplier_bollinger",
+    "supplier_ta_indicators",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_engineering_etl_pipeline_spark.queries import QUERIES
+    from data_engineering_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # plans, not session startup.
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # Force full execution of every operator without collecting rows to
+        # the driver: count over the materialized result.
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "sum_query_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

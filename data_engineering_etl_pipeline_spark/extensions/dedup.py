@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Large Mersenne prime for minhash permutations ((a*h+b) mod p).
-_MINHASH_P = 2305843009213693951  # 2^61 - 1
+# Mersenne prime 2^31-1 for minhash permutations ((a*h+b) mod p): with
+# h, a, b < 2^31 the product stays below 2^62 — no long overflow under
+# Spark's ANSI arithmetic.
+_MINHASH_P = 2147483647  # 2^31 - 1
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
@@ -45,7 +47,10 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     same construction is SQL-expressible for the oracle.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # guard: Spark sequence(1, 0) counts DOWN; emit an empty array for docs
+    # shorter than n tokens instead.
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]))
     return (
         docs.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
@@ -97,7 +102,7 @@ def minhash_signatures(shingles: DataFrame, id_col: str, num_perm: int = 64,
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P))
               for _ in range(num_perm)]
-    h = F.abs(F.xxhash64(F.col("shingle")))
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MINHASH_P))
     aggs = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -173,19 +178,23 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     """
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # votes[i] = sum over tokens of (bit_i ? 1 : -1); bit i of xxhash64
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i.cast("int"))) != 0, 1).otherwise(-1),
-        ),
-    )
-    sim = F.aggregate(
-        F.zip_with(votes, F.sequence(F.lit(0), F.lit(63)),
-                   lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc.bitwiseOR(bit),
-    )
+    # Per-bit masks as Python literals (bit 63 = sign bit in two's complement).
+    # Each bit term is INDEPENDENT and OR-chained linearly — folding `sim`
+    # into both branches of a when() would duplicate the subtree per bit
+    # (exponential expression size, analyzer OOM).
+    def vote_for(mask: int):
+        # closure (not default-arg) — F.aggregate inspects lambda arity
+        return F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
+
+    bit_terms = []
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        bit_terms.append(F.when(vote_for(mask) > 0, F.lit(mask))
+                         .otherwise(F.lit(0).cast("long")))
+    sim = bit_terms[0]
+    for term in bit_terms[1:]:
+        sim = sim.bitwiseOR(term)
     return docs.select(F.col(id_col), sim.alias("simhash"))

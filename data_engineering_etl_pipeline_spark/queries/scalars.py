@@ -1,0 +1,165 @@
+"""Scalar-function & classifier queries (SURVEY.md §2.8 F1-F18, §2.10 UD5):
+date arithmetic, string functions, null handling, and the precedence
+taxonomy classifier — all native column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..relational import canonicalize
+from ..taxonomy import classify_scalar_by_keywords
+from . import register
+
+
+@register(
+    "order_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           strftime(o_orderdate, '%Y-%m-01') AS month_key,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F6 date normalization family (reference pd.to_datetime().dt
+    pipeline_helpers.py:213,243; month truncation universe…py:153; 'YYYY-MM-01'
+    formatting universe…py:170; epoch arithmetic :223-238). UTC session TZ
+    keeps epoch values oracle-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM-01").alias("month_key"),
+        F.trunc("o_orderdate", "MM").alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "part_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           CAST(length(p_name) AS INT) AS name_len,
+           contains(p_type, 'BRUSHED') AS is_brushed,
+           string_split(p_name, ' ')[1] AS first_word,
+           CAST(length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS INT) AS n_vowels,
+           round(p_retailprice, 0) AS price_round
+    FROM part
+    """,
+)
+def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F12 string/math scalar family: upper, length, substring
+    containment, split-indexing, regex counting, rounding (reference
+    F9-F11: historical_data_etl.py:120, cg_attributes…py:100,
+    test_data_integrity.py:86)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.col("p_type").contains("BRUSHED").alias("is_brushed"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.length(F.regexp_replace("p_name", "[^aeiou]", "")).cast("int").alias("n_vowels"),
+        F.round("p_retailprice", 0).alias("price_round"),
+    )
+
+
+@register(
+    "customer_null_handling",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+      FROM customer
+    ), mapped AS (
+      SELECT *,
+             COALESCE(CASE c_mktsegment WHEN 'BUILDING' THEN 'B2B'
+                                        WHEN 'AUTOMOBILE' THEN 'CONSUMER'
+                      END, c_mktsegment) AS segment_canon,
+             COALESCE(bal_or_null, 0.0) AS bal_filled
+      FROM base
+    )
+    SELECT segment_canon,
+           COUNT(*) AS n,
+           CAST(COUNT(CASE WHEN bal_or_null IS NULL THEN 1 END) AS BIGINT) AS n_null,
+           ROUND(SUM(bal_filled), 2) AS sum_filled,
+           ROUND(AVG(bal_or_null), 4) AS avg_nonnull
+    FROM mapped GROUP BY 1
+    """,
+)
+def customer_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9/P11/F17/F18 null-handling family: conditional nulling, dict-map
+    canonicalization with fallback (reference col.map(m).fillna(col),
+    historical_data_etl.py:186), fillna-zero, and null-skipping aggregation
+    (Spark avg ignores nulls like pandas mean skipna)."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.withColumn(
+        "bal_or_null",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")))
+    mapped = canonicalize(
+        base, "c_mktsegment",
+        {"BUILDING": "B2B", "AUTOMOBILE": "CONSUMER"},
+        out_col="segment_canon")
+    mapped = mapped.withColumn("bal_filled", F.coalesce("bal_or_null", F.lit(0.0)))
+    return (
+        mapped.groupBy("segment_canon")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("bal_or_null").isNull(), 1)).alias("n_null"),
+            F.round(F.sum("bal_filled"), 2).alias("sum_filled"),
+            F.round(F.avg("bal_or_null"), 4).alias("avg_nonnull"),
+        )
+    )
+
+
+# Precedence-ordered taxonomy over part types (star-schema analog of the
+# reference's crypto category taxonomy, cg_attributes…py:45-80).
+_PART_TAXONOMY = [
+    ("Premium Metal", ["STEEL", "COPPER"]),
+    ("Coated", ["ANODIZED", "PLATED", "POLISHED"]),
+    ("Finished", ["BRUSHED", "BURNISHED"]),
+]
+
+
+@register(
+    "part_taxonomy",
+    oracle="""
+    SELECT CASE
+             WHEN contains(p_type, 'STEEL') OR contains(p_type, 'COPPER')
+               THEN 'Premium Metal'
+             WHEN contains(p_type, 'ANODIZED') OR contains(p_type, 'PLATED')
+                  OR contains(p_type, 'POLISHED')
+               THEN 'Coated'
+             WHEN contains(p_type, 'BRUSHED') OR contains(p_type, 'BURNISHED')
+               THEN 'Finished'
+             ELSE 'Other'
+           END AS standard_category,
+           COUNT(*) AS n,
+           ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY 1
+    """,
+)
+def part_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD5 precedence classifier as a chained when-expression (first
+    matching bucket wins — reference assign_standard_category,
+    cg_attributes…py:82-103) + profile per class."""
+    p = load_table(spark, sf_dir, "part")
+    cat = classify_scalar_by_keywords("p_type", _PART_TAXONOMY, default="Other")
+    return (
+        p.withColumn("standard_category", cat)
+        .groupBy("standard_category")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )

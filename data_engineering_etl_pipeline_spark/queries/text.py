@@ -1,0 +1,203 @@
+"""Text-analysis & deduplication queries over the ``documents`` table
+(SURVEY.md §2.11 north-star operators). Everything here is pure column
+expressions (split/transform/filter/aggregate lambdas execute JVM-side) —
+the oracles reproduce the identical token/shingle/hash constructions in
+DuckDB list functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions.dedup import (exact_dedup_groups, minhash_lsh_pairs,
+                                ngram_jaccard_pairs, simhash64)
+from ..extensions.text_stats import (TOKEN_PATTERN, predict_lang,
+                                     quality_score, token_count_regex, tokens)
+from ..io import load_table
+from . import register
+
+
+@register(
+    "doc_exact_dedup",
+    oracle="""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM doubled GROUP BY text HAVING COUNT(*) > 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on text (keeper = min doc_id).
+    Deterministic duplicates injected (every 7th doc re-appended) so the
+    operator has work at every scale factor. At 100 TB: group on
+    xxhash64(text) fingerprints, not raw strings."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return exact_dedup_groups(doubled, "doc_id", "text")
+
+
+_SHINGLE_CTE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1)
+                             ELSE [] END) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "doc_ngram_jaccard",
+    oracle=_SHINGLE_CTE + """
+    SELECT id_a, id_b,
+           ROUND(ni * 1.0 / (sa.sz + sb.sz - ni), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via an
+    inverted shingle index — equi-join on shingle, never a cross product.
+    The integer ratio ni/(sa+sb-ni) is float-exact cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("doc_minhash_lsh")
+def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(32 bands × 2 rows) candidate pairs, verified
+    with exact Jaccard ≥ 0.8. No SQL oracle (xxhash64-based signatures);
+    tests instead assert it finds exactly the exact-Jaccard ≥0.8 pairs —
+    band config makes the miss probability ≈ (1−0.8²)³² ≈ 6e-15."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3,
+                             num_perm=64, bands=32, threshold=0.8)
+
+
+@register("doc_simhash")
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only check: xxhash64 has no DuckDB
+    twin). Hamming-close fingerprints = near-dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text")
+
+
+@register(
+    "doc_text_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t, text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                AS BIGINT) AS n_tokens_bpe,
+           ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t), 4) AS avg_token_len,
+           CAST(list_reduce(
+                  list_transform(range(1, length(text) + 1), i -> ascii(text[i])),
+                  (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+                AS BIGINT) AS fingerprint
+    FROM toks
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and the polynomial
+    rolling-hash document fingerprint — engine-portable constructions
+    (identical recurrence in the DuckDB oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    fingerprint = F.expr(
+        "aggregate(sequence(1, length(text)), 0L, "
+        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)")
+    avg_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0).cast("long"),
+        lambda acc, x: acc + x).cast("double") / F.size(t)
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        token_count_regex("text").cast("long").alias("n_tokens_bpe"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        fingerprint.alias("fingerprint"),
+    )
+
+
+_LANG_CASE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> x IN ('der','die','und','das','von','den','im','ein','zu','mit'))) AS de_n,
+        len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS en_n,
+        len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS es_n,
+        len(list_filter(t, x -> x IN ('le','la','de','et','les','des','en','un','du','que'))) AS fr_n,
+        len(list_filter(t, x -> x IN ('的','了','是','在','我','有','和','就','不','人'))) AS zh_n
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(de_n, en_n, es_n, fr_n, zh_n) = 0 THEN 'und'
+                WHEN de_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'de'
+                WHEN en_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'en'
+                WHEN es_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'es'
+                WHEN fr_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scores
+"""
+
+
+@register("doc_lang_id", oracle=_LANG_CASE_SQL)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic: argmax of per-language
+    stopword hits over lowercased tokens, ties → alphabetically first,
+    no hits → 'und'."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    return docs.select("doc_id", "lang", predict_lang(t).alias("pred_lang"))
+
+
+@register(
+    "doc_quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             least(length(text) / 500.0, 1.0)
+             * (1 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+                         THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                              / length(regexp_replace(text, '\\s+', '', 'g'))
+                         ELSE 0.0 END)
+             * CASE WHEN len(t) > 0
+                    THEN CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS DOUBLE)
+                         / len(t)
+                    ELSE 0.0 END, 6) AS quality
+    FROM toks
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length × clean-punctuation × alpha-token
+    fraction), the C4/Gopher-style filter family as one codegen'd
+    expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))

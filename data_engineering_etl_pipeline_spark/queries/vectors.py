@@ -1,0 +1,98 @@
+"""Similarity-search queries over the ``embeddings`` table (SURVEY.md §2.11):
+brute-force cosine top-k (oracle-checked) and the LSH-bucketed approximate
+variant (rows-only — probabilistic recall by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions.similarity import cosine_topk, lsh_cosine_topk, with_unit_norm, _dot
+from ..io import load_table
+from . import register
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), unit AS (
+      SELECT vec_id,
+             list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve))) AS u
+      FROM v
+      WHERE sqrt(list_dot_product(ve, ve)) > 0
+    ), q AS (
+      SELECT vec_id AS query_id, u AS qu FROM unit WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, b.vec_id,
+             ROUND(list_dot_product(b.u, q.qu), 6) AS cosine
+      FROM unit b CROSS JOIN q
+      WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the query
+    side, fused array dot products, round-before-rank so float ties break
+    deterministically by id. The 100 TB path swaps in LSH/IVF candidate
+    generation with the same scoring tail (see embedding_lsh_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = cosine_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding",
+                      query_id_col="query_id")
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("embedding_lsh_topk")
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (8 bits × 4 tables):
+    candidates from bucket equi-joins, exact cosine only on candidates.
+    Rows-only check — recall is probabilistic; tests measure it against the
+    brute-force result instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return lsh_cosine_topk(emb, q, k=5, n_planes=8, n_tables=4, dim=64)
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_dot_product(ve, ve))), 4) AS avg_norm,
+           ROUND(MIN(ve[1]), 6) AS min_dim0,
+           ROUND(MAX(ve[1]), 6) AS max_dim0
+    FROM v GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column profiling: per-label vector counts, mean L2 norm, and
+    first-dimension extrema — the fused-array-expression (no UDF) pattern."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(_dot(v, v))
+    return (
+        emb.select("label", norm.alias("nrm"),
+                   F.element_at(v, 1).alias("dim0"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("dim0"), 6).alias("min_dim0"),
+            F.round(F.max("dim0"), 6).alias("max_dim0"),
+        )
+    )

@@ -28,8 +28,9 @@ def _wilder_ema(s: pd.Series, n: int) -> pd.Series:
     return s.ewm(alpha=1.0 / n, min_periods=n, adjust=False).mean()
 
 
-def _ta_one_asset(pdf: pd.DataFrame, close: str, high: str, low: str) -> pd.DataFrame:
-    pdf = pdf.sort_values("__order").reset_index(drop=True)
+def _ta_one_asset(pdf: pd.DataFrame, order_cols: list[str], close: str,
+                  high: str, low: str) -> pd.DataFrame:
+    pdf = pdf.sort_values(order_cols).reset_index(drop=True)
     c = pdf[close].astype(float)
 
     # RSI-14 (Wilder): 100 - 100/(1+RS), RS = smoothed gain / smoothed loss.
@@ -69,21 +70,26 @@ def _ta_one_asset(pdf: pd.DataFrame, close: str, high: str, low: str) -> pd.Data
         pdf["atr_14"] = _wilder_ema(tr, 14)
     else:
         pdf["atr_14"] = float("nan")
-    return pdf.drop(columns=["__order"])
+    return pdf
 
 
-def ta_features(df: DataFrame, entity_col: str, order_col: str,
+def ta_features(df: DataFrame, entity_col: str, order_cols: list[str],
                 close: str, high: str | None = None, low: str | None = None) -> DataFrame:
     """Append rsi_14, macd(_signal,_hist), bb_(mid,upper,lower,width), atr_14
-    per entity ordered by ``order_col`` — one grouped Arrow pass."""
+    per entity — one grouped Arrow pass.
+
+    ``order_cols`` must be a deterministic total order within each entity
+    (include a unique tiebreaker — recurrences are order-sensitive, so a
+    nondeterministic sort would make results unstable across runs).
+    """
     high = high or close
     low = low or close
-    base = df.withColumn("__order", F.col(order_col).cast("string"))
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["rsi_14 double", "macd double", "macd_signal double", "macd_hist double",
            "bb_mid double", "bb_upper double", "bb_lower double", "bb_width double",
            "atr_14 double"]
     )
-    return base.groupBy(entity_col).applyInPandas(
-        lambda pdf: _ta_one_asset(pdf, close, high, low), schema=out_schema)
+    return df.groupBy(entity_col).applyInPandas(
+        lambda pdf: _ta_one_asset(pdf, list(order_cols), close, high, low),
+        schema=out_schema)

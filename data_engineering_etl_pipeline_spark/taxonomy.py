@@ -29,11 +29,16 @@ def classify_by_keywords(tags_col: str | Column,
     ``overrides`` maps ids → labels and wins over keywords (:91-94).
     """
     tags = F.col(tags_col) if isinstance(tags_col, str) else tags_col
+
+    def tag_hit(kw: str) -> Column:
+        # closure (not default-arg): F.exists inspects the lambda's arity
+        return F.exists(tags, lambda t: t.contains(kw))
+
     expr: Column = F.lit(default)
     for label, keywords in reversed(list(taxonomy)):
         cond = None
         for kw in keywords:
-            hit = F.exists(tags, lambda t, k=kw: t.contains(k))
+            hit = tag_hit(kw)
             cond = hit if cond is None else (cond | hit)
         expr = F.when(cond, F.lit(label)).otherwise(expr)
     if overrides and id_col is not None:

@@ -1,0 +1,140 @@
+"""Engine-module unit tests: semantics that the oracle queries can't cover —
+canonical-agg backfill, circuit breaker, TA kernel vs native twin, taxonomy
+precedence, idempotent snapshot sink, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.aggregates import canonical_aggregate
+from data_engineering_etl_pipeline_spark.io import write_daily_snapshot
+from data_engineering_etl_pipeline_spark.quality_gate import (
+    CircuitBreakerTripped, apply_gate)
+from data_engineering_etl_pipeline_spark.ta import ta_features
+from data_engineering_etl_pipeline_spark.taxonomy import classify_by_keywords
+from data_engineering_etl_pipeline_spark.extensions.multimodal import (
+    extract_features, make_fake_media)
+
+
+def test_canonical_aggregate_native_pick_and_backfill(spark):
+    """Reference semantics (historical_data_etl.py:59-87): native row wins
+    over higher-mcap member; null criticals backfill from any member."""
+    rows = [
+        # native present but with null open → open backfills from member
+        ("btc", "btc", "2024-01-01", None, 100.0, 10.0),
+        ("btc", "wbtc", "2024-01-01", 99.5, 90.0, 5.0),
+        # no native → max-mcap member chosen
+        ("eth", "weth", "2024-01-02", 10.0, 50.0, 1.0),
+        ("eth", "steth", "2024-01-02", 11.0, 60.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "canonical_id string, coin_id string, date string, "
+              "open double, market_cap double, volume double")
+    out = canonical_aggregate(
+        df, "canonical_id", "coin_id", "date",
+        value_cols=["open", "market_cap"], sum_cols=["volume"],
+        priority_col="market_cap").collect()
+    by_id = {r["canonical_id"]: r for r in out}
+    assert by_id["btc"]["market_cap"] == 100.0          # native row wins
+    assert by_id["btc"]["open"] == 99.5                  # backfilled from member
+    assert by_id["btc"]["volume"] == 15.0                # summed across members
+    assert by_id["eth"]["open"] == 11.0                  # max-mcap member
+    assert by_id["eth"]["volume"] == 3.0
+
+
+def test_circuit_breaker_trips(spark):
+    df = spark.createDataFrame(
+        [(3.0, 2.0, 5.0)] * 90 + [(9.0, 2.0, 5.0)] * 10,  # 10% violations
+        "close double, low double, high double")
+    with pytest.raises(CircuitBreakerTripped):
+        apply_gate(df, required=["close", "low", "high"], price_cols=["close"],
+                   max_loss_pct=5.0)
+    cleaned = apply_gate(df, required=["close"], price_cols=["close"],
+                         max_loss_pct=15.0)
+    assert cleaned.count() == 90
+
+
+def test_gate_missing_columns(spark):
+    df = spark.createDataFrame([(1.0,)], "close double")
+    with pytest.raises(ValueError, match="Missing required"):
+        apply_gate(df, required=["close", "low", "high"], price_cols=["close"])
+
+
+def test_ta_kernel_matches_native_bollinger(spark):
+    """The applyInPandas kernel's SMA-based Bollinger must equal the native
+    window-expression twin (cross-check of the kernel's ordering/grouping)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(int(k), int(i), float(p)) for k in range(3)
+            for i, p in enumerate(rng.uniform(50, 150, size=60))]
+    df = spark.createDataFrame(rows, "k long, i long, close double")
+    kernel = ta_features(df, "k", ["i"], "close").select("k", "i", "bb_mid").toPandas()
+
+    from data_engineering_etl_pipeline_spark.windows import rolling_mean, w_entity
+    w = w_entity("k", "i")
+    native = df.select("k", "i", rolling_mean("close", 20, w).alias("bb_mid")).toPandas()
+    m = kernel.merge(native, on=["k", "i"], suffixes=("_kernel", "_native"))
+    both = m.dropna()
+    assert len(both) == 3 * (60 - 19)
+    assert (both.bb_mid_kernel - both.bb_mid_native).abs().max() < 1e-9
+
+
+def test_ta_rsi_constant_series(spark):
+    """RSI of a strictly increasing series → 100; constant series → NaN/None
+    (zero avg loss)."""
+    rows = [(1, i, 100.0 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, i long, close double")
+    out = ta_features(df, "k", ["i"], "close").filter(F.col("i") == 29).collect()[0]
+    assert out["rsi_14"] == pytest.approx(100.0)
+
+
+def test_taxonomy_precedence(spark):
+    df = spark.createDataFrame(
+        [("a", ["layer-1", "meme"]), ("b", ["meme-token"]), ("c", ["unknown"]),
+         ("d", ["defi-protocol"])],
+        "id string, tags array<string>")
+    taxonomy = [("L1", ["layer-1"]), ("Meme", ["meme"]), ("DeFi", ["defi"])]
+    out = {r["id"]: r["cat"] for r in df.select(
+        "id", classify_by_keywords("tags", taxonomy, overrides={"d": "Override"},
+                                   id_col="id").alias("cat")).collect()}
+    assert out == {"a": "L1", "b": "Meme", "c": "Other", "d": "Override"}
+
+
+def test_idempotent_snapshot_sink(spark):
+    df = spark.createDataFrame([("2024-01-01", 1.0), ("2024-01-02", 2.0)],
+                               "snapshot_date string, v double")
+    with tempfile.TemporaryDirectory() as root:
+        sink = os.path.join(root, "snaps")
+        assert write_daily_snapshot(df, sink) is True
+        # second write with same dates is skipped
+        assert write_daily_snapshot(df, sink) is False
+        back = spark.read.parquet(sink)
+        assert back.count() == 2
+        # new date appends, old partitions untouched
+        df2 = spark.createDataFrame([("2024-01-03", 3.0)],
+                                    "snapshot_date string, v double")
+        assert write_daily_snapshot(df2, sink) is True
+        assert spark.read.parquet(sink).count() == 3
+
+
+def test_multimodal_plumbing(spark):
+    media = make_fake_media(spark, n=12)
+    feats = extract_features(media, fake_decode=True).toPandas()
+    assert len(feats) == 12
+    assert (feats["feat_dim"] == 16).all()
+    assert feats["decode_ok"].all()
+    # histogram features sum to ~1 per row
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in feats["feat"])
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = make_fake_media(spark, n=3)
+    with pytest.raises(Exception):
+        extract_features(media, fake_decode=False).collect()
