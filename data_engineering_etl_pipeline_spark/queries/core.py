@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..aggregates import agg_dict
 from ..io import load_table
 from ..universe import monthly_top_n
 from . import register
@@ -81,4 +82,57 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 declarative agg-dict with DETERMINISTIC 'last'/'first' (reference
+# coinbase_universe_pipeline.py:149-159; SURVEY §7.4 hazard 9: pandas 'last'
+# is insertion-order, Spark F.last is nondeterministic — agg_dict resolves
+# both to max_by/min_by over an explicit order column).
+# --------------------------------------------------------------------------
+@register(
+    "supplier_declarative_agg",
+    oracle="""
+    WITH ordkey AS (
+      SELECT l_suppkey, l_quantity, l_extendedprice, l_discount, l_returnflag,
+             l_shipdate,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               AS ord
+      FROM lineitem
+    )
+    SELECT l_suppkey,
+           ROUND(SUM(l_quantity), 2) AS l_quantity,
+           ROUND(AVG(l_extendedprice), 4) AS l_extendedprice,
+           ROUND(MIN(l_discount), 4) AS l_discount,
+           MAX(CASE WHEN ord = cnt THEN l_returnflag END) AS l_returnflag,
+           MAX(CASE WHEN ord = 1 THEN l_shipdate END) AS l_shipdate
+    FROM (SELECT *, COUNT(*) OVER (PARTITION BY l_suppkey) AS cnt FROM ordkey)
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_declarative_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 agg-dict: {'volume': sum, 'price': mean, 'disc': min, 'flag': last,
+    'date': first} per supplier, with 'last'/'first' made deterministic by an
+    explicit row order (shipdate, orderkey, linenumber) — single hash
+    aggregate, no window shuffle on the Spark side (max_by carries the order
+    key through the partial aggs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Dense, collision-free order key: (shipdate, orderkey, linenumber) as a
+    # sortable struct for max_by/min_by.
+    ordered = li.withColumn(
+        "__ord", F.struct(F.col("l_shipdate"), F.col("l_orderkey"),
+                          F.col("l_linenumber")))
+    out = agg_dict(
+        ordered, ["l_suppkey"],
+        {"l_quantity": "sum", "l_extendedprice": "mean",
+         "l_discount": "min", "l_returnflag": "last", "l_shipdate": "first"},
+        order_col="__ord")
+    return out.select(
+        "l_suppkey",
+        F.round("l_quantity", 2).alias("l_quantity"),
+        F.round("l_extendedprice", 4).alias("l_extendedprice"),
+        F.round("l_discount", 4).alias("l_discount"),
+        "l_returnflag", "l_shipdate",
     )

@@ -18,8 +18,49 @@ overwrite gives exactly-once daily sinks (the S10 pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source streaming read of the driver ``events`` table.
+
+    The parquet file carries TIMESTAMP(NANOS) (read as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``); converted to a micros
+    timestamp exactly as the batch loader does, so batch results are the
+    streaming oracle. At scale this is the 'incremental cache-append'
+    behavior of the reference (pipeline_helpers.py:333-375) — new files in
+    the lake path become new micro-batches.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The driver stores the table as a single FILE; the file-stream source
+    # requires a DIRECTORY (its basePath). Stage a link/copy into a scratch
+    # dir once per (process, sf_dir) — a test-harness shim only; a real lake
+    # path is already a directory of files, streamed as-is.
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"etl_spark_stream_{tag}")
+    staged = os.path.join(stage, "events.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(stage, exist_ok=True)
+        try:
+            os.link(path, staged)
+        except OSError:
+            shutil.copyfile(path, staged)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stage)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def windowed_agg(df: DataFrame, ts_col: str, window_len: str,
@@ -66,6 +107,33 @@ def sessionize_batch(df: DataFrame, entity_col: str, ts_col: str,
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream(df: DataFrame, entity_col: str, ts_col: str,
+                      gap_minutes: int = 30,
+                      watermark: str | None = "1 hour") -> DataFrame:
+    """Streaming-native sessionization via ``session_window`` (dynamic-gap
+    merging windows; state bounded by the watermark).
+
+    Session identity matches ``sessionize_batch`` (same gap rule); the
+    reported ``session_end`` differs by construction — ``session_window.end``
+    is last-event-ts + gap, the batch form reports the last event ts. Counts,
+    sums and starts are identical, which is what the equivalence test pins.
+    """
+    if df.isStreaming and watermark:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        df.groupBy(F.col(entity_col), win)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            entity_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_padded"),
+            "n_events", "sum_value",
         )
     )
 

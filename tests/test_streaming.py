@@ -1,0 +1,112 @@
+"""Structured Streaming tests (SURVEY.md §2.9): the batch plan is the oracle
+for the streaming plan over the same bounded data.
+
+Covers: file-source micro-batch read, tumbling-window agg with watermark,
+session_window sessionization vs the batch lag+cumsum form, and the
+foreachBatch idempotent daily-snapshot sink (S10 streaming analog).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.io import load_table, snapshot_exists
+from data_engineering_etl_pipeline_spark.streaming import (
+    run_stream_to_memory, sessionize_batch, sessionize_stream, stream_events,
+    windowed_agg)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_streaming_windowed_agg_matches_batch(spark):
+    """Tumbling 1h window + watermark on a stream == the same F.window agg on
+    the batch frame (complete mode flushes all windows on a bounded source)."""
+    stream = stream_events(spark, SF_DIR)
+    assert stream.isStreaming
+    agg = windowed_agg(stream, "ts", "1 hour", keys=["event_type"],
+                       watermark="2 hours")
+    run_stream_to_memory(agg, "win_agg_test", output_mode="complete")
+    got = spark.table("win_agg_test").select(
+        F.col("window.start").alias("ws"), "event_type", "n_events", "sum_value")
+
+    batch = load_table(spark, SF_DIR, "events")
+    want = windowed_agg(batch, "ts", "1 hour", keys=["event_type"]).select(
+        F.col("window.start").alias("ws"), "event_type", "n_events", "sum_value")
+
+    cols = ["ws", "event_type", "n_events", "sum_value"]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+    assert got.count() > 0
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """session_window sessions == batch lag+cumsum sessions on identity
+    (entity, start, n_events, sum_value); padded end == last event + gap."""
+    gap = 30
+    stream = stream_events(spark, SF_DIR)
+    sess = sessionize_stream(stream, "user_id", "ts", gap_minutes=gap,
+                             watermark="2 hours")
+    run_stream_to_memory(sess, "sess_test", output_mode="complete")
+    got = spark.table("sess_test")
+
+    batch = load_table(spark, SF_DIR, "events")
+    want = sessionize_batch(batch, "user_id", "ts", gap_minutes=gap).select(
+        "user_id", "session_start",
+        (F.col("session_end") + F.expr(f"INTERVAL {gap} MINUTES"))
+        .alias("session_end_padded"),
+        "n_events", "sum_value")
+
+    cols = ["user_id", "session_start", "session_end_padded", "n_events",
+            "sum_value"]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+    assert got.count() > 0
+
+
+def test_foreach_batch_idempotent_snapshot(spark, tmp_path):
+    """S10 streaming analog: foreachBatch + idempotent daily-snapshot write.
+    Re-running the stream over the same bounded source writes nothing new."""
+    from data_engineering_etl_pipeline_spark.io import write_daily_snapshot
+
+    root = str(tmp_path / "daily")
+    writes: list[bool] = []
+
+    def sink(batch_df, batch_id):
+        daily = (batch_df
+                 .withColumn("snapshot_date", F.to_date("ts"))
+                 .groupBy("snapshot_date", "event_type")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        writes.append(write_daily_snapshot(daily, root))
+
+    def run_once():
+        q = (stream_events(spark, SF_DIR)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    assert writes and writes[0] is True
+    first = spark.read.parquet(root)
+    n_first = first.count()
+    assert n_first > 0
+    some_date = first.select(F.col("snapshot_date").cast("string")).first()[0]
+    assert snapshot_exists(spark, root, some_date)
+
+    # Second pass over the same data: checkpoint makes it a no-op batch; even
+    # with a fresh checkpoint the sink itself refuses to rewrite existing days.
+    writes.clear()
+    q = (stream_events(spark, SF_DIR)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    assert all(w is False for w in writes)
+    assert spark.read.parquet(root).count() == n_first
