@@ -38,8 +38,13 @@ BENCH_QUERIES = [
     "doc_minhash_lsh",
     "doc_text_stats",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
     "supplier_bollinger",
     "supplier_ta_indicators",
+    "supplier_declarative_agg",
+    "precision_stability_audit",
+    "error_predictability_audit",
+    "hml_lag_compliance",
 ]
 
 

@@ -1,119 +1,292 @@
 """Similarity search over embedding columns (SURVEY.md §2.11).
 
-Baseline: brute-force cosine top-k — broadcast the (small) query set, dot
-products via ``zip_with``/``aggregate`` array expressions (JVM, codegen'd,
-no Python), window top-k per query. The scale path: LSH bucketing
-(random hyperplane signatures, Charikar 2002) so candidate pairs come from
-an equi-join on bucket signature instead of a full cross product; an IVF
-variant (k-means coarse quantizer via pyspark.ml) slots in the same shape.
+Baseline: brute-force cosine top-k — broadcast the (small) query set, fused
+array dot products (JVM, codegen'd, no Python), window top-k per query.
+Scale paths with the same scoring tail: random-hyperplane LSH buckets
+(Charikar 2002) and an IVF coarse quantizer (Faiss IVF-Flat layout as a
+DataFrame plan) — both turn neighbor search into an equi-join.
+
+Execution-model notes (learned the hard way, each measured at sf0.1):
+
+1. Spark's higher-order lambdas (``transform``/``aggregate``/``zip_with``)
+   and generator expressions (``explode`` children) run on the INTERPRETED
+   expression path — keep hot arithmetic OUT of them. A known-dim dot
+   product expanded to a flat ``F.get`` multiply-add chain is codegen'd and
+   ~10× faster.
+2. An expanded chain must only reference plain COLUMNS: composite operands
+   get their subtree duplicated into all ``dim`` terms.
+3. Catalyst re-inlines projections (filter pushdown substitutes aliases
+   unconditionally), so "materialize then filter on the composite column"
+   re-creates the O(dim²) per-row blowup. The design below never builds a
+   unit-vector array at all: it carries ``(cast_vec, inv_norm)`` and scores
+   ``dot(a,b)·inv_a·inv_b``. Centroid assignment and hyperplane signs are
+   scale-invariant, so they read the raw cast vector.
 """
 
 from __future__ import annotations
 
+import random
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+VECTOR_DIM = 64  # driver embeddings table dimension (TESTDATA.md)
 
-def _dot(a, b):
+
+def _dot(a, b, dim: int | None = VECTOR_DIM):
+    """Vector dot product as a column expression.
+
+    With a known ``dim``: a flat sum of ``F.get`` products — whole-stage
+    codegen fuses it (out-of-bounds yields null, not an ANSI error).
+    ``a``/``b`` MUST be plain column references (or one side literal-backed):
+    composite expressions are duplicated into every term. ``dim=None`` falls
+    back to the interpreted ``aggregate(zip_with(...))`` for variable-length
+    arrays (~10× slower)."""
+    if dim:
+        terms = [F.get(a, i) * F.get(b, i) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+def _norm(a, dim: int | None = VECTOR_DIM):
+    return F.sqrt(_dot(a, a, dim))
 
 
-def with_unit_norm(df: DataFrame, vec_col: str = "embedding",
-                   out_col: str = "unit_vec") -> DataFrame:
-    """Pre-normalize vectors (cast float→double once) so cosine = dot."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    n = _norm(v)
-    return df.withColumn(out_col, F.when(n > 0, F.transform(v, lambda x: x / n)))
+def with_vec_inv(df: DataFrame, vec_col: str, vec_out: str, inv_out: str,
+                 dim: int = VECTOR_DIM) -> DataFrame:
+    """Stage ``(double-cast vector, 1/L2-norm)`` columns. ``inv`` is null for
+    zero vectors, so their cosines are null and sort after every real score.
+    No unit-vector array is materialized (see module notes #3)."""
+    staged = df.withColumn(
+        vec_out, F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    n = _norm(F.col(vec_out), dim)
+    return staged.withColumn(inv_out, F.when(n > 0, F.lit(1.0) / n))
+
+
+def _cosine(va, vb, ia, ib, dim: int) -> "F.Column":
+    return F.round(_dot(va, vb, dim) * ia * ib, 6)
+
+
+def _topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> DataFrame:
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank"))
 
 
 def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                dim: int = VECTOR_DIM) -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the k nearest base
     vectors (excluding itself when ids collide).
 
     ``queries`` is expected small → broadcast nested-loop join streams the
-    base side once; per-row cost is one fused array dot product. Output:
-    (query_id, vec_id, cosine, rank) with deterministic tiebreak on vec_id.
+    base side once; per-row cost is one fused multiply-add chain. Output:
+    (query_id, vec_id, cosine, rank), deterministic tiebreak on vec_id.
     """
-    b = with_unit_norm(base, vec_col, "unit_b").select(
-        F.col(id_col), F.col("unit_b"))
-    q = with_unit_norm(queries, vec_col, "unit_q").select(
-        F.col(query_id_col), F.col("unit_q"))
+    b = with_vec_inv(base, vec_col, "vb", "ib", dim).select(
+        F.col(id_col), "vb", "ib")
+    q = with_vec_inv(queries, vec_col, "vq", "iq", dim).select(
+        F.col(query_id_col), "vq", "iq")
     scored = (
         b.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", F.round(_dot(F.col("unit_b"), F.col("unit_q")), 6))
+        .withColumn("cosine", _cosine(F.col("vb"), F.col("vq"),
+                                      F.col("ib"), F.col("iq"), dim))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _topk(scored, query_id_col, id_col, k)
+
+
+def _plane_sign_bits(v, seed: int, n_planes: int, dim: int):
+    """Signature long: bit i = sign(v·plane_i), planes seeded-Gaussian.
+    Scalar-literal multiply-add chains — codegen'd, scale-invariant."""
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    sig = None
+    for i, p in enumerate(planes):
+        d = F.get(v, 0) * float(p[0])
+        for j in range(1, dim):
+            d = d + F.get(v, j) * float(p[j])
+        bit = F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)) \
+               .otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sig
 
 
 def hyperplane_lsh_buckets(df: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding", n_planes: int = 16,
-                           seed: int = 42, dim: int = 64) -> DataFrame:
+                           seed: int = 42, dim: int = VECTOR_DIM) -> DataFrame:
     """Random-hyperplane LSH signature per vector: bit i = sign(v·r_i).
 
     Vectors sharing a signature are cosine-similar with high probability;
     near-neighbor search becomes a groupBy/equi-join on ``bucket`` — the
-    100 TB-safe candidate generator (no cross product). Multiple tables
-    (different seeds) trade recall for cost.
-    """
-    import random
+    100 TB-safe candidate generator (no cross product)."""
+    staged = df.withColumn(
+        "__hpv", F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    sig = _plane_sign_bits(F.col("__hpv"), seed, n_planes, dim)
+    return staged.select(F.col(id_col), sig.alias("bucket"))
 
-    rnd = random.Random(seed)
-    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(c) for c in p])
-        bits.append(F.when(_dot(v, plane) >= 0,
-                           F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return df.select(F.col(id_col), sig.alias("bucket"))
+
+def _multi_table_buckets(df: DataFrame, id_col: str, vec_col: str,
+                         n_planes: int, n_tables: int, dim: int) -> DataFrame:
+    """(id, table, bucket) for all LSH tables in ONE scan, via an
+    Arrow-vectorized pandas UDF: one numpy matmul per batch computes every
+    plane dot for every table (a (batch × dim) @ (dim × planes·tables) BLAS
+    call). The pure-expression alternative (n_tables × n_planes × dim
+    multiply-add chains) is correct but Janino-compile-bound: ~2 s per extra
+    table per stage at dim=64 — compile cost, not data cost. Map-only either
+    way; this keeps it constant-time in the plan."""
+    planes = []
+    for t in range(n_tables):
+        rnd = random.Random(100 + t)
+        planes.append([[rnd.gauss(0.0, 1.0) for _ in range(dim)]
+                       for _ in range(n_planes)])
+    pmat = np.asarray(planes, dtype=np.float64).reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def sigs(emb: pd.Series) -> pd.Series:
+        m = np.vstack([
+            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+            for v in emb
+        ])
+        d = m @ pmat.T                                   # n × (tables·planes)
+        bits = (d >= 0).reshape(len(m), n_tables, n_planes)
+        sig = (bits * weights).sum(axis=2)               # n × tables
+        return pd.Series(list(sig))
+
+    tagged = df.select(F.col(id_col), sigs(F.col(vec_col)).alias("__sigs"))
+    return (tagged.select(
+        F.col(id_col),
+        F.posexplode(F.col("__sigs")).alias("table", "bucket")))
 
 
 def lsh_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", n_planes: int = 8,
-                    n_tables: int = 4, dim: int = 64) -> DataFrame:
+                    n_tables: int = 4, dim: int = VECTOR_DIM) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates = base vectors sharing any
     table's bucket with the query, then exact cosine rank on candidates.
 
     With b bits/table and t tables, expected candidate fraction ≈
     t·2^(−b)·(collision skew) — the knob for the recall/cost tradeoff.
     """
-    cands = None
-    for t in range(n_tables):
-        bb = hyperplane_lsh_buckets(base, id_col, vec_col, n_planes, seed=100 + t, dim=dim)
-        qb = hyperplane_lsh_buckets(queries, query_id_col, vec_col, n_planes, seed=100 + t, dim=dim)
-        c = bb.join(F.broadcast(qb.withColumnRenamed("bucket", "qbucket")),
-                    bb["bucket"] == F.col("qbucket")).select(id_col, query_id_col)
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
-    b = with_unit_norm(base, vec_col, "unit_b").select(F.col(id_col), "unit_b")
-    q = with_unit_norm(queries, vec_col, "unit_q").select(F.col(query_id_col), "unit_q")
+    bb = _multi_table_buckets(base, id_col, vec_col, n_planes, n_tables, dim)
+    qb = _multi_table_buckets(queries, query_id_col, vec_col, n_planes,
+                              n_tables, dim)
+    cands = (bb.join(F.broadcast(qb), ["table", "bucket"])
+             .select(id_col, query_id_col).distinct())
+    b = with_vec_inv(base, vec_col, "vb", "ib", dim).select(
+        F.col(id_col), "vb", "ib")
+    q = with_vec_inv(queries, vec_col, "vq", "iq", dim).select(
+        F.col(query_id_col), "vq", "iq")
     scored = (
         cands.join(b, id_col).join(F.broadcast(q), query_id_col)
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", F.round(_dot(F.col("unit_b"), F.col("unit_q")), 6))
+        .withColumn("cosine", _cosine(F.col("vb"), F.col("vq"),
+                                      F.col("ib"), F.col("iq"), dim))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+    return _topk(scored, query_id_col, id_col, k)
+
+
+def fit_ivf_centroids(base: DataFrame, vec_col: str = "embedding",
+                      n_centroids: int = 16, seed: int = 42,
+                      max_iter: int = 8, sample_size: int = 100_000,
+                      dim: int = VECTOR_DIM) -> list[list[float]]:
+    """IVF coarse quantizer: seeded Lloyd's k-means over a bounded SAMPLE of
+    vectors, normalized and iterated driver-side in numpy.
+
+    This is the Faiss training recipe: a codebook is KB-scale and needs only
+    a corpus sample, so at 100 TB the cluster's job is just the (cheap,
+    pushed-down) sample scan — a distributed iterative fit would launch
+    max_iter full jobs to compute the same few KB."""
+    sample = (with_vec_inv(base, vec_col, "vb", "ib", dim)
+              .select("vb", "ib").limit(sample_size).toPandas())
+    rows = [list(v) * 1 for v, inv in zip(sample["vb"], sample["ib"])
+            if v is not None and inv is not None]
+    invs = [float(inv) for v, inv in zip(sample["vb"], sample["ib"])
+            if v is not None and inv is not None]
+    x = np.asarray(rows, dtype=np.float64) * np.asarray(invs)[:, None]
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(max_iter):
+        # unit sphere: nearest centroid = max dot product
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return [list(map(float, c)) for c in cent]
+
+
+def _nearest_centroids(df: DataFrame, id_col: str, vec_col: str,
+                       centroids: list[list[float]], nprobe: int) -> DataFrame:
+    """Top-``nprobe`` centroid ids per vector by dot product — the vector
+    need NOT be normalized (positive scaling preserves the ranking), so this
+    reads the raw vector column. Map-only Arrow-vectorized pandas UDF: one
+    (batch × dim) @ codebookᵀ matmul + stable argsort per batch (same
+    compile-cost rationale as _multi_table_buckets). No shuffle — assignment
+    stays embarrassingly parallel over a 100 TB scan."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    dim = cmat.shape[1]
+    npb = min(nprobe, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def probe(emb: pd.Series) -> pd.Series:
+        m = np.vstack([
+            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+            for v in emb
+        ])
+        d = m @ cmat.T
+        # stable sort: equal dots break toward the lower cid, deterministic
+        idx = np.argsort(-d, axis=1, kind="stable")[:, :npb].astype(np.int32)
+        return pd.Series(list(idx))
+
+    tagged = df.select(F.col(id_col), probe(F.col(vec_col)).alias("__cids"))
+    return tagged.select(F.col(id_col),
+                         F.explode(F.col("__cids")).alias("cid"))
+
+
+def ivf_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", n_centroids: int = 16,
+                    nprobe: int = 4, seed: int = 42,
+                    dim: int = VECTOR_DIM) -> DataFrame:
+    """IVF approximate top-k: k-means codebook → each base vector lives in
+    its nearest centroid's inverted list; each query probes its ``nprobe``
+    nearest lists; exact cosine ranks only those candidates.
+
+    The scale shape: assignment is a map-only pass (codebook as folded
+    literals), the candidate join is an equi-join on ``cid``, and expected
+    scan fraction ≈ nprobe/n_centroids of the corpus. Recall rises with
+    nprobe (= brute force at nprobe=n_centroids)."""
+    centroids = fit_ivf_centroids(base, vec_col, n_centroids, seed, dim=dim)
+    b = with_vec_inv(base, vec_col, "vb", "ib", dim).select(
+        F.col(id_col), "vb", "ib")
+    q = with_vec_inv(queries, vec_col, "vq", "iq", dim).select(
+        F.col(query_id_col), "vq", "iq")
+    b_assign = _nearest_centroids(b.select(id_col, "vb"), id_col, "vb",
+                                  centroids, nprobe=1)
+    q_probe = _nearest_centroids(q.select(query_id_col, "vq"), query_id_col,
+                                 "vq", centroids, nprobe=nprobe)
+    cands = (b_assign.join(F.broadcast(q_probe), "cid")
+             .select(id_col, query_id_col))
+    scored = (
+        cands.join(b, id_col).join(F.broadcast(q), query_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", _cosine(F.col("vb"), F.col("vq"),
+                                      F.col("ib"), F.col("iq"), dim))
     )
+    return _topk(scored, query_id_col, id_col, k)

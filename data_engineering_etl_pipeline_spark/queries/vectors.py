@@ -8,7 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extensions.similarity import cosine_topk, lsh_cosine_topk, with_unit_norm, _dot
+from ..extensions.similarity import (_dot, cosine_topk, ivf_cosine_topk,
+                                     lsh_cosine_topk)
 from ..io import load_table
 from . import register
 
@@ -19,17 +20,17 @@ from . import register
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings
-    ), unit AS (
-      SELECT vec_id,
-             list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve))) AS u
+    ), n AS (
+      SELECT vec_id, ve,
+             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+                  THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
       FROM v
-      WHERE sqrt(list_dot_product(ve, ve)) > 0
     ), q AS (
-      SELECT vec_id AS query_id, u AS qu FROM unit WHERE vec_id < 10
+      SELECT vec_id AS query_id, ve AS qe, inv AS qinv FROM n WHERE vec_id < 10
     ), scored AS (
       SELECT q.query_id, b.vec_id,
-             ROUND(list_dot_product(b.u, q.qu), 6) AS cosine
-      FROM unit b CROSS JOIN q
+             ROUND(list_dot_product(b.ve, q.qe) * b.inv * q.qinv, 6) AS cosine
+      FROM n b CROSS JOIN q
       WHERE b.vec_id <> q.query_id
     )
     SELECT query_id, vec_id, cosine, rank FROM (
@@ -65,6 +66,19 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, q, k=5, n_planes=8, n_tables=4, dim=64)
 
 
+@register("embedding_ivf_topk")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF (16-centroid k-means codebook, nprobe=4):
+    broadcast-codebook assignment, inverted-list equi-join, exact cosine on
+    ~nprobe/n_centroids of the corpus. Rows-only check — recall measured
+    against brute force in tests (Faiss IVF-Flat layout as a DataFrame
+    plan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_cosine_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+
+
 @register(
     "embedding_label_stats",
     oracle="""
@@ -83,7 +97,10 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column profiling: per-label vector counts, mean L2 norm, and
     first-dimension extrema — the fused-array-expression (no UDF) pattern."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # materialize the cast array before the expanded dot (see _dot CAUTION)
+    emb = emb.withColumn(
+        "__v", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    v = F.col("__v")
     norm = F.sqrt(_dot(v, v))
     return (
         emb.select("label", norm.alias("nrm"),

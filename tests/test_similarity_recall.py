@@ -1,0 +1,84 @@
+"""Recall checks for the approximate similarity paths (SURVEY.md §2.11).
+
+The driver's embeddings are near-uniform random 64-dim vectors — they have
+NO neighbor structure, so any sublinear index has provably poor recall on
+them (for cos≈0.4 pairs, 8-bit hyperplane LSH collides with p≈0.63⁸≈2.5%).
+The meaningful contract is recall on data WITH structure: plant near-dup
+queries (small deterministic perturbations of base vectors, cosine ≈ 0.99)
+and require the index to recover the planted source. Brute-force exactness
+is separately pinned by the DuckDB oracle in test_queries_oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.extensions.similarity import (
+    cosine_topk, ivf_cosine_topk, lsh_cosine_topk)
+from data_engineering_etl_pipeline_spark.io import load_table
+from .conftest import SF_DIR
+
+K = 5
+N_QUERIES = 20
+NOISE = 0.15  # relative perturbation -> cosine ~0.99 to the source
+
+
+def _planted(spark):
+    """(base, queries, {query_id: planted source vec_id}) with deterministic
+    perturbed copies of every 7th base vector as queries."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sample = (emb.filter(F.col("vec_id") % 7 == 0)
+              .orderBy("vec_id").limit(N_QUERIES)
+              .select("vec_id", "embedding").collect())
+    rows, truth = [], {}
+    for i, r in enumerate(sample):
+        rnd = random.Random(1000 + r.vec_id)
+        v = [float(x) for x in r.embedding]
+        scale = max(sum(x * x for x in v) ** 0.5, 1e-12) / len(v) ** 0.5
+        q = [x + NOISE * scale * rnd.gauss(0, 1) for x in v]
+        qid = 100000 + i
+        rows.append((qid, q))
+        truth[qid] = r.vec_id
+    queries = spark.createDataFrame(rows, "query_id long, embedding array<double>")
+    return emb, queries, truth
+
+
+def _hits(df, truth):
+    found = {(r.query_id, r.vec_id) for r in df.collect()}
+    return sum((qid, src) in found for qid, src in truth.items()) / len(truth)
+
+
+def test_brute_force_finds_planted(spark):
+    emb, q, truth = _planted(spark)
+    top = cosine_topk(emb, q, k=1)
+    # the perturbed copy's nearest neighbor IS the source, at rank 1
+    assert _hits(top, truth) == 1.0
+
+
+def test_lsh_recall_on_planted(spark):
+    emb, q, truth = _planted(spark)
+    approx = lsh_cosine_topk(emb, q, k=K, n_planes=8, n_tables=4, dim=64)
+    # cos≈0.99 ⇒ per-bit collision ≈ 1-angle/pi ≈ 0.955, per-table 0.955⁸≈0.69,
+    # miss probability over 4 tables ≈ (1-0.69)⁴ ≈ 1% per query
+    assert _hits(approx, truth) >= 0.8
+
+
+def test_ivf_recall_on_planted(spark):
+    emb, q, truth = _planted(spark)
+    approx = ivf_cosine_topk(emb, q, k=K, n_centroids=16, nprobe=4)
+    # a cos≈0.99 neighbor is near-certainly within the query's top-4 cells
+    assert _hits(approx, truth) >= 0.8
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe = n_centroids degenerates to exact search — identical pairs to
+    brute force (the IVF partition of the corpus is exhaustive)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=K).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in ivf_cosine_topk(emb, q, k=K, n_centroids=8, nprobe=8).collect()}
+    assert approx == exact
