@@ -30,5 +30,5 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-from . import (analytics, core, events, joins, quality, scalars,  # noqa: E402
-               tech, text, vectors)  # noqa: F401
+from . import (analytics, core, events, joins, pipeline, quality,  # noqa: E402
+               scalars, tech, text, vectors)  # noqa: F401

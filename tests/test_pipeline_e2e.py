@@ -1,0 +1,89 @@
+"""E2 end-to-end pipeline test (SURVEY.md §3 E2): the Spark chain's cells are
+recomputed independently in pandas from the SAME deterministic fetcher — a
+Python oracle where no SQL one can exist (the source is a connector, not a
+table).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.queries.pipeline import (
+    CANONICAL_MAP, COINS, N_DAYS, UNIVERSE_N, market_history_pipeline)
+from data_engineering_etl_pipeline_spark.sources import (_EPOCH_DAY0,
+                                                         synthetic_fetch)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return market_history_pipeline(spark, "unused").toPandas()
+
+
+def _pandas_world() -> pd.DataFrame:
+    rows = []
+    for c in COINS:
+        rows.extend(synthetic_fetch(c, _EPOCH_DAY0, N_DAYS))
+    df = pd.DataFrame(rows, columns=["coin_id", "day", "price", "volume",
+                                     "market_cap"])
+    df["canonical_id"] = df["coin_id"].map(CANONICAL_MAP).fillna(df["coin_id"])
+    df["month"] = df["day"].map(lambda d: d.replace(day=1))
+    return df
+
+
+def test_pipeline_shape_and_membership(result):
+    assert set(result.columns) == {"canonical_id", "month", "day", "price",
+                                   "volume", "n_members"}
+    assert len(result) > 0
+    # per month at most UNIVERSE_N canonical ids
+    per_month = result.groupby("month")["canonical_id"].nunique()
+    assert (per_month <= UNIVERSE_N).all()
+    # PIT: no row may carry a day after its month cutoff
+    assert (result["day"] <= result["month"]).all()
+    # alt coins are always folded away
+    assert not set(result["canonical_id"]) & set(CANONICAL_MAP)
+
+
+def test_pipeline_cells_match_python_oracle(result):
+    world = _pandas_world()
+
+    # oracle universe: monthly top-N canonical ids by avg of daily summed mcap
+    daily = (world.groupby(["canonical_id", "day"], as_index=False)
+             .agg(mcap=("market_cap", "sum")))
+    daily["month"] = daily["day"].map(lambda d: d.replace(day=1))
+    monthly = (daily.groupby(["month", "canonical_id"], as_index=False)
+               .agg(agg_value=("mcap", "mean")))
+    monthly["agg_value"] = monthly["agg_value"].round(4)
+    monthly["rank"] = (monthly.sort_values(
+        ["month", "agg_value", "canonical_id"],
+        ascending=[True, False, True])
+        .groupby("month").cumcount() + 1)
+    top = monthly[monthly["rank"] <= UNIVERSE_N][["month", "canonical_id"]]
+    # PIT: a month survives only if any member data exists up to its cutoff
+    # (the first calendar month's 1st precedes all data, so it drops)
+    top = top[top["month"] > world["day"].min()]
+
+    got_members = set(map(tuple, result[["month", "canonical_id"]]
+                          .drop_duplicates().itertuples(index=False)))
+    want_members = set(map(tuple, top.itertuples(index=False)))
+    assert got_members == want_members
+
+    # canonical btc on a specific day inside a member month: volume sums
+    # btc + btc_alt; price comes from the native (btc) member
+    some = result[(result["canonical_id"] == "btc")].iloc[0]
+    day = some["day"]
+    w = world[(world["canonical_id"] == "btc") & (world["day"] == day)]
+    assert some["volume"] == pytest.approx(round(w["volume"].sum(), 2))
+    native_price = w.loc[w["coin_id"] == "btc", "price"].iloc[0]
+    assert some["price"] == pytest.approx(round(native_price, 6))
+    assert some["n_members"] == len(w)
+
+
+def test_pipeline_n_members_counts_alt_coins(result):
+    # btc/eth have an alt member (2), sol/ada/dot/link do not (1)
+    mx = result.groupby("canonical_id")["n_members"].max().to_dict()
+    for cid, n in mx.items():
+        assert n == (2 if cid in {"btc", "eth"} else 1)
