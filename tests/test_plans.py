@@ -1,0 +1,86 @@
+"""Physical-plan contracts: the scale properties SURVEY.md §4 promises, pinned
+as tests so a regression in join strategy, pushdown, or shuffle count fails
+CI — "would this plan survive a 100× scale-up" encoded as assertions.
+
+Counts come from ``explain("formatted")``: shuffle exchanges exclude
+broadcast exchanges; "pushed" means a non-empty PushedFilters at the parquet
+scan node.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from data_engineering_etl_pipeline_spark.queries import QUERIES
+from .conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def shuffles(plan: str) -> int:
+    return sum(1 for line in plan.splitlines()
+               if line.strip().startswith("(") and "Exchange" in line
+               and "Broadcast" not in line)
+
+
+def pushed_filters(plan: str) -> int:
+    return sum(1 for line in plan.splitlines()
+               if "PushedFilters: [" in line and "PushedFilters: []" not in line)
+
+
+def test_region_revenue_broadcasts_all_dims(spark):
+    """4-way dim join chain: every join must broadcast (dims are small at any
+    SF), zero sort-merge joins, and the only shuffle is the final agg."""
+    p = plan_of(spark, "region_revenue")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert p.count("SortMergeJoin") == 0
+    assert shuffles(p) == 1
+    assert pushed_filters(p) >= 1
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    """The shipdate predicate must reach the parquet scan (row-group
+    pruning), and the agg is one partial+final shuffle."""
+    p = plan_of(spark, "pricing_summary")
+    assert pushed_filters(p) >= 1
+    assert shuffles(p) == 1
+
+
+def test_pit_universe_join_broadcasts_universe(spark):
+    """The PIT theta-join must broadcast the (tiny) universe side — a
+    shuffle-based range join here would move the whole fact table."""
+    p = plan_of(spark, "pit_universe_history")
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 1
+    assert p.count("SortMergeJoin") == 0
+
+
+@pytest.mark.parametrize("name", [
+    "canonical_part_agg",       # A1: ONE hash aggregate, no per-group Python
+    "daily_share_and_rank",     # W2+W8 share one per-date exchange
+    "rolling_price_stats",      # W5-W7 share one per-entity exchange
+    "hml_factor",               # A10: percent_rank + conditional agg, one exchange
+    "doc_exact_dedup",          # exact dedup = one hash-groupBy
+    "supplier_declarative_agg", # A2: max_by carries order through partial aggs
+])
+def test_single_shuffle_operators(spark, name):
+    """Operators whose whole point is 'one shuffle, no Python in the hot
+    path' — catch silent plan regressions (an extra exchange at 100 TB is
+    the difference between one pass and two)."""
+    p = plan_of(spark, name)
+    assert shuffles(p) == 1, f"{name} grew extra shuffles:\n{p}"
+
+
+def test_monthly_top_customers_two_shuffles(spark):
+    """Flagship: agg shuffle on (month, custkey) + window shuffle on month —
+    the minimum for this shape (SURVEY §7.2)."""
+    p = plan_of(spark, "monthly_top_customers")
+    assert shuffles(p) <= 2
