@@ -1,0 +1,78 @@
+"""Scale toolkit (SURVEY.md §4 physical-execution notes): skew salting and
+bucketed co-located joins.
+
+The reference never needs these (single-node pandas); at 100 TB they are the
+difference between a plan that finishes and one that stalls on one hot task:
+
+- **Salted join** — when one join key dominates (a hot asset, an empty-string
+  id), the matching shuffle partition gets all its rows. AQE's skew-join
+  splitting handles sort-merge joins automatically; the explicit salt is for
+  the cases AQE can't rewrite (aggregation-like joins, deterministic
+  repartitioning needs) and for engines/configs without AQE.
+- **Two-stage (salted) aggregation** — plain sums/counts already combine
+  map-side, so salting buys nothing; it matters for aggregates WITHOUT a
+  partial form, e.g. exact ``collect_set``/``count_distinct`` over a skewed
+  key: stage 1 dedups/aggregates per (key, salt), stage 2 merges per key.
+- **Bucketed tables** — pre-shuffle both sides of a recurring join ONCE at
+  write time (`bucketBy` on the join key); every later join on that key is
+  exchange-free. The 100 TB pattern for fact×fact joins that recur nightly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join robust to a skewed ``key`` distribution on ``big``.
+
+    ``big`` rows get a deterministic salt from their full row hash; the
+    small side is replicated once per salt (explode over a literal range —
+    its size multiplies by ``n_salts``, so keep it for genuinely small/dim
+    sides). The join key becomes (key, salt): the hot key's rows now spread
+    over ``n_salts`` shuffle partitions. Result equals the plain join.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt)
+    small_s = skewed_small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = big_s.join(small_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_distinct_count(df: DataFrame, key_cols: Sequence[str],
+                          value_col: str, n_salts: int = 16) -> DataFrame:
+    """Exact distinct count per key, two-stage: stage 1 dedups
+    ``(key, salt(value), value)`` — the hot key's distinct-set builds across
+    ``n_salts`` partitions — stage 2 sums per key. Equal to
+    ``countDistinct`` per key; unlike it, no single reducer ever holds a hot
+    key's whole value set.
+    """
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    stage1 = (df.select(*key_cols, F.col(value_col), salt.alias("__salt"))
+              .distinct()
+              .groupBy(*key_cols, "__salt")
+              .agg(F.count(F.lit(1)).alias("__partial")))
+    return (stage1.groupBy(*key_cols)
+            .agg(F.sum("__partial").alias(f"n_distinct_{value_col}")))
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 8,
+                   sort_col: str | None = None) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table —
+    the write-once pre-shuffle. Joins between tables bucketed the same way
+    on the same key need no exchange (and no sort, if sorted)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1,0 +1,69 @@
+"""Scale-toolkit tests: salted join / salted distinct-count must EQUAL their
+plain forms (salting is a physical rewrite, not a semantic one), and joins
+between co-bucketed tables must plan without a shuffle exchange.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.io import load_table
+from data_engineering_etl_pipeline_spark.scale import (read_table,
+                                                       salted_distinct_count,
+                                                       salted_join,
+                                                       write_bucketed)
+from .conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity")
+    supp = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    plain = li.join(supp, "l_suppkey")
+    salted = salted_join(li, supp, "l_suppkey", n_salts=8)
+    cols = ["l_suppkey", "l_orderkey", "l_quantity", "s_name"]
+    assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_salted_distinct_count_equals_count_distinct(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    plain = (li.groupBy("l_suppkey")
+             .agg(F.countDistinct("l_orderkey").alias("n_distinct_l_orderkey")))
+    salted = salted_distinct_count(li, ["l_suppkey"], "l_orderkey", n_salts=8)
+    cols = ["l_suppkey", "n_distinct_l_orderkey"]
+    assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    # managed tables land in ./spark-warehouse (gitignored); warehouse.dir
+    # is a static conf and the session is shared across the suite
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(li, "b_lineitem", "o_orderkey", n_buckets=4)
+
+    joined = read_table(spark, "b_orders").join(
+        read_table(spark, "b_lineitem"), "o_orderkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    shuffle_lines = [l for l in plan.splitlines()
+                     if l.strip().startswith("(") and "Exchange" in l
+                     and "Broadcast" not in l]
+    assert not shuffle_lines, plan
+    # and it still computes the right thing
+    n = joined.count()
+    want = orders.join(li, "o_orderkey").count()
+    assert n == want
