@@ -5,6 +5,7 @@ language-ID heuristic, document fingerprinting. All pure column expressions
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -101,3 +102,30 @@ def rolling_fingerprint(text: str | Column, mod: int = 1_000_000_007,
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def rolling_fingerprint_udf(text: str | Column, mod: int = 1_000_000_007,
+                            base: int = 31) -> Column:
+    """Same recurrence as :func:`rolling_fingerprint`, as an Arrow pandas UDF.
+
+    The column-expression form indexes the string per character inside an
+    interpreted ``aggregate`` — O(len²) byte scanning per document (substring
+    is O(i) on UTF8 bytes), which melts on book-length docs. This form is
+    O(len) per doc and exactly integer-equal (Python ``ord`` ==
+    Spark/DuckDB codepoint semantics), so the same DuckDB oracle verifies
+    both. Use this one in pipelines; keep the expression form for pure-SQL
+    contexts.
+    """
+    @F.pandas_udf("long")
+    def poly(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = 0
+            if t is not None:
+                for ch in t:
+                    h = (h * base + ord(ch)) % mod
+            out.append(h)
+        return pd.Series(out, dtype="int64")
+
+    t = F.col(text) if isinstance(text, str) else text
+    return poly(t)

@@ -86,3 +86,15 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", "feat_dim", "decode_ok",
         F.round(F.element_at("feat", 1), 6).alias("feat0"),
     )
+
+
+@register("media_frame_sample")
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 video frame-sampling plumbing: per-video frame-index explosion
+    with bounded fan-out (every_n stride) — the row shape a real
+    ffmpeg-backed sampler fills in. Rows-only check; the unit test pins the
+    exact fan-out arithmetic."""
+    from ..extensions.multimodal import frame_sample_plan, make_fake_media
+
+    media = make_fake_media(spark, n=64)
+    return frame_sample_plan(media, every_n=10)

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 from ..extensions.dedup import (exact_dedup_groups, minhash_lsh_pairs,
                                 ngram_jaccard_pairs, simhash64)
 from ..extensions.text_stats import (TOKEN_PATTERN, predict_lang,
-                                     quality_score, token_count_regex, tokens)
+                                     quality_score, rolling_fingerprint_udf,
+                                     token_count_regex, tokens)
 from ..io import load_table
 from . import register
 
@@ -127,9 +128,9 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlining the split into every consumer re-runs the regex per reference).
     docs = docs.select("doc_id", "text", tokens("text").alias("__toks"))
     t = F.col("__toks")
-    fingerprint = F.expr(
-        "aggregate(sequence(1, length(text)), 0L, "
-        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)")
+    # O(len)/doc Arrow form; integer-equal to the oracle's list_reduce
+    # recurrence (the pure-expression twin is rolling_fingerprint — O(len²))
+    fingerprint = rolling_fingerprint_udf("text")
     avg_len = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0).cast("long"),
         lambda acc, x: acc + x).cast("double") / F.size(t)

@@ -134,6 +134,19 @@ def test_multimodal_plumbing(spark):
     assert all(abs(sum(f) - 1.0) < 1e-9 for f in feats["feat"])
 
 
+def test_multimodal_frame_sample_fanout(spark):
+    from data_engineering_etl_pipeline_spark.extensions.multimodal import (
+        frame_sample_plan)
+
+    media = make_fake_media(spark, n=12)  # 4 videos (every 3rd row), 30 frames
+    plan = frame_sample_plan(media, every_n=10).toPandas()
+    n_videos = media.filter("kind = 'video'").count()
+    assert n_videos == 4
+    # stride 10 over 30 frames -> indices {0, 10, 20} per video
+    assert len(plan) == n_videos * 3
+    assert set(plan["frame_idx"]) == {0, 10, 20}
+
+
 def test_multimodal_decode_stub_raises(spark):
     media = make_fake_media(spark, n=3)
     with pytest.raises(Exception):
