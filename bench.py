@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "precision_stability_audit",
     "error_predictability_audit",
     "hml_lag_compliance",
+    "sql_nation_revenue",
+    "market_history_pipeline",
 ]
 
 

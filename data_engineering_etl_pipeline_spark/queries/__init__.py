@@ -31,4 +31,4 @@ def register(name: str, oracle: str | None = None):
 
 
 from . import (analytics, core, events, joins, pipeline, quality,  # noqa: E402
-               scalars, tech, text, vectors)  # noqa: F401
+               scalars, sqlq, tech, text, vectors)  # noqa: F401

@@ -20,6 +20,8 @@ difference between a plan that finishes and one that stalls on one hot task:
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +70,15 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     """Persist ``df`` as a bucketed (and optionally sorted) managed table —
     the write-once pre-shuffle. Joins between tables bucketed the same way
     on the same key need no exchange (and no sort, if sorted)."""
+    spark = df.sparkSession
+    # a previous session may have left the managed location behind while the
+    # (in-memory) catalog forgot the table — clear both, else saveAsTable
+    # fails with LOCATION_ALREADY_EXISTS
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(warehouse.removeprefix("file:"), table)
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
