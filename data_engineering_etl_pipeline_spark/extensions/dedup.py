@@ -173,6 +173,46 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (member_id, cluster_id)
+    with cluster_id = min member id. The step production dedup needs after
+    pair generation: each cluster keeps one representative.
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round, a node adopts the minimum label in its neighborhood
+    (including itself); stop when no label changes (checked with one count
+    per round) or after ``max_iter`` rounds. Convergence is bounded by
+    component diameter — near-dup clusters are shallow (dozens of docs), so
+    a handful of rounds; each round is one shuffle join + one groupBy.
+    At a 100 TB corpus the pair list is the small relation here (near-dups
+    are rare) — this never touches the full corpus.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct().cache())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).cache())
+    for _ in range(max_iter):
+        neigh_min = (edges.join(labels, edges["dst"] == labels["node"])
+                     .groupBy("src").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neigh_min,
+                                  labels["node"] == neigh_min["src"], "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"), F.col("label")))
+                              .alias("label")).cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (Charikar): sign-sum of token-hash bits.

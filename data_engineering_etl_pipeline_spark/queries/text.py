@@ -10,8 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extensions.dedup import (exact_dedup_groups, minhash_lsh_pairs,
-                                ngram_jaccard_pairs, simhash64)
+from ..extensions.dedup import (dedup_clusters, exact_dedup_groups,
+                                minhash_lsh_pairs, ngram_jaccard_pairs,
+                                simhash64)
 from ..extensions.text_stats import (TOKEN_PATTERN, predict_lang,
                                      quality_score, rolling_fingerprint_udf,
                                      token_count_regex, tokens)
@@ -89,6 +90,18 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3,
                              num_perm=64, bands=32, threshold=0.8)
+
+
+@register("doc_dedup_clusters")
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: trigram-Jaccard pairs (≥0.5) → connected
+    components by min-label propagation → one keeper per cluster. The
+    post-pair step of a production dedup pipeline. Rows-only check (iterative
+    propagation has no single-SQL twin); the unit test diffs against a
+    driver-side union-find."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(pairs)
 
 
 @register("doc_simhash")

@@ -1,0 +1,64 @@
+"""dedup_clusters (connected components by min-label propagation) vs a
+driver-side union-find oracle, on synthetic graphs and on the real
+trigram-Jaccard pairs of the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.extensions.dedup import (
+    dedup_clusters, ngram_jaccard_pairs)
+from data_engineering_etl_pipeline_spark.io import load_table
+from .conftest import SF_DIR
+
+
+def union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edge_list):
+    df = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {r.member_id: r.cluster_id
+           for r in dedup_clusters(df).collect()}
+    assert got == union_find(edge_list)
+
+
+def test_clusters_chain_and_star(spark):
+    # chain 1-2-3-4-5 (diameter > 1 round), star 10-(11,12,13), isolated pair
+    _check(spark, [(1, 2), (2, 3), (3, 4), (4, 5),
+                   (10, 11), (10, 12), (10, 13),
+                   (20, 21)])
+
+
+def test_clusters_two_components_merge_order(spark):
+    # two chains that meet through a late edge — exercises propagation
+    # across the junction, labels must flow to the global min
+    _check(spark, [(5, 6), (6, 7), (1, 2), (2, 3), (3, 7)])
+
+
+def test_clusters_on_real_pairs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edges, "expected near-dup pairs in the test corpus"
+    got = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == union_find(edges)
+    # representative is the min id of its cluster
+    assert all(c <= m for m, c in got.items())
