@@ -61,15 +61,26 @@ def main() -> int:
     for t in ("lineitem", "orders"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
+    def run_one(name: str) -> float:
+        t0 = time.time()
+        # Force full execution of every operator without collecting rows to
+        # the driver: a noop sink materializes the whole result.
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    # Two passes: pass 1 warms codegen/JIT/Python workers (untimed); pass 2
+    # is the steady-state measurement. clearCache between queries and
+    # passes so no query is timed against another's (or its own warmup's)
+    # persisted intermediates — warm code, cold data.
+    skip_warmup = os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP") == "1"
+    if not skip_warmup:
+        for name in BENCH_QUERIES:
+            run_one(name)
+            spark.catalog.clearCache()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # Force full execution of every operator without collecting rows to
-        # the driver: count over the materialized result.
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        times[name] = run_one(name)
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
