@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "quality_gate_summary",
     "user_sessions",
     "hourly_event_windows",
+    "sliding_event_windows",
     "doc_exact_dedup",
     "doc_ngram_jaccard",
     "doc_minhash_lsh",

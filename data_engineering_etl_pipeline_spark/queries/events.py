@@ -36,6 +36,39 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_event_windows",
+    oracle="""
+    WITH grid AS (
+      SELECT ts, value,
+             date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS cell
+      FROM events
+    ), assigned AS (
+      SELECT u.ws AS window_start, value
+      FROM grid, UNNEST([cell, cell - INTERVAL 30 MINUTE]) AS u(ws)
+      WHERE ts >= u.ws AND ts < u.ws + INTERVAL 60 MINUTE
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 30 min slide): every event
+    lands in length/slide = 2 windows. ``F.window(ts, '1 hour', '30
+    minutes')`` explodes to the same assignment the oracle builds explicitly
+    from the 30-minute grid — and the identical expression runs on a
+    watermarked stream (§2.9)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = windowed_agg(ev, "ts", "1 hour", slide="30 minutes")
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        "n_events", "sum_value",
+    )
+
+
+@register(
     "user_sessions",
     oracle="""
     WITH flagged AS (
