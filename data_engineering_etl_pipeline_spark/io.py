@@ -43,8 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos long and
     is converted here to a microsecond timestamp (truncation — the same
-    thing DuckDB's reader does, so oracle parity holds).
+    thing DuckDB's reader does, so oracle parity holds). The conf is set at
+    read time (it is a runtime-settable SQL conf) so the loader works in ANY
+    session, not just ones built by :func:`session.get_spark`.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -36,6 +36,8 @@ def stream_events(spark: SparkSession, sf_dir: str,
     the lake path become new micro-batches.
     """
     path = os.path.join(sf_dir, "events.parquet")
+    # Runtime-set so the read works in any session (see io.load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # The driver stores the table as a single FILE; the file-stream source
     # requires a DIRECTORY (its basePath). Stage a link/copy into a scratch

@@ -64,9 +64,16 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from data_engineering_etl_pipeline_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("verify_driver")
+    # DRIVER PARITY: the round driver builds its own vanilla SparkSession —
+    # deliberately NOT session.get_spark() — so any query that silently
+    # depends on a get_spark()-only conf fails here the same way it fails
+    # in the driver (this exact gap hid the r1 events/NANOS bug).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("verify_driver").getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
 
     # --- smoke ---
     t0 = time.time()
