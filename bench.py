@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "supplier_bollinger",
     "supplier_ta_indicators",
+    "supplier_feature_matrix",
     "supplier_declarative_agg",
     "precision_stability_audit",
     "error_predictability_audit",

@@ -30,5 +30,5 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-from . import (analytics, core, events, joins, pipeline, quality,  # noqa: E402
-               scalars, sqlq, tech, text, vectors)  # noqa: F401
+from . import (analytics, core, events, features, joins, pipeline,  # noqa: E402
+               quality, scalars, sqlq, tech, text, vectors)  # noqa: F401

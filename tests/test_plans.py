@@ -79,6 +79,18 @@ def test_single_shuffle_operators(spark, name):
     assert shuffles(p) == 1, f"{name} grew extra shuffles:\n{p}"
 
 
+def test_feature_matrix_three_shuffles_two_sorts(spark):
+    """E3 composed pipeline: panel agg + entity window family + cross-date
+    window family = exactly 3 shuffles; all entity features (5 lags, 4
+    rolling z/std, Bollinger width) must share ONE sort (a per-feature sort
+    would be SURVEY §3 E3's repeated-exchange anti-pattern)."""
+    p = plan_of(spark, "supplier_feature_matrix")
+    assert shuffles(p) == 3, f"feature matrix grew extra shuffles:\n{p}"
+    sorts = sum(1 for line in p.splitlines()
+                if line.strip().startswith("(") and " Sort " in line)
+    assert sorts <= 2, f"entity window family split into multiple sorts:\n{p}"
+
+
 def test_monthly_top_customers_two_shuffles(spark):
     """Flagship: agg shuffle on (month, custkey) + window shuffle on month —
     the minimum for this shape (SURVEY §7.2)."""
