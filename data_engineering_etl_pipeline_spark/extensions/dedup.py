@@ -62,25 +62,38 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+def _df_capped_index(sh: DataFrame, id_col: str, max_df: int | None) -> DataFrame:
+    """Inverted-index pruning: drop shingles whose document frequency exceeds
+    ``max_df`` from the CANDIDATE-GENERATION index (verification still uses
+    the full shingle sets, so surviving pairs keep their exact Jaccard).
 
-    Plan: explode distinct shingles → self-equi-join on shingle (inverted
-    index) → per-pair intersection counts → |A∪B| = |A|+|B|−|A∩B|.
-    The join is an equi-join on the shingle key, so Catalyst shuffles both
-    sides by shingle — no cross product. Hot shingles (stopword n-grams) are
-    the skew risk at 100 TB: mitigate by dropping shingles with document
-    frequency above a cap before the join (standard inverted-index pruning).
+    This is the 100 TB skew guard: a stopword trigram appearing in k docs
+    contributes k² rows to the self-join — one corpus-wide boilerplate
+    shingle would otherwise dominate the whole job. The trade-off (standard
+    inverted-index practice) is that a pair sharing ONLY hot shingles is
+    never considered; for near-dup thresholds that pair is boilerplate
+    overlap, not duplication.
     """
-    sh = word_shingles(docs, id_col, text_col, n).cache()
+    if max_df is None:
+        return sh
+    hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+           .filter(F.col("__df") > max_df).select("shingle"))
+    # left_anti on the (small) hot list; Catalyst broadcasts it.
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _verify_pairs(sh: DataFrame, id_col: str, candidates: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs only: intersection counts via the
+    full shingle relation restricted to candidate ids, then
+    |A∪B| = |A|+|B|−|A∩B|. Shared by the ngram and LSH paths — at scale the
+    candidate list is tiny relative to the corpus, so this join never sees
+    non-candidate docs."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -95,6 +108,32 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = 10000) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan: explode distinct shingles → DF-cap prune (``_df_capped_index``) →
+    self-equi-join on shingle (inverted index) → distinct candidate pairs →
+    exact verification on candidates against the FULL shingle sets. The join
+    is an equi-join on the shingle key, so Catalyst shuffles both sides by
+    shingle — no cross product — and the DF cap bounds the per-shingle k²
+    pair fan-out that stopword n-grams would otherwise create at 100 TB.
+    """
+    sh = word_shingles(docs, id_col, text_col, n).cache()
+    index = _df_capped_index(sh, id_col, max_df)
+    a = index.select(F.col(id_col).alias("id_a"), "shingle")
+    b = index.select(F.col(id_col).alias("id_b"), "shingle")
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs(sh, id_col, candidates, threshold)
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str, num_perm: int = 64,
@@ -151,26 +190,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact verification on candidates only.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sz_a, "id_a").join(sz_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter")
-                    / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # Exact verification on candidates only (shared with the ngram path).
+    return _verify_pairs(sh, id_col, candidates, threshold)
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
@@ -206,6 +227,10 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                    .filter(F.col("n.label") != F.col("o.label")).count())
+        # the count above materialized new_labels' cache — the superseded
+        # round's labels are dead weight; free them so long propagation runs
+        # hold at most two label snapshots in memory.
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
