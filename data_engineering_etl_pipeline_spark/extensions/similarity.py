@@ -207,9 +207,19 @@ def fit_ivf_centroids(base: DataFrame, vec_col: str = "embedding",
     This is the Faiss training recipe: a codebook is KB-scale and needs only
     a corpus sample, so at 100 TB the cluster's job is just the (cheap,
     pushed-down) sample scan — a distributed iterative fit would launch
-    max_iter full jobs to compute the same few KB."""
-    sample = (with_vec_inv(base, vec_col, "vb", "ib", dim)
-              .select("vb", "ib").limit(sample_size).toPandas())
+    max_iter full jobs to compute the same few KB.
+
+    The sample is a seeded Bernoulli draw over the WHOLE corpus — ``limit``
+    would take the first partitions in scan order, training the codebook on
+    one file's distribution (arrival-time / source skew at scale). The
+    ``count()`` sizing pass is parquet-metadata-cheap; the 1.25 oversample
+    covers Bernoulli variance before the final ``limit`` trim."""
+    prepped = with_vec_inv(base, vec_col, "vb", "ib", dim).select("vb", "ib")
+    n_rows = prepped.count()
+    frac = min(1.0, (sample_size * 1.25) / max(n_rows, 1))
+    if frac < 1.0:
+        prepped = prepped.sample(withReplacement=False, fraction=frac, seed=seed)
+    sample = prepped.limit(sample_size).toPandas()
     rows = [list(v) * 1 for v, inv in zip(sample["vb"], sample["ib"])
             if v is not None and inv is not None]
     invs = [float(inv) for v, inv in zip(sample["vb"], sample["ib"])
