@@ -89,9 +89,15 @@ def agg_dict(df: DataFrame, keys: Sequence[str], rules: dict[str, str],
         elif rule == "max":
             e = F.max(c)
         elif rule == "last":
-            e = F.max_by(c, F.col(order_col)) if order_col else F.last(c, ignorenulls=True)
+            # max_by over an order key nulled-out for null values: pandas
+            # GroupBy 'last' SKIPS NaN, so the pick must be "last row whose
+            # value is non-null", not "value at the last row" (which may be
+            # null). Rows with a NULL ordering never win max_by/min_by.
+            e = (F.max_by(c, F.when(c.isNotNull(), F.col(order_col)))
+                 if order_col else F.last(c, ignorenulls=True))
         elif rule == "first":
-            e = F.min_by(c, F.col(order_col)) if order_col else F.first(c, ignorenulls=True)
+            e = (F.min_by(c, F.when(c.isNotNull(), F.col(order_col)))
+                 if order_col else F.first(c, ignorenulls=True))
         else:
             raise ValueError(f"unsupported agg rule {rule!r}")
         exprs.append(e.alias(col))
@@ -100,7 +106,10 @@ def agg_dict(df: DataFrame, keys: Sequence[str], rules: dict[str, str],
 
 def violation_loss(df: DataFrame, violation: Column) -> DataFrame:
     """A6 boolean-sum + loss fraction (reference: data_quality_gate.py:57,101-106)
-    as a single-pass aggregate: total rows, violating rows, loss percent."""
+    as a single-pass aggregate: total rows, violating rows, loss percent.
+    NULL predicate values (null inputs to a comparison) count as
+    non-violations — pandas parity, where NaN comparisons are False."""
+    violation = F.coalesce(violation, F.lit(False))
     return df.agg(
         F.count(F.lit(1)).alias("total_rows"),
         F.sum(violation.cast("long")).alias("violation_rows"),

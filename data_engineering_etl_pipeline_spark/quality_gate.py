@@ -51,6 +51,11 @@ def apply_gate(df: DataFrame,
     validate_schema(df, required)
     df = standardize_precision(df, price_cols, decimals)
     cond = ohlc_violation() if violation is None else violation
+    # Null-price rows make the raw predicate NULL: sum(cast) would not count
+    # them but filter(~cond) would silently DROP them — rows vanishing
+    # without contributing to the breaker's loss percentage. Normalize to
+    # False (pandas parity: NaN comparisons are False, rows are kept).
+    cond = F.coalesce(cond, F.lit(False))
     stats = df.agg(
         F.count(F.lit(1)).alias("total"),
         F.sum(cond.cast("long")).alias("bad"),
@@ -66,7 +71,9 @@ def apply_gate(df: DataFrame,
 def gate_report(df: DataFrame, violation: Column,
                 max_loss_pct: float = DEFAULT_MAX_LOSS_PCT) -> DataFrame:
     """Single-row gate summary (total/violations/loss%/would-trip) as a
-    DataFrame — the queryable form of the breaker decision."""
+    DataFrame — the queryable form of the breaker decision. NULL predicate
+    values count as non-violations (same normalization as apply_gate)."""
+    violation = F.coalesce(violation, F.lit(False))
     return df.agg(
         F.count(F.lit(1)).alias("total_rows"),
         F.sum(violation.cast("long")).alias("violation_rows"),

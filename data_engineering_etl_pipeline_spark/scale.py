@@ -36,8 +36,17 @@ def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
     small side is replicated once per salt (explode over a literal range —
     its size multiplies by ``n_salts``, so keep it for genuinely small/dim
     sides). The join key becomes (key, salt): the hot key's rows now spread
-    over ``n_salts`` shuffle partitions. Result equals the plain join.
+    over ``n_salts`` shuffle partitions. Result equals the plain join —
+    ONLY for join types where unmatched small-side rows don't surface:
+    'right'/'outer' would emit each unmatched small-side row once per salt
+    replica (n_salts duplicate null-padded rows), so they are rejected.
     """
+    allowed = ("inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {allowed}; {how!r} would duplicate "
+            f"unmatched replicated-side rows once per salt")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_s = big.withColumn("__salt", salt)
     small_s = skewed_small.withColumn(
@@ -53,13 +62,15 @@ def salted_distinct_count(df: DataFrame, key_cols: Sequence[str],
     ``(key, salt(value), value)`` — the hot key's distinct-set builds across
     ``n_salts`` partitions — stage 2 sums per key. Equal to
     ``countDistinct`` per key; unlike it, no single reducer ever holds a hot
-    key's whole value set.
+    key's whole value set. Stage 1 counts with null-skipping ``count(col)``
+    so NULL values are ignored (``countDistinct`` parity) while keys whose
+    values are ALL null still surface with count 0 rather than vanishing.
     """
     salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
     stage1 = (df.select(*key_cols, F.col(value_col), salt.alias("__salt"))
               .distinct()
               .groupBy(*key_cols, "__salt")
-              .agg(F.count(F.lit(1)).alias("__partial")))
+              .agg(F.count(F.col(value_col)).alias("__partial")))
     return (stage1.groupBy(*key_cols)
             .agg(F.sum("__partial").alias(f"n_distinct_{value_col}")))
 

@@ -151,3 +151,39 @@ def test_multimodal_decode_stub_raises(spark):
     media = make_fake_media(spark, n=3)
     with pytest.raises(Exception):
         extract_features(media, fake_decode=False).collect()
+
+
+def test_gate_null_prices_kept_not_counted(spark):
+    """NULL-price rows make the violation predicate NULL: they must be KEPT
+    by the filter and NOT counted as violations (pandas parity — NaN
+    comparisons are False), instead of silently vanishing from the output
+    without registering in the breaker's loss percentage."""
+    from data_engineering_etl_pipeline_spark.quality_gate import gate_report
+    from data_engineering_etl_pipeline_spark.relational import ohlc_violation
+
+    df = spark.createDataFrame(
+        [(3.0, 2.0, 5.0)] * 8 + [(9.0, 2.0, 5.0)] * 2      # 2 real violations
+        + [(None, 2.0, 5.0), (3.0, None, 5.0)],             # 2 null-price rows
+        "close double, low double, high double")
+    cleaned = apply_gate(df, required=["close"], price_cols=["close"],
+                         max_loss_pct=50.0)
+    assert cleaned.count() == 10  # 8 clean + 2 null-price kept, 2 dropped
+    rep = gate_report(df, ohlc_violation(), max_loss_pct=50.0).collect()[0]
+    assert rep["total_rows"] == 12 and rep["violation_rows"] == 2
+
+
+def test_agg_dict_last_first_skip_nulls(spark):
+    """pandas GroupBy 'last'/'first' skip NaN: a group whose last row holds
+    a null must yield the last NON-NULL value, not null."""
+    from data_engineering_etl_pipeline_spark.aggregates import agg_dict
+
+    df = spark.createDataFrame(
+        [(1, 1, None, 10.0), (1, 2, 7.0, None), (1, 3, None, None),
+         (2, 1, None, None)],
+        "k long, ord long, v double, w double")
+    out = {r["k"]: r for r in
+           agg_dict(df, ["k"], {"v": "last", "w": "first"},
+                    order_col="ord").collect()}
+    assert out[1]["v"] == 7.0       # last non-null, not the null at ord=3
+    assert out[1]["w"] == 10.0      # first non-null at ord=1
+    assert out[2]["v"] is None and out[2]["w"] is None  # all-null group

@@ -67,3 +67,22 @@ def test_bucketed_join_is_shuffle_free(spark):
     n = joined.count()
     want = orders.join(li, "o_orderkey").count()
     assert n == want
+
+
+def test_salted_join_rejects_replicating_join_types(spark):
+    li = load_table(spark, SF_DIR, "lineitem").limit(10)
+    supp = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    for how in ("right", "outer", "full"):
+        with pytest.raises(ValueError, match="salt"):
+            salted_join(li, supp, "l_suppkey", n_salts=4, how=how)
+
+
+def test_salted_distinct_count_ignores_nulls(spark):
+    """countDistinct ignores NULLs; the salted two-stage form must too."""
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, None), (2, None), (3, "c"), (3, "c")],
+        "k long, v string")
+    plain = (df.groupBy("k").agg(F.countDistinct("v").alias("n_distinct_v")))
+    salted = salted_distinct_count(df, ["k"], "v", n_salts=4)
+    assert _rows(salted, ["k", "n_distinct_v"]) == _rows(plain, ["k", "n_distinct_v"])
