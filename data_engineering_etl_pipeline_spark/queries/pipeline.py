@@ -78,3 +78,17 @@ def market_history_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price", 6).alias("price"),
         F.round("volume", 2).alias("volume"),
         "n_members")
+
+
+@register("live_world_refresh")
+def live_world_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 live re-snapshot (reference live_data_pipeline.py:100-137): the
+    whole-world recompute — latest-day top-N universe → members' full
+    history → canonical aggregation → snapshot-date stamp. ``sf_dir``
+    unused (connector-sourced, like market_history_pipeline); rows-only
+    check, the overwrite-idempotency behavior is pinned in
+    tests/test_live_refresh.py."""
+    from ..live import live_world
+
+    return live_world(spark, COINS, n_days=60, top_n=UNIVERSE_N,
+                      canonical_map=CANONICAL_MAP)

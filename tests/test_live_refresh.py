@@ -1,0 +1,63 @@
+"""Live whole-world re-snapshot (reference live_data_pipeline.py:100-137):
+each run recomputes the world from current state and overwrites only its
+snapshot-date partition — re-runs are content-identical no-ops, and when the
+world moves on (new data, universe membership changes) the new run lands in
+its own partition leaving history intact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.live import (live_world,
+                                                      refresh_world_snapshot)
+
+COINS = ["btc", "btc_alt", "eth", "sol", "ada", "dot"]
+CMAP = {"btc_alt": "btc"}
+
+
+def _read_sorted(spark, root):
+    return sorted(map(tuple, spark.read.parquet(root)
+                      .select("snapshot_date", "canonical_id", "day",
+                              "price", "volume", "n_members")
+                      .collect()))
+
+
+def test_refresh_is_idempotent_and_partition_scoped(spark, tmp_path):
+    root = os.path.join(str(tmp_path), "world")
+
+    w1 = refresh_world_snapshot(spark, root, COINS, n_days=10, top_n=3,
+                                canonical_map=CMAP)
+    first = _read_sorted(spark, root)
+    assert first and w1.count() == len(first)
+    # exactly one snapshot partition, stamped with the latest ingested day
+    dates = {r[0] for r in first}
+    assert len(dates) == 1
+
+    # rerun with unchanged world state: content-identical, no duplicates
+    refresh_world_snapshot(spark, root, COINS, n_days=10, top_n=3,
+                           canonical_map=CMAP)
+    assert _read_sorted(spark, root) == first
+
+    # the world moves on (more days ingested): a NEW partition appears,
+    # the old one survives byte-for-byte
+    refresh_world_snapshot(spark, root, COINS, n_days=12, top_n=3,
+                           canonical_map=CMAP)
+    both = _read_sorted(spark, root)
+    assert {r[0] for r in both} > dates
+    assert [r for r in both if r[0] in dates] == first
+
+
+def test_live_world_universe_is_latest_day_topn(spark):
+    """The universe must be decided by the LATEST day's market caps only:
+    every canonical id in the world is one of the top-N on that day, and
+    the alt listing folds into its canonical id before ranking."""
+    w = live_world(spark, COINS, n_days=8, top_n=3, canonical_map=CMAP)
+    ids = {r.canonical_id for r in w.select("canonical_id").distinct().collect()}
+    assert len(ids) == 3
+    assert "btc_alt" not in ids  # canonicalized before universe ranking
+    # membership spans full history, not just the latest day
+    days = w.groupBy("canonical_id").agg(F.countDistinct("day").alias("d")).collect()
+    assert all(r.d == 8 for r in days)
