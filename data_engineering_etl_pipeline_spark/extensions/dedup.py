@@ -86,7 +86,8 @@ def _verify_pairs(sh: DataFrame, id_col: str, candidates: DataFrame,
                   threshold: float) -> DataFrame:
     """Exact Jaccard over candidate pairs only: intersection counts via the
     full shingle relation restricted to candidate ids, then
-    |A∪B| = |A|+|B|−|A∩B|. Shared by the ngram and LSH paths — at scale the
+    |A∪B| = |A|+|B|−|A∩B|. Used by the LSH path, whose banding produces
+    false-positive candidates that need exact verification — at scale the
     candidate list is tiny relative to the corpus, so this join never sees
     non-candidate docs."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
@@ -116,24 +117,62 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         max_df: int | None = 10000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Plan: explode distinct shingles → DF-cap prune (``_df_capped_index``) →
-    self-equi-join on shingle (inverted index) → distinct candidate pairs →
-    exact verification on candidates against the FULL shingle sets. The join
-    is an equi-join on the shingle key, so Catalyst shuffles both sides by
-    shingle — no cross product — and the DF cap bounds the per-shingle k²
-    pair fan-out that stopword n-grams would otherwise create at 100 TB.
+    Plan: explode distinct shingles → flag hot shingles (document frequency
+    > ``max_df``, broadcast of the small hot list) → self-equi-join ONLY the
+    sub-cap index (the DF cap bounds the per-shingle k² pair fan-out that
+    stopword n-grams create at 100 TB) → per-pair intersection counts → add
+    back each pair's EXACT hot-shingle overlap via per-doc hot sets carried
+    on the (already needed) per-doc stats relation. One pass over the
+    corpus, exact Jaccard for every emitted pair; the only approximation is
+    that a pair sharing NOTHING BUT hot shingles is never emitted
+    (boilerplate-only overlap — the documented inverted-index trade-off).
+
+    Per-doc hot sets are tiny (≤ |hot list| 64-bit hashes each) and ride the
+    same id-keyed join as the set sizes, so exactness costs no extra
+    shuffle of the full shingle relation.
     """
-    sh = word_shingles(docs, id_col, text_col, n).cache()
-    index = _df_capped_index(sh, id_col, max_df)
+    sh = word_shingles(docs, id_col, text_col, n)
+    if max_df is None:
+        flagged = sh.withColumn("__hot", F.lit(None).cast("int"))
+    else:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > max_df)
+               .select("shingle", F.lit(1).alias("__hot")))
+        flagged = sh.join(F.broadcast(hot), "shingle", "left")
+    flagged = flagged.cache()
+
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("set_size"),
+        F.array_sort(F.collect_set(
+            F.when(F.col("__hot").isNotNull(), F.xxhash64("shingle"))))
+        .alias("hot_set"),
+    )
+    index = flagged.filter(F.col("__hot").isNull())
     a = index.select(F.col(id_col).alias("id_a"), "shingle")
     b = index.select(F.col(id_col).alias("id_b"), "shingle")
-    candidates = (
+    inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_cold"))
     )
-    return _verify_pairs(sh, id_col, candidates, threshold)
+    st_a = stats.select(F.col(id_col).alias("id_a"),
+                        F.col("set_size").alias("size_a"),
+                        F.col("hot_set").alias("hot_a"))
+    st_b = stats.select(F.col(id_col).alias("id_b"),
+                        F.col("set_size").alias("size_b"),
+                        F.col("hot_set").alias("hot_b"))
+    n_inter = (F.col("n_cold")
+               + F.size(F.array_intersect(F.col("hot_a"), F.col("hot_b"))))
+    return (
+        inter.join(st_a, "id_a").join(st_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(n_inter
+                    / (F.col("size_a") + F.col("size_b") - n_inter), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str, num_perm: int = 64,
