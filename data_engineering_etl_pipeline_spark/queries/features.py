@@ -93,6 +93,9 @@ SELECT suppkey, ship_date,
        ROUND(bb_width, 6) AS bb_width,
        ROW_NUMBER() OVER (PARTITION BY ship_date
                           ORDER BY mcap DESC, suppkey) AS mcap_rank,
+       ROUND(RANK() OVER (PARTITION BY ship_date ORDER BY mcap DESC)
+             + (COUNT(*) OVER (PARTITION BY ship_date, mcap) - 1) / 2.0,
+             1) AS mcap_rank_avg,
        ROUND(mcap / SUM(mcap) OVER (PARTITION BY ship_date), 6) AS dominance_pct
 FROM feat
 """
@@ -140,6 +143,13 @@ def supplier_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wc = w_cross("ship_date")
     rank_w = Window.partitionBy("ship_date").orderBy(F.desc("mcap"), "suppkey")
+    # pandas rank(method='average') exactly: min-rank + (ties-1)/2 — the
+    # reference's mcap_rank_daily semantics (create_market_structure_factors
+    # :115-118), closing the W2 'average-rank deviation' note.
+    min_rank_w = Window.partitionBy("ship_date").orderBy(F.desc("mcap"))
+    ties_w = Window.partitionBy("ship_date", "mcap")
+    mcap_rank_avg = (F.rank().over(min_rank_w)
+                     + (F.count(F.lit(1)).over(ties_w) - 1) / 2.0)
     return feat.select(
         "suppkey", "ship_date",
         F.round("close", 4).alias("close"),
@@ -154,5 +164,6 @@ def supplier_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vol_z30", 6).alias("vol_z30"),
         F.round("bb_width", 6).alias("bb_width"),
         F.row_number().over(rank_w).alias("mcap_rank"),
+        F.round(mcap_rank_avg, 1).alias("mcap_rank_avg"),
         F.round(dominance_share("mcap", wc), 6).alias("dominance_pct"),
     )

@@ -92,13 +92,34 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              num_perm=64, bands=32, threshold=0.8)
 
 
-@register("doc_dedup_clusters")
+_CLUSTERS_ORACLE = _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1) + """
+    , jac AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM jac
+      UNION
+      SELECT id_b AS s, id_a AS d FROM jac
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS member_id, LEAST(s, MIN(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """
+
+
+@register("doc_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: trigram-Jaccard pairs (≥0.5) → connected
     components by min-label propagation → one keeper per cluster. The
-    post-pair step of a production dedup pipeline. Rows-only check (iterative
-    propagation has no single-SQL twin); the unit test diffs against a
-    driver-side union-find."""
+    post-pair step of a production dedup pipeline. Oracle: recursive
+    transitive closure over the same pair graph (cluster id = min reachable
+    id) — the closure is tiny because near-dup components are; the unit test
+    additionally diffs against a driver-side union-find."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return dedup_clusters(pairs)
