@@ -149,3 +149,65 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.countDistinct("event_type").alias("n_types"))
     b = o.agg(F.countDistinct("o_custkey").alias("n_active_customers"))
     return a.crossJoin(b)
+
+
+# Recursive-CTE twin of the streaming_macd fold (same double-division
+# constants and op order — see queries/tech.py oracle notes on why literal
+# decimals are 1 ulp off). Restricted to (user, ts)-unique rows so both
+# engines sort identically.
+_MACD_ORACLE = """
+WITH RECURSIVE uniq AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           COUNT(*) OVER (PARTITION BY user_id, ts) AS c
+    FROM events) WHERE c = 1
+),
+base AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS close,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM uniq
+),
+rec AS (
+  SELECT user_id, rn, ts, close,
+         close AS ema12, close AS ema26, CAST(0.0 AS DOUBLE) AS sig
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.ts, b.close,
+    (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/13) * r.ema12
+      + (CAST(2 AS DOUBLE)/13) * b.close,
+    (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/27) * r.ema26
+      + (CAST(2 AS DOUBLE)/27) * b.close,
+    (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/10) * r.sig
+      + (CAST(2 AS DOUBLE)/10)
+        * (((CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/13) * r.ema12
+             + (CAST(2 AS DOUBLE)/13) * b.close)
+           - ((CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/27) * r.ema26
+              + (CAST(2 AS DOUBLE)/27) * b.close))
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, ts, ROUND(close, 6) AS value,
+       ROUND(ema12 - ema26, 6) AS macd,
+       ROUND(sig, 6) AS macd_signal
+FROM rec
+"""
+
+
+@register("user_value_macd", oracle=_MACD_ORACLE)
+def user_value_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 custom stateful operator, batch-checkable form: the
+    streaming_macd fold (incremental EMA state per user via
+    applyInPandasWithState; streaming.py) run over the bounded events
+    table. Oracle: recursive CTE stepping the identical recurrence.
+    Cross-batch state continuity is pinned in tests/test_streaming.py."""
+    from ..streaming import streaming_macd
+
+    ev = load_table(spark, sf_dir, "events")
+    uniq = (ev.groupBy("user_id", "ts").count().filter("count = 1")
+            .select("user_id", "ts"))
+    ev = ev.join(uniq, ["user_id", "ts"]).select("user_id", "ts", "value")
+    out = streaming_macd(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id", "ts",
+        F.round("value", 6).alias("value"),
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"))

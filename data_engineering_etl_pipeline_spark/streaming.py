@@ -140,6 +140,76 @@ def sessionize_stream(df: DataFrame, entity_col: str, ts_col: str,
     )
 
 
+def streaming_macd(df: DataFrame, entity_col: str, ts_col: str,
+                   close_col: str) -> DataFrame:
+    """Custom stateful operator (§2.9/§2.10): incremental MACD(12,26,9) per
+    entity across micro-batches via ``applyInPandasWithState``.
+
+    EMA recurrences carry infinite-memory per-entity state, which no
+    built-in streaming aggregate expresses — THE case for the custom-state
+    escape hatch. State = (ema12, ema26, signal) three doubles per entity;
+    each micro-batch folds its (event-time-sorted) rows through the same
+    constants and op order as the batch kernel (ta.py), so the batch
+    ``ta_features`` output is the streaming oracle. Late rows arriving in a
+    later batch than their timestamp would fold late (state is a running
+    fold, not a reorder buffer) — same caveat as any incremental indicator
+    feed; the bounded-source tests feed time-ordered batches.
+
+    Works on a batch DataFrame too (one "batch", empty initial state), so
+    batch results double as the single-batch streaming check.
+    """
+    import pandas as pd
+
+    a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+    ent_type = dict(df.dtypes)[entity_col]
+    out_schema = (f"`{entity_col}` {ent_type}, `{ts_col}` timestamp, "
+                  f"`{close_col}` double, macd double, macd_signal double")
+    state_schema = "ema12 double, ema26 double, sig double"
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            e12, e26, sig = state.get
+        else:
+            e12 = e26 = sig = None
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        macds, sigs = [], []
+        for c in rows[close_col].astype(float):
+            if e12 is None:
+                e12 = e26 = c
+                sig = 0.0
+            else:
+                e12 = (1 - a12) * e12 + a12 * c
+                e26 = (1 - a26) * e26 + a26 * c
+                sig = (1 - a9) * sig + a9 * (e12 - e26)
+            macds.append(e12 - e26)
+            sigs.append(sig)
+        state.update((float(e12), float(e26), float(sig)))
+        out = rows[[entity_col, ts_col, close_col]].copy()
+        out[close_col] = out[close_col].astype(float)
+        out["macd"] = macds
+        out["macd_signal"] = sigs
+        yield out
+
+    if df.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return (df.select(entity_col, ts_col, close_col)
+                .groupBy(entity_col)
+                .applyInPandasWithState(fold, out_schema, state_schema,
+                                        "append",
+                                        GroupStateTimeout.NoTimeout))
+
+    # batch twin: same fold, trivial state object
+    class _BatchState:
+        exists = False
+        def update(self, v):  # noqa: D401 - state sink only
+            self.exists = True
+    def run(pdf):
+        return next(fold(None, iter([pdf]), _BatchState()))
+    return (df.select(entity_col, ts_col, close_col)
+            .groupBy(entity_col).applyInPandas(run, out_schema))
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "append"):
     """Drive a (bounded-source) streaming DataFrame to completion into an

@@ -110,3 +110,75 @@ def test_foreach_batch_idempotent_snapshot(spark, tmp_path):
     q.stop()
     assert all(w is False for w in writes)
     assert spark.read.parquet(root).count() == n_first
+
+
+def test_streaming_macd_single_batch_matches_kernel(spark):
+    """The stateful incremental MACD on a batch frame must equal the batch
+    TA kernel (same constants, same op order) — per (user, ts)-unique rows
+    so tie order can't differ between the two sort paths."""
+    from data_engineering_etl_pipeline_spark.streaming import streaming_macd
+    from data_engineering_etl_pipeline_spark.ta import ta_features
+
+    ev = load_table(spark, SF_DIR, "events")
+    uniq = (ev.groupBy("user_id", "ts").count().filter("count = 1")
+            .select("user_id", "ts"))
+    ev = ev.join(uniq, ["user_id", "ts"]).select("user_id", "ts", "value")
+
+    got = streaming_macd(ev, "user_id", "ts", "value").select(
+        "user_id", "ts", F.round("macd", 9).alias("m"),
+        F.round("macd_signal", 9).alias("s"))
+    want = ta_features(ev, "user_id", ["ts"], "value").select(
+        "user_id", "ts", F.round("macd", 9).alias("m"),
+        F.round("macd_signal", 9).alias("s"))
+    cols = ["user_id", "ts", "m", "s"]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+    assert got.count() > 0
+
+
+def test_streaming_macd_state_spans_batches(spark, tmp_path):
+    """Cross-batch state: two time-sliced files processed as two
+    micro-batches must produce the SAME per-event MACD as one batch over
+    the full history — i.e. the EMA state survives the batch boundary."""
+    import os
+    import time as _time
+
+    from data_engineering_etl_pipeline_spark.streaming import streaming_macd
+
+    ev = load_table(spark, SF_DIR, "events")
+    uniq = (ev.groupBy("user_id", "ts").count().filter("count = 1")
+            .select("user_id", "ts"))
+    ev = ev.join(uniq, ["user_id", "ts"]).select("user_id", "ts", "value")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+
+    stage = str(tmp_path / "sliced")
+    os.makedirs(stage)
+    for i, part in enumerate([ev.filter(F.col("ts") <= F.lit(cut)),
+                              ev.filter(F.col("ts") > F.lit(cut))]):
+        tmp_out = str(tmp_path / f"part{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        src = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"{i:02d}.parquet")
+        os.rename(os.path.join(tmp_out, src), dst)
+        # file-stream source orders by modification time: force batch order
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = ev.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    out = streaming_macd(stream, "user_id", "ts", "value")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("macd_state_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    q.stop()
+    got = spark.table("macd_state_test").select(
+        "user_id", "ts", F.round("macd", 9).alias("m"),
+        F.round("macd_signal", 9).alias("s"))
+
+    want = streaming_macd(ev, "user_id", "ts", "value").select(
+        "user_id", "ts", F.round("macd", 9).alias("m"),
+        F.round("macd_signal", 9).alias("s"))
+    cols = ["user_id", "ts", "m", "s"]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+    assert got.count() > 0
