@@ -105,6 +105,46 @@ def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, query_id_col, id_col, k)
 
 
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          dim: int = VECTOR_DIM,
+                          bucket_signatures: DataFrame | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine ≥
+    threshold) — the semantic-dedup member of the §2.11 dedup family
+    (exact / n-gram / MinHash / SimHash / embedding-cosine).
+
+    Default plan is the exact all-pairs form (theta self-join with the
+    fused codegen'd dot chain) — correct at benchmark scale and the oracle
+    shape. At 100 TB pass ``bucket_signatures`` (e.g. from
+    ``hyperplane_lsh_buckets``, one row per (id, sig)): pairs are then only
+    scored within equal-signature buckets — an equi-join candidate
+    generator with exact verification, same recall trade-off as the
+    banded-LSH text path.
+    """
+    v = with_vec_inv(df, vec_col, "v", "i", dim)
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                 F.col("i").alias("ia"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                 F.col("i").alias("ib"))
+    if bucket_signatures is not None:
+        sig_col = [c for c in bucket_signatures.columns if c != id_col][0]
+        sa = bucket_signatures.select(F.col(id_col).alias("id_a"),
+                                      F.col(sig_col).alias("__sig"))
+        sb = bucket_signatures.select(F.col(id_col).alias("id_b"),
+                                      F.col(sig_col).alias("__sig"))
+        cand = (sa.join(sb, "__sig").filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (pairs
+            .withColumn("cosine", _cosine(F.col("va"), F.col("vb"),
+                                          F.col("ia"), F.col("ib"), dim))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def _plane_sign_bits(v, seed: int, n_planes: int, dim: int):
     """Signature long: bit i = sign(v·plane_i), planes seeded-Gaussian.
     Scalar-literal multiply-add chains — codegen'd, scale-invariant."""

@@ -113,3 +113,42 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("dim0"), 6).alias("max_dim0"),
         )
     )
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH doubled AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 7 = 0
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM doubled
+    ), n AS (
+      SELECT vec_id, ve,
+             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+                  THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
+      FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.ve, b.ve) * a.inv * b.inv, 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ve, b.ve) * a.inv * b.inv >= 0.95
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 embedding-cosine near-dup pairs (threshold 0.95). Deterministic
+    duplicates injected (every 7th vector re-appended under a shifted id —
+    same recipe as doc_exact_dedup) so the operator has work at every scale
+    factor. Exact all-pairs here (the oracle shape); the 100 TB candidate
+    generator is hyperplane-LSH bucketing via the ``bucket_signatures``
+    parameter of ``cosine_near_dup_pairs``."""
+    from ..extensions.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000))
+    return cosine_near_dup_pairs(doubled, threshold=0.95)

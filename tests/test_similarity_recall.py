@@ -82,3 +82,29 @@ def test_ivf_full_probe_equals_brute_force(spark):
     approx = {(r.query_id, r.vec_id)
               for r in ivf_cosine_topk(emb, q, k=K, n_centroids=8, nprobe=8).collect()}
     assert approx == exact
+
+
+def test_bucketed_near_dup_finds_planted_duplicates(spark):
+    """LSH-bucketed candidate generation for near-dup pairs: identical
+    vectors produce identical hyperplane signatures in every table, so
+    planted exact duplicates are found with probability 1 (no flakiness),
+    and every emitted pair carries its exact verified cosine."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs, hyperplane_lsh_buckets)
+    from data_engineering_etl_pipeline_spark.io import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000))
+    sigs = hyperplane_lsh_buckets(doubled, n_planes=8, dim=64)
+
+    got = cosine_near_dup_pairs(doubled, threshold=0.95,
+                                bucket_signatures=sigs)
+    rows = {(r.id_a, r.id_b): r.cosine for r in got.collect()}
+    planted = [r.vec_id for r in
+               emb.filter(F.col("vec_id") % 7 == 0).collect()]
+    assert planted
+    for vid in planted:
+        assert rows.get((vid, vid + 1000000)) == 1.0
