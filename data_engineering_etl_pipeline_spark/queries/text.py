@@ -81,12 +81,25 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
-@register("doc_minhash_lsh")
+@register(
+    "doc_minhash_lsh",
+    oracle=_SHINGLE_CTE + """
+    SELECT id_a, id_b,
+           ROUND(ni * 1.0 / (sa.sz + sb.sz - ni), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.8
+    """,
+)
 def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + LSH(32 bands × 2 rows) candidate pairs, verified
-    with exact Jaccard ≥ 0.8. No SQL oracle (xxhash64-based signatures);
-    tests instead assert it finds exactly the exact-Jaccard ≥0.8 pairs —
-    band config makes the miss probability ≈ (1−0.8²)³² ≈ 6e-15."""
+    with exact Jaccard ≥ 0.8. Because every emitted pair is exact-verified
+    (no false positives) and the band config makes the false-negative
+    probability ≈ (1−0.8²)³² ≈ 6e-15 per qualifying pair, the exact
+    all-pairs Jaccard ≥ 0.8 SQL is a valid deterministic oracle — the LSH
+    machinery (signatures → banding → bucket equi-join → verification) must
+    reproduce the exact answer to hash-match it."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3,
                              num_perm=64, bands=32, threshold=0.8)

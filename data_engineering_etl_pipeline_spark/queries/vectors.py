@@ -80,6 +80,48 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivf_full_probe",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, ve,
+             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+                  THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
+      FROM v
+    ), q AS (
+      SELECT vec_id AS query_id, ve AS qe, inv AS qinv FROM n WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, b.vec_id,
+             ROUND(list_dot_product(b.ve, q.qe) * b.inv * q.qinv, 6) AS cosine
+      FROM n b CROSS JOIN q
+      WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = n_centroids: every inverted list is probed, so the
+    candidate set is the whole corpus and the result is EXACTLY brute-force
+    top-k — which gives the full IVF machinery (codebook fit → map-only
+    assignment → inverted-list equi-join → exact cosine rank) a
+    deterministic brute-force oracle. ``embedding_ivf_topk`` is the
+    production nprobe<K configuration (recall measured in tests); this row
+    proves the plumbing exact end-to-end in the driver's own session."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivf_cosine_topk(emb, q, k=5, n_centroids=16, nprobe=16)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
     "embedding_label_stats",
     oracle="""
     WITH v AS (

@@ -39,6 +39,7 @@ QUERY_SET = [
     "sql_nation_revenue",
     "user_sessions",
     "hourly_event_windows",
+    "supplier_feature_matrix",
 ]
 
 KEY_SHIFT = 1_000_000_000
