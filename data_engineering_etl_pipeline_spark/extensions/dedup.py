@@ -233,6 +233,50 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return _verify_pairs(sh, id_col, candidates, threshold)
 
 
+def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """SimHash-64 over an ENGINE-PORTABLE token hash: md5 exists bit-for-bit
+    identically in Spark and DuckDB, so this variant is oracle-checkable
+    (unlike ``simhash64``'s xxhash64, which has no DuckDB twin).
+
+    Token hash bits: hex digit j of md5(token) (j = 0..15 → 64 bits), bit
+    ``i`` = bit ``3 − i%4`` of digit ``i//4``. Same vote aggregate shape as
+    ``simhash64`` (one map-side-combinable hash aggregate, 64 codegen'd
+    sums); md5 is ~3× the cost of xxhash64 per token, so the xxhash64
+    variant remains the 100 TB default and this one is the verification
+    twin."""
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .alias("__tok"),
+    ).select(F.col(id_col), F.md5(F.col("__tok")).alias("__m"))
+    # 16 hex-digit values as plain int columns; each is reused by 4 bit
+    # extractions below (cheap scalar subtrees — safe to let Catalyst inline).
+    digits = tok.select(
+        F.col(id_col),
+        *[F.conv(F.substring(F.col("__m"), j + 1, 1), 16, 10).cast("int")
+          .alias(f"d_{j}") for j in range(16)],
+    )
+    votes = digits.groupBy(id_col).agg(*[
+        F.sum(F.when(
+            F.shiftright(F.col(f"d_{i // 4}"), 3 - i % 4).bitwiseAND(F.lit(1)) == 1,
+            1).otherwise(-1)).alias(f"v_{i}")
+        for i in range(64)
+    ])
+    sim = F.lit(0).cast("long")
+    for i, m in enumerate(masks):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v_{i}") > 0, F.lit(m)).otherwise(F.lit(0).cast("long")))
+    sig = votes.select(F.col(id_col), sim.alias("simhash"))
+    return (
+        docs.select(id_col)
+        .join(sig, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (member_id, cluster_id)

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..extensions.dedup import (dedup_clusters, exact_dedup_groups,
                                 minhash_lsh_pairs, ngram_jaccard_pairs,
-                                simhash64)
+                                simhash64, simhash64_portable)
 from ..extensions.text_stats import (TOKEN_PATTERN, predict_lang,
                                      quality_score, rolling_fingerprint_udf,
                                      token_count_regex, tokens)
@@ -141,9 +141,50 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("doc_simhash")
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (rows-only check: xxhash64 has no DuckDB
-    twin). Hamming-close fingerprints = near-dups."""
+    twin; doc_simhash_portable is the oracle-checked md5 twin of the same
+    vote aggregate). Hamming-close fingerprints = near-dups."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs, "doc_id", "text")
+
+
+@register(
+    "doc_simhash_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, md5(tok) AS m FROM toks
+    ), bits AS (
+      SELECT doc_id, i,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(m, CAST(1 + (i // 4) AS INT), 1)) - 1)
+                        >> CAST(3 - (i % 4) AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    ), votes AS (
+      SELECT doc_id, i, SUM(vote) AS v FROM bits GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN
+                   CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                 ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+    """,
+)
+def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash-64: the same sign-vote aggregate as
+    ``doc_simhash`` but over md5 token hashes, which DuckDB computes
+    bit-identically — so the full construction (tokenize → distinct → hash →
+    64 bit votes → sign → OR-fold) is verified end-to-end. xxhash64 stays
+    the 100 TB default (cheaper per token); this row proves the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64_portable(docs, "doc_id", "text")
 
 
 @register(
