@@ -231,6 +231,73 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_train_val_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_sum(list_transform(range(0, 8), i ->
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(text || '|split-v1'), CAST(i + 1 AS INT), 1)) - 1
+                    AS BIGINT) << CAST((7 - i) * 4 AS INT))) AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(hv % 100 AS BIGINT) AS bucket,
+           CASE WHEN hv % 100 < 90 THEN 'train' ELSE 'val' END AS split
+    FROM h
+    """,
+)
+def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split (90/10) — the standard
+    leakage-safe assignment for training corpora: the split is a pure
+    function of the text (+ a salt), so it is stable across reruns,
+    re-partitioning, and corpus growth, and exact duplicates always land in
+    the same split (no train/val contamination). Map-only at any scale —
+    no shuffle, no state. md5 is the engine-portable hash (first 8 hex
+    digits → 32-bit bucket value, mod 100)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.concat(F.col("text"), F.lit("|split-v1"))),
+                            1, 8), 16, 10).cast("long")
+    bucket = (hv % 100).alias("bucket")
+    return docs.select(
+        "doc_id", "lang", bucket,
+        F.when(hv % 100 < 90, F.lit("train")).otherwise(F.lit("val"))
+         .alias("split"))
+
+
+@register(
+    "doc_length_quantiles",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(length(text), 0.25), 4) AS len_p25,
+           ROUND(quantile_cont(length(text), 0.5), 4) AS len_p50,
+           ROUND(quantile_cont(length(text), 0.75), 4) AS len_p75,
+           ROUND(quantile_cont(length(text), 0.95), 4) AS len_p95
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length quantiles (corpus profiling for
+    length-filter thresholds). Uses Spark's exact ``percentile`` aggregate
+    (linear interpolation — same semantics as DuckDB ``quantile_cont``);
+    at 100 TB swap in ``approx_percentile`` (t-digest sketch, map-side
+    combinable) — same plan shape, bounded error, documented trade."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    qs = F.percentile(ln, F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.95)]))
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), qs.alias("__q"))
+    return agg.select(
+        "lang", "n_docs",
+        F.round(F.element_at("__q", 1), 4).alias("len_p25"),
+        F.round(F.element_at("__q", 2), 4).alias("len_p50"),
+        F.round(F.element_at("__q", 3), 4).alias("len_p75"),
+        F.round(F.element_at("__q", 4), 4).alias("len_p95"),
+    )
+
+
 _LANG_CASE_SQL = """
     WITH toks AS (
       SELECT doc_id, lang,
