@@ -173,12 +173,15 @@ def supplier_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_w = Window.partitionBy("ship_date").orderBy(F.desc("mcap"), "suppkey")
     # pandas rank(method='average') exactly: min-rank + (ties-1)/2 — the
     # reference's mcap_rank_daily semantics (create_market_structure_factors
-    # :115-118), closing the W2 'average-rank deviation' note.
-    min_rank_w = Window.partitionBy("ship_date").orderBy(F.desc("mcap"))
+    # :115-118), closing the W2 'average-rank deviation' note. Computed as
+    # the mean row_number within the (date, mcap) tie group — identical
+    # value (mean of consecutive integers), but the tie window's required
+    # (ship_date, mcap) clustering is a PREFIX of the row_number sort, so
+    # the whole cross family shares one sort instead of two.
     ties_w = Window.partitionBy("ship_date", "mcap")
-    mcap_rank_avg = (F.rank().over(min_rank_w)
-                     + (F.count(F.lit(1)).over(ties_w) - 1) / 2.0)
-    return feat.select(
+    ranked = feat.withColumn("mcap_rank", F.row_number().over(rank_w))
+    mcap_rank_avg = F.avg("mcap_rank").over(ties_w)
+    return ranked.select(
         "suppkey", "ship_date",
         F.round("close", 4).alias("close"),
         F.round("ret_1d", 6).alias("ret_1d"),
@@ -191,7 +194,7 @@ def supplier_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("volatility_30d", 6).alias("volatility_30d"),
         F.round("vol_z30", 6).alias("vol_z30"),
         F.round("bb_width", 6).alias("bb_width"),
-        F.row_number().over(rank_w).alias("mcap_rank"),
+        "mcap_rank",
         F.round(mcap_rank_avg, 1).alias("mcap_rank_avg"),
         F.round(dominance_share("mcap", wc), 6).alias("dominance_pct"),
     )
