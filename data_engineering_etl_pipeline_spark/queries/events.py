@@ -211,3 +211,40 @@ def user_value_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round("macd", 6).alias("macd"),
         F.round("macd_signal", 6).alias("macd_signal"))
+
+
+@register(
+    "purchase_last_view_asof",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts, value AS vv
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+           v.vv AS last_view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the value of the same
+    user's most recent prior (ts ≤ purchase ts) view event, null if none —
+    pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics, which Spark has
+    no built-in for. Implemented as the union + sort + last(ignorenulls)
+    carry-forward plan (`relational.asof_join`): ONE shuffle of |L|+|R|
+    rows, no range join, no per-key pair explosion — the 100 TB shape.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts",
+                         F.col("value").alias("purchase_value")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("value").alias("last_view_value")))
+    return asof_join(purchases, views, key="user_id", left_time="ts",
+                     right_time="ts", value_cols=["last_view_value"],
+                     suffix="")

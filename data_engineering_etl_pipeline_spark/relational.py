@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,48 @@ def distinct_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """P12/U5 row dedup via distinct projection (reference:
     historical_data_etl.py:132 set-comprehension)."""
     return df.select(*cols).distinct()
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, left_time: str,
+              right_time: str, value_cols: Sequence[str],
+              suffix: str = "_asof") -> DataFrame:
+    """As-of (most-recent-prior) join: for each left row, the right row of
+    the same ``key`` with the greatest ``right_time <= left_time`` — the
+    time-series stitch Spark has no built-in for (DuckDB/kdb ``ASOF JOIN``,
+    pandas ``merge_asof``).
+
+    Plan shape (the 100 TB-safe one): tag both sides, union, ONE
+    sort-exchange on ``(key, time, side)`` (right sorts before left at equal
+    times so ties are visible), then ``last(value, ignorenulls)`` over the
+    unbounded-preceding frame carries each right value forward to every
+    later left row. No range join, no per-key explosion: cost is one
+    shuffle of |L|+|R| rows — versus the naive key-join-then-filter, whose
+    intermediate is Σ_key |L_k|·|R_k| (quadratic on hot keys).
+
+    The left row rides the union packed in a struct, so arbitrary
+    left/right column-name overlap is fine. Right rows must be unique per
+    ``(key, right_time)`` (pre-aggregate if not) — otherwise "the" prior
+    row is ill-defined on either engine.
+    """
+    lcols = left.columns
+    lrow_type = left.select(F.struct(*lcols).alias("r")).schema["r"].dataType
+    tagged_l = left.select(
+        F.col(key).alias("__k"), F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"), F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
+          for c in value_cols],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"), F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"), F.lit(None).cast(lrow_type).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    )
+    w = (Window.partitionBy("__k").orderBy("__t", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tagged_l.unionByName(tagged_r).select(
+        "__side", "__lrow",
+        *[F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in value_cols],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        "__lrow.*", *[f"{c}{suffix}" for c in value_cols])

@@ -187,3 +187,25 @@ def test_agg_dict_last_first_skip_nulls(spark):
     assert out[1]["v"] == 7.0       # last non-null, not the null at ord=3
     assert out[1]["w"] == 10.0      # first non-null at ord=1
     assert out[2]["v"] is None and out[2]["w"] is None  # all-null group
+
+
+def test_asof_join_semantics(spark):
+    """Pin merge_asof/ASOF-JOIN edge semantics: equal timestamps match
+    (inclusive <=), no prior right row yields null, carry-forward picks the
+    GREATEST prior time per key, and keys never bleed into each other."""
+    from data_engineering_etl_pipeline_spark.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 10, "d"), (3, 10, "e")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 15, 150.0), (2, 11, 999.0)],
+        "k long, t long, v double")
+    out = {r["tag"]: r["v"] for r in
+           asof_join(left, right, key="k", left_time="t", right_time="t",
+                     value_cols=["v"], suffix="").collect()}
+    assert out["a"] == 50.0     # tie at t=5: inclusive
+    assert out["b"] == 50.0     # t=10: prior is t=5, not t=15
+    assert out["c"] == 150.0    # greatest prior wins
+    assert out["d"] is None     # right row exists but only at t=11 > 10
+    assert out["e"] is None     # key with no right rows at all
