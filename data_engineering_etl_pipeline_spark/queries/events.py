@@ -248,3 +248,52 @@ def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, views, key="user_id", left_time="ts",
                      right_time="ts", value_cols=["last_view_value"],
                      suffix="")
+
+
+@register(
+    "signup_click_funnel_1h",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    ), c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT s.event_id, s.user_id, s.ts,
+           COUNT(c.ts) AS n_clicks_1h,
+           ROUND(COALESCE(SUM(c.value), 0.0), 4) AS click_value_1h
+    FROM s LEFT JOIN c
+      ON s.user_id = c.user_id
+     AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+    GROUP BY s.event_id, s.user_id, s.ts
+    """,
+)
+def signup_click_funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per signup event, the count and summed value
+    of the same user's clicks in the following hour — the funnel/attribution
+    query shape. Runs on `relational.binned_interval_join` (hour-bin
+    explosion → equi-join on (user, bin) → exact range filter): candidate
+    fan-out is bounded by per-bin density, never per-key cardinality —
+    versus the naive key join whose intermediate is quadratic on hot users.
+    Zero-click signups are preserved via the left join back."""
+    from ..relational import binned_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select("event_id", "user_id",
+                       F.col("ts").alias("ts"),
+                       F.col("ts").alias("__start"),
+                       (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("__end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    matches = binned_interval_join(
+        signups, clicks, key="user_id", start="__start", end="__end",
+        point_time="ts", point_cols=["value"], bin_seconds=3600)
+    per_signup = (matches.groupBy("event_id")
+                  .agg(F.count(F.lit(1)).alias("n_clicks_1h"),
+                       F.round(F.sum("value_pt"), 4).alias("click_value_1h")))
+    return (signups.select("event_id", "user_id", "ts")
+            .join(per_signup, "event_id", "left")
+            .select("event_id", "user_id", "ts",
+                    F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+                    F.coalesce("click_value_1h", F.lit(0.0))
+                     .alias("click_value_1h")))

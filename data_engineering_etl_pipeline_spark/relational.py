@@ -140,3 +140,44 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_time: str,
     )
     return carried.filter(F.col("__side") == 1).select(
         "__lrow.*", *[f"{c}{suffix}" for c in value_cols])
+
+
+def binned_interval_join(intervals: DataFrame, points: DataFrame, key: str,
+                         start: str, end: str, point_time: str,
+                         point_cols: Sequence[str], bin_seconds: int,
+                         suffix: str = "_pt") -> DataFrame:
+    """Range (interval) join: pair each ``intervals`` row with every
+    ``points`` row of the same ``key`` whose ``point_time`` lies in
+    ``(start, end]`` — without the quadratic key-equi-join-then-filter
+    plan (Σ_key |I_k|·|P_k| intermediate rows on hot keys).
+
+    The scale shape: both sides are bucketed into ``bin_seconds``-wide
+    epoch bins (an interval explodes to every bin it covers — pick
+    ``bin_seconds`` ≈ typical interval length so that's O(1) bins), the
+    join becomes an equi-join on ``(key, bin)``, and the exact range
+    predicate filters the candidates. Shuffle cost is |I|·bins + |P|,
+    fan-out bounded by per-bin density instead of per-key cardinality.
+    Interval rows ride packed in a struct, so column overlap with
+    ``points`` is safe. Output: interval columns + ``point_cols``
+    (suffixed) for every match — aggregate downstream as needed.
+    """
+    icols = intervals.columns
+    s_sec = F.unix_timestamp(F.col(start))
+    e_sec = F.unix_timestamp(F.col(end))
+    tagged_i = intervals.select(
+        F.col(key).alias("__k"), F.col(start).alias("__s"),
+        F.col(end).alias("__e"), F.struct(*icols).alias("__irow"),
+        F.explode(F.sequence(F.floor(s_sec / bin_seconds),
+                             F.floor(e_sec / bin_seconds))).alias("__bin"),
+    )
+    tagged_p = points.select(
+        F.col(key).alias("__k"), F.col(point_time).alias("__pt"),
+        F.floor(F.unix_timestamp(F.col(point_time)) / bin_seconds)
+        .alias("__bin"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in point_cols],
+    )
+    matched = (tagged_i.join(tagged_p, ["__k", "__bin"])
+               .filter((F.col("__pt") > F.col("__s"))
+                       & (F.col("__pt") <= F.col("__e"))))
+    return matched.select("__irow.*",
+                          *[f"{c}{suffix}" for c in point_cols])

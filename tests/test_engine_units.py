@@ -209,3 +209,31 @@ def test_asof_join_semantics(spark):
     assert out["c"] == 150.0    # greatest prior wins
     assert out["d"] is None     # right row exists but only at t=11 > 10
     assert out["e"] is None     # key with no right rows at all
+
+
+def test_binned_interval_join_boundaries(spark):
+    """Bin-edge hazards: a point just inside the next hour-bin must still
+    match (interval explodes to every covered bin), the exclusive start /
+    inclusive end predicate must hold exactly, and no match may duplicate
+    (each point lives in exactly one bin)."""
+    from data_engineering_etl_pipeline_spark.relational import binned_interval_join
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", "2024-01-01 11:30:00", "a")],
+        "k long, s string, e string, tag string"
+    ).select("k", "tag", F.to_timestamp("s").alias("s"),
+             F.to_timestamp("e").alias("e"))
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 1.0),   # == start: excluded
+         (1, "2024-01-01 10:59:59", 2.0),   # same bin as start
+         (1, "2024-01-01 11:00:01", 3.0),   # next bin — needs bin explosion
+         (1, "2024-01-01 11:30:00", 4.0),   # == end: included
+         (1, "2024-01-01 11:30:01", 5.0),   # past end: excluded
+         (2, "2024-01-01 11:00:00", 6.0)],  # other key
+        "k long, t string, v double"
+    ).select("k", F.to_timestamp("t").alias("t"), "v")
+    out = binned_interval_join(iv, pts, key="k", start="s", end="e",
+                               point_time="t", point_cols=["v"],
+                               bin_seconds=3600)
+    vals = sorted(r["v_pt"] for r in out.collect())
+    assert vals == [2.0, 3.0, 4.0]
