@@ -84,28 +84,35 @@ def _df_capped_index(sh: DataFrame, id_col: str, max_df: int | None) -> DataFram
 
 def _verify_pairs(sh: DataFrame, id_col: str, candidates: DataFrame,
                   threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs only: intersection counts via the
-    full shingle relation restricted to candidate ids, then
-    |A∪B| = |A|+|B|−|A∩B|. Used by the LSH path, whose banding produces
-    false-positive candidates that need exact verification — at scale the
-    candidate list is tiny relative to the corpus, so this join never sees
-    non-candidate docs."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    """Exact Jaccard over candidate pairs only, via per-doc shingle SETS:
+    one groupBy builds ``(set_size, sorted shingle array)`` per doc, the
+    (small) candidate list joins it twice, and ``array_intersect`` sizes
+    the overlap — |A∪B| = |A|+|B|−|A∩B|. Used by the LSH path, whose
+    banding produces false-positive candidates that need exact
+    verification.
+
+    Versus re-joining the exploded shingle relation on (id, shingle) —
+    the earlier form — this saves a full-relation shuffle plus a pair
+    groupBy: the only data-sized stage left is the per-doc set build, and
+    the per-pair work is a candidate-sized broadcast join. Trade-off: a
+    doc's whole shingle set must fit in one row (fine — shingle sets are
+    document-sized); for adversarially huge docs, cap shingles upstream."""
+    stats = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("set_size"),
+        F.array_sort(F.collect_set("shingle")).alias("sh_set"))
+    st_a = stats.select(F.col(id_col).alias("id_a"),
+                        F.col("set_size").alias("size_a"),
+                        F.col("sh_set").alias("set_a"))
+    st_b = stats.select(F.col(id_col).alias("id_b"),
+                        F.col("set_size").alias("size_b"),
+                        F.col("sh_set").alias("set_b"))
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     return (
-        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        candidates.join(st_a, "id_a").join(st_b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter")
-                    / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6))
+            F.round(n_inter
+                    / (F.col("size_a") + F.col("size_b") - n_inter), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
