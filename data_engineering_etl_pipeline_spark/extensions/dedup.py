@@ -107,14 +107,15 @@ def _verify_pairs(sh: DataFrame, id_col: str, candidates: DataFrame,
                         F.col("set_size").alias("size_b"),
                         F.col("sh_set").alias("set_b"))
     n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    # Filter on the UNROUNDED ratio (the oracles filter `ni/(sa+sb-ni) >=
+    # threshold` unrounded too); round only the projected output. Filtering
+    # the rounded value would admit pairs in [threshold - 5e-7, threshold).
+    jac = n_inter / (F.col("size_a") + F.col("size_b") - n_inter)
     return (
         candidates.join(st_a, "id_a").join(st_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(n_inter
-                    / (F.col("size_a") + F.col("size_b") - n_inter), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__j", jac)
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
 
 
@@ -171,14 +172,13 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         F.col("hot_set").alias("hot_b"))
     n_inter = (F.col("n_cold")
                + F.size(F.array_intersect(F.col("hot_a"), F.col("hot_b"))))
+    # Unrounded filter / rounded projection — see _verify_pairs.
+    jac = n_inter / (F.col("size_a") + F.col("size_b") - n_inter)
     return (
         inter.join(st_a, "id_a").join(st_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(n_inter
-                    / (F.col("size_a") + F.col("size_b") - n_inter), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__j", jac)
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
 
 
@@ -305,6 +305,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
              .distinct().cache())
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).cache())
+    changed = 0
     for _ in range(max_iter):
         neigh_min = (edges.join(labels, edges["dst"] == labels["node"])
                      .groupBy("src").agg(F.min("label").alias("nmin")))
@@ -324,6 +325,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A component deeper than max_iter would return partially-propagated
+        # labels — silently wrong clusters. Fail loudly instead.
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — raise "
+            "max_iter (component diameter exceeds it)")
     return labels.select(F.col("node").alias("member_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -45,13 +45,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is converted here to a microsecond timestamp (truncation — the same
     thing DuckDB's reader does, so oracle parity holds). The conf is set at
     read time (it is a runtime-settable SQL conf) so the loader works in ANY
-    session, not just ones built by :func:`session.get_spark`.
+    session, not just ones built by :func:`session.get_spark` — and the
+    PREVIOUS value is restored afterwards, so the session-global conf is
+    not mutated as a side effect of this read (the schema is resolved
+    while the conf is in force; the restored value does not re-resolve it).
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name != "events":
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return df
 
 

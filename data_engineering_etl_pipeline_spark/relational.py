@@ -99,7 +99,8 @@ def distinct_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, left_time: str,
               right_time: str, value_cols: Sequence[str],
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              duplicates: str = "allow") -> DataFrame:
     """As-of (most-recent-prior) join: for each left row, the right row of
     the same ``key`` with the greatest ``right_time <= left_time`` — the
     time-series stitch Spark has no built-in for (DuckDB/kdb ``ASOF JOIN``,
@@ -107,39 +108,68 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_time: str,
 
     Plan shape (the 100 TB-safe one): tag both sides, union, ONE
     sort-exchange on ``(key, time, side)`` (right sorts before left at equal
-    times so ties are visible), then ``last(value, ignorenulls)`` over the
-    unbounded-preceding frame carries each right value forward to every
+    times so ties are visible), then ``last(row_struct, ignorenulls)`` over
+    the unbounded-preceding frame carries each right ROW forward to every
     later left row. No range join, no per-key explosion: cost is one
     shuffle of |L|+|R| rows — versus the naive key-join-then-filter, whose
     intermediate is Σ_key |L_k|·|R_k| (quadratic on hot keys).
 
-    The left row rides the union packed in a struct, so arbitrary
-    left/right column-name overlap is fine. Right rows must be unique per
-    ``(key, right_time)`` (pre-aggregate if not) — otherwise "the" prior
-    row is ill-defined on either engine.
+    All ``value_cols`` ride together in ONE struct: a right row always
+    emits a non-null struct (even when its individual values are null), so
+    the matched row's nulls come through as nulls and the output never
+    mixes columns from different right rows — row-level as-of semantics,
+    matching DuckDB ASOF JOIN and pandas ``merge_asof``. The left row rides
+    the union packed in its own struct, so arbitrary left/right column-name
+    overlap is fine.
+
+    ``duplicates`` controls right rows sharing one ``(key, right_time)``
+    ("the" prior row is otherwise ill-defined on every engine):
+    - ``"allow"``  — caller guarantees uniqueness (no extra work);
+    - ``"resolve_max"`` / ``"resolve_min"`` — deterministically keep the
+      max/min ``value_cols`` struct per ``(key, right_time)`` (one extra
+      partial-aggregatable groupBy on the RIGHT side only);
+    - ``"error"``  — eagerly count duplicate groups and raise (an action;
+      use in validation runs, not hot paths).
     """
+    if duplicates not in ("allow", "resolve_max", "resolve_min", "error"):
+        raise ValueError(f"duplicates must be allow|resolve_max|resolve_min|error, got {duplicates!r}")
+    if duplicates == "error":
+        n_dup = (right.groupBy(key, right_time).count()
+                 .filter(F.col("count") > 1).count())
+        if n_dup:
+            raise ValueError(
+                f"asof_join: right side has {n_dup} duplicate ({key}, "
+                f"{right_time}) groups — pre-aggregate or pass "
+                "duplicates='resolve_max'/'resolve_min'")
+    elif duplicates in ("resolve_max", "resolve_min"):
+        agg = F.max if duplicates == "resolve_max" else F.min
+        right = (right.groupBy(key, right_time)
+                 .agg(agg(F.struct(*[F.col(c) for c in value_cols])).alias("__r"))
+                 .select(key, right_time,
+                         *[F.col(f"__r.{c}").alias(c) for c in value_cols]))
     lcols = left.columns
     lrow_type = left.select(F.struct(*lcols).alias("r")).schema["r"].dataType
+    rrow = F.struct(*[F.col(c) for c in value_cols])
+    rrow_type = right.select(rrow.alias("r")).schema["r"].dataType
     tagged_l = left.select(
         F.col(key).alias("__k"), F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"), F.struct(*lcols).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
-          for c in value_cols],
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     tagged_r = right.select(
         F.col(key).alias("__k"), F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"), F.lit(None).cast(lrow_type).alias("__lrow"),
-        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+        rrow.alias("__rrow"),
     )
     w = (Window.partitionBy("__k").orderBy("__t", "__side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = tagged_l.unionByName(tagged_r).select(
         "__side", "__lrow",
-        *[F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in value_cols],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__m"),
     )
     return carried.filter(F.col("__side") == 1).select(
-        "__lrow.*", *[f"{c}{suffix}" for c in value_cols])
+        "__lrow.*",
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols])
 
 
 def binned_interval_join(intervals: DataFrame, points: DataFrame, key: str,
