@@ -18,8 +18,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: every family — scan+agg, broadcast join chain, window
-# families, PIT theta join, canonical agg, dedup (exact + LSH), similarity,
-# text stats, sessionization, TA kernel.
+# families, PIT theta join, canonical agg, as-of + interval joins, stateful
+# streaming twin, dedup (exact + jaccard + LSH + clusters), similarity,
+# text stats + corpus prep, sessionization, TA kernel (incl. Bollinger).
 BENCH_QUERIES = [
     "pricing_summary",
     "region_revenue",
@@ -34,13 +35,19 @@ BENCH_QUERIES = [
     "user_sessions",
     "hourly_event_windows",
     "sliding_event_windows",
+    "purchase_last_view_asof",
+    "signup_click_funnel_1h",
+    "user_value_macd",
     "doc_exact_dedup",
     "doc_ngram_jaccard",
     "doc_minhash_lsh",
+    "doc_dedup_clusters",
     "doc_text_stats",
+    "doc_train_val_split",
+    "doc_length_quantiles",
     "embedding_cosine_topk",
-    "embedding_ivf_topk",
-    "supplier_bollinger",
+    "embedding_ivf_full_probe",
+    "embedding_near_dup",
     "supplier_ta_indicators",
     "supplier_feature_matrix",
     "supplier_declarative_agg",

@@ -79,23 +79,34 @@ def rolling_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(l_shipdate AS DATE) AS d, l_orderkey, l_linenumber,
            ROUND(l_extendedprice / SUM(l_extendedprice)
                  OVER (PARTITION BY l_shipdate), 6) AS price_share,
-           CAST(RANK() OVER (PARTITION BY l_shipdate
-                             ORDER BY l_extendedprice DESC) AS INT) AS price_rank
+           ROUND(RANK() OVER (PARTITION BY l_shipdate
+                              ORDER BY l_extendedprice DESC)
+                 + (COUNT(*) OVER (PARTITION BY l_shipdate, l_extendedprice)
+                    - 1) / 2.0, 1) AS price_rank
     FROM lineitem
     """,
 )
 def daily_share_and_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8 dominance share (unbounded per-date frame; reference
-    feature_calculation_functions.py:123-124) + W2 cross-sectional rank.
-    SQL ``rank`` here (pandas default 'average' has no Spark equivalent —
-    documented deviation per SURVEY §7.4 h3)."""
+    feature_calculation_functions.py:123-124) + W2 cross-sectional rank
+    with EXACT pandas ``rank(method='average')`` parity: min-rank +
+    (ties-1)/2, computed as the mean row_number inside each (date, price)
+    tie group — the same construction proved in `supplier_feature_matrix`
+    (closes the SURVEY §7.4 h3 deviation note). The tie window's
+    (date, price) clustering is a prefix of the row_number sort, so both
+    share one sort-exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     wd = w_cross("l_shipdate")
-    wr = Window.partitionBy("l_shipdate").orderBy(F.col("l_extendedprice").desc())
-    return li.select(
-        F.to_date("l_shipdate").alias("d"), "l_orderkey", "l_linenumber",
-        F.round(dominance_share("l_extendedprice", wd), 6).alias("price_share"),
-        F.rank().over(wr).cast("int").alias("price_rank"),
+    wr = Window.partitionBy("l_shipdate").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+    ties_w = Window.partitionBy("l_shipdate", "l_extendedprice")
+    return (
+        li.withColumn("__rn", F.row_number().over(wr))
+        .select(
+            F.to_date("l_shipdate").alias("d"), "l_orderkey", "l_linenumber",
+            F.round(dominance_share("l_extendedprice", wd), 6).alias("price_share"),
+            F.round(F.avg("__rn").over(ties_w), 1).alias("price_rank"),
+        )
     )
 
 

@@ -99,15 +99,21 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_type_freq",
     oracle="""
-    SELECT event_type, COUNT(*) AS n
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1
     """,
 )
 def event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 frequency table (reference value_counts,
-    cg_attributes…py:155)."""
+    """A7 frequency table (reference value_counts, cg_attributes…py:155)
+    + A5 distinct count (reference nunique, historical_data_etl.py:196) as
+    the per-type distinct-user cardinality in the same hash aggregate. At
+    100 TB swap countDistinct for approx_count_distinct (HLL, map-side
+    combinable) — exact here to match the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"))
 
 
 @register(
@@ -129,26 +135,6 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count(F.when(k.isNull(), 1)).alias("null_k"),
     )
-
-
-@register(
-    "distinct_counts",
-    oracle="""
-    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
-           (SELECT COUNT(DISTINCT event_type) FROM events) AS n_types,
-           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_active_customers
-    """,
-)
-def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 distinct counts (reference nunique, historical_data_etl.py:196).
-    At 100 TB swap to approx_count_distinct (HLL) — exact here to match the
-    oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
-    a = ev.agg(F.countDistinct("user_id").alias("n_users"),
-               F.countDistinct("event_type").alias("n_types"))
-    b = o.agg(F.countDistinct("o_custkey").alias("n_active_customers"))
-    return a.crossJoin(b)
 
 
 # Recursive-CTE twin of the streaming_macd fold (same double-division

@@ -16,38 +16,13 @@ from ..windows import rolling_mean, rolling_std, w_entity
 from . import register
 
 
-@register(
-    "supplier_bollinger",
-    oracle="""
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           ROUND(CASE WHEN COUNT(l_extendedprice) OVER w20 >= 20
-                      THEN AVG(l_extendedprice) OVER w20 END, 4) AS bb_mid,
-           ROUND(CASE WHEN COUNT(l_extendedprice) OVER w20 >= 20
-                      THEN AVG(l_extendedprice) OVER w20
-                           + 2 * STDDEV_SAMP(l_extendedprice) OVER w20 END, 4) AS bb_upper,
-           ROUND(CASE WHEN COUNT(l_extendedprice) OVER w20 >= 20
-                      THEN AVG(l_extendedprice) OVER w20
-                           - 2 * STDDEV_SAMP(l_extendedprice) OVER w20 END, 4) AS bb_lower
-    FROM lineitem
-    WINDOW w20 AS (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-    """,
-)
-def supplier_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W11 Bollinger bands natively (SMA ± 2σ over a 20-row frame with
-    pandas min_periods gating) — the reference's talib.BBANDS
-    (feature_calculation_functions.py:63-69) as pure window expressions."""
-    li = load_table(spark, sf_dir, "lineitem")
-    w = w_entity("l_suppkey", ["l_shipdate", "l_orderkey", "l_linenumber"])
-    mid = rolling_mean("l_extendedprice", 20, w)
-    sd = rolling_std("l_extendedprice", 20, w)
-    return li.select(
-        "l_suppkey", "l_orderkey", "l_linenumber",
-        F.round(mid, 4).alias("bb_mid"),
-        F.round(mid + 2 * sd, 4).alias("bb_upper"),
-        F.round(mid - 2 * sd, 4).alias("bb_lower"),
-    )
+# W11 Bollinger is driver-checked INSIDE `supplier_ta_indicators` below
+# (native window SMA±2σ columns alongside the kernel's recurrence columns,
+# same window-SQL oracle construction that the former standalone
+# `supplier_bollinger` row hash-matched in r1+r2) — the standalone row was
+# retired to keep the registry inside the driver's 50-entry check budget.
+# The kernel's own pandas-rolling Bollinger twin stays pinned against the
+# native windows in tests/test_engine_units.py.
 
 
 # DuckDB oracle for the EMA/Wilder recurrences: a recursive CTE stepping one
@@ -98,28 +73,52 @@ rec AS (
     CASE WHEN r.rn = 1 THEN ABS(b.close - r.close)
          ELSE {_A0_W} * r.atr + {_A_W} * ABS(b.close - r.close) END
   FROM rec r JOIN base b ON b.suppkey = r.suppkey AND b.rn = r.rn + 1
+),
+bb AS (
+  -- joined back on (suppkey, rn): unique by construction, unlike
+  -- (l_orderkey, l_linenumber) which the synthetic lineitem duplicates
+  SELECT suppkey, rn,
+         CASE WHEN COUNT(close) OVER w20 >= 20
+              THEN AVG(close) OVER w20 END AS bb_mid,
+         CASE WHEN COUNT(close) OVER w20 >= 20
+              THEN AVG(close) OVER w20
+                   + 2 * STDDEV_SAMP(close) OVER w20 END AS bb_upper,
+         CASE WHEN COUNT(close) OVER w20 >= 20
+              THEN AVG(close) OVER w20
+                   - 2 * STDDEV_SAMP(close) OVER w20 END AS bb_lower
+  FROM base
+  WINDOW w20 AS (PARTITION BY suppkey ORDER BY rn
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 )
-SELECT suppkey AS l_suppkey, l_orderkey, l_linenumber,
-  ROUND(CASE WHEN rn < 15 THEN NULL
-             WHEN avg_loss = 0 AND avg_gain = 0 THEN NULL
-             WHEN avg_loss = 0 THEN CAST(100 AS DOUBLE)
+SELECT r.suppkey AS l_suppkey, r.l_orderkey, r.l_linenumber,
+  ROUND(CASE WHEN r.rn < 15 THEN NULL
+             WHEN r.avg_loss = 0 AND r.avg_gain = 0 THEN NULL
+             WHEN r.avg_loss = 0 THEN CAST(100 AS DOUBLE)
              ELSE CAST(100 AS DOUBLE) - CAST(100 AS DOUBLE)
-                  / (CAST(1 AS DOUBLE) + avg_gain / avg_loss) END, 6) AS rsi_14,
-  ROUND(ema12 - ema26, 6) AS macd,
-  ROUND(sig, 6) AS macd_signal,
-  ROUND(CASE WHEN rn >= 15 THEN atr END, 6) AS atr_14
-FROM rec
+                  / (CAST(1 AS DOUBLE) + r.avg_gain / r.avg_loss) END, 6) AS rsi_14,
+  ROUND(r.ema12 - r.ema26, 6) AS macd,
+  ROUND(r.sig, 6) AS macd_signal,
+  ROUND(CASE WHEN r.rn >= 15 THEN r.atr END, 6) AS atr_14,
+  ROUND(b.bb_mid, 4) AS bb_mid,
+  ROUND(b.bb_upper, 4) AS bb_upper,
+  ROUND(b.bb_lower, 4) AS bb_lower
+FROM rec r
+JOIN bb b ON b.suppkey = r.suppkey AND b.rn = r.rn
 """
 
 
 @register("supplier_ta_indicators", oracle=_TA_ORACLE_SQL)
 def supplier_ta_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9/W10/W12 RSI-14 / MACD(12,26,9) / ATR-14 via the grouped Arrow
-    kernel (reference feature_calculation_functions.py:44-92). Wilder/EMA
-    recurrences carry infinite-memory per-entity state → applyInPandas.
-    Oracle: DuckDB recursive CTE replicating the recurrences bit-exactly
-    (see _TA_ORACLE_SQL notes); kernel additionally validated in tests
-    against closed-form cases and the native Bollinger twin."""
+    kernel (reference feature_calculation_functions.py:44-92) + W11
+    Bollinger(20,2) as NATIVE window expressions over the kernel output
+    (same per-suppkey clustering, no extra exchange needed). Wilder/EMA
+    recurrences carry infinite-memory per-entity state → applyInPandas;
+    Bollinger is SMA-based → pure window SQL, the oracle pairing that
+    hash-matched standalone in r1+r2. Oracle: DuckDB recursive CTE for the
+    recurrences (see _TA_ORACLE_SQL notes) joined with a window CTE for the
+    bands; kernel additionally validated in tests against closed-form cases
+    and the native Bollinger twin."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
         "l_extendedprice", "l_quantity")
@@ -127,37 +126,87 @@ def supplier_ta_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, entity_col="l_suppkey",
         order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
         close="l_extendedprice")
+    w = w_entity("l_suppkey", ["l_shipdate", "l_orderkey", "l_linenumber"])
+    mid = rolling_mean("l_extendedprice", 20, w)
+    sd = rolling_std("l_extendedprice", 20, w)
     return out.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
         F.round("rsi_14", 6).alias("rsi_14"),
         F.round("macd", 6).alias("macd"),
         F.round("macd_signal", 6).alias("macd_signal"),
         F.round("atr_14", 6).alias("atr_14"),
+        F.round(mid, 4).alias("bb_mid"),
+        F.round(mid + 2 * sd, 4).alias("bb_upper"),
+        F.round(mid - 2 * sd, 4).alias("bb_lower"),
     )
 
 
-@register("media_feature_extract")
+@register(
+    "media_feature_extract",
+    oracle="""
+    WITH ids AS (SELECT CAST(t.i AS BIGINT) AS media_id FROM range(64) t(i)),
+    meta AS (
+      SELECT media_id,
+        CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+        CASE WHEN media_id % 3 = 0
+             THEN CAST(8 + (media_id % 5) * 4 AS INT) END AS width,
+        CASE WHEN media_id % 3 = 0
+             THEN CAST(6 + (media_id % 7) * 2 AS INT) END AS height,
+        CASE WHEN media_id % 3 = 1
+             THEN CAST(256 + (media_id % 5) * 64 AS BIGINT) END AS n_samples
+      FROM ids
+    )
+    SELECT media_id, kind, width, height, n_samples,
+      CASE WHEN kind = 'image' THEN
+             ROUND(CAST(list_sum(list_transform(
+                     range(0, width * height * 3),
+                     k -> (media_id * 7 + k * 13) % 256)) AS DOUBLE)
+                   / (width * height * 3), 6)
+           WHEN kind = 'audio' THEN
+             ROUND(CAST(list_sum(list_transform(
+                     range(0, n_samples),
+                     k -> (media_id * 11 + k * 5) % 256)) AS DOUBLE)
+                   / n_samples, 6)
+      END AS mean_val,
+      kind <> 'video' AS decode_ok
+    FROM meta
+    """,
+)
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 multimodal plumbing: binary media column → mapInPandas feature
-    extraction (deterministic fake decoder — codec libs are stubbed, the
-    Spark-side schema/batching/partitioning is real). Rows-only check."""
+    """§2.11 multimodal decode: binary media columns → mapInPandas feature
+    extraction with a REAL codec-free decoder (PPM header+pixel parse,
+    raw-PCM sample stats; compressed formats stay an honest
+    NotImplementedError stub). The blobs follow closed-form byte recipes,
+    so the oracle recomputes every decoded width/height/sample-count/mean
+    arithmetically — the Spark side must actually parse the bytes to
+    match. Video decode is stubbed (decode_ok=false) until a real frame
+    decoder exists."""
     from ..extensions.multimodal import extract_features, make_fake_media
 
     media = make_fake_media(spark, n=64)
-    feats = extract_features(media, fake_decode=True)
+    feats = extract_features(media)
     return feats.select(
-        "media_id", "kind", "feat_dim", "decode_ok",
-        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+        "media_id", "kind", "width", "height", "n_samples",
+        F.round("mean_val", 6).alias("mean_val"), "decode_ok",
     )
 
 
-@register("media_frame_sample")
+@register(
+    "media_frame_sample",
+    oracle="""
+    SELECT CAST(t.i AS BIGINT) AS media_id, CAST(u.f AS INT) AS frame_idx
+    FROM range(64) t(i), UNNEST([0, 10, 20]) u(f)
+    WHERE t.i % 3 = 2
+    """,
+)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 video frame-sampling plumbing: per-video frame-index explosion
-    with bounded fan-out (every_n stride) — the row shape a real
-    ffmpeg-backed sampler fills in. Rows-only check; the unit test pins the
-    exact fan-out arithmetic."""
+    with bounded fan-out (stride ``every_n`` over ``n_frames``) — the row
+    shape a real ffmpeg-backed sampler fills in. Oracle: the closed-form
+    index plan (30 frames, stride 10 → {0,10,20} per video row)."""
     from ..extensions.multimodal import frame_sample_plan, make_fake_media
 
     media = make_fake_media(spark, n=64)
-    return frame_sample_plan(media, every_n=10)
+    return frame_sample_plan(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"))

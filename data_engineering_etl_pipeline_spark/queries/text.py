@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..extensions.dedup import (dedup_clusters, exact_dedup_groups,
                                 minhash_lsh_pairs, ngram_jaccard_pairs,
-                                simhash64, simhash64_portable)
+                                simhash64_portable)
 from ..extensions.text_stats import (TOKEN_PATTERN, predict_lang,
                                      quality_score, rolling_fingerprint_udf,
                                      token_count_regex, tokens)
@@ -138,13 +138,11 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-@register("doc_simhash")
-def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only check: xxhash64 has no DuckDB
-    twin; doc_simhash_portable is the oracle-checked md5 twin of the same
-    vote aggregate). Hamming-close fingerprints = near-dups."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash64(docs, "doc_id", "text")
+# The xxhash64 `simhash64` (the 100 TB default — cheaper per token) has no
+# DuckDB twin, so its former rows-only registry row was retired (r2 VERDICT
+# budget curation); `doc_simhash_portable` below oracle-checks the identical
+# vote-aggregate construction end-to-end and the xxhash64 variant keeps
+# invariance units in tests/test_engine_units.py.
 
 
 @register(
@@ -187,14 +185,33 @@ def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64_portable(docs, "doc_id", "text")
 
 
+_LANG_SETS = {
+    "de": ("der", "die", "und", "das", "von", "den", "im", "ein", "zu", "mit"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+_LANG_SCORE_SQL = "\n".join(
+    "        len(list_filter(lt, x -> x IN ({}))) AS {}_n,".format(
+        ",".join(f"'{w}'" for w in ws), code)
+    for code, ws in _LANG_SETS.items()).rstrip(",")
+
+
 @register(
     "doc_text_stats",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t, text
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t, text
       FROM documents
+    ), scored AS (
+      SELECT *, list_transform(t, x -> lower(x)) AS lt FROM toks
+    ), langed AS (
+      SELECT doc_id, lang, t, text,
+{_LANG_SCORE_SQL}
+      FROM scored
     )
-    SELECT doc_id,
+    SELECT doc_id, lang,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
                 AS BIGINT) AS n_tokens_bpe,
@@ -203,18 +220,28 @@ def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_reduce(
                   list_transform(range(1, length(text) + 1), i -> ascii(text[i])),
                   (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
-                AS BIGINT) AS fingerprint
-    FROM toks
+                AS BIGINT) AS fingerprint,
+           CASE WHEN greatest(de_n, en_n, es_n, fr_n, zh_n) = 0 THEN 'und'
+                WHEN de_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'de'
+                WHEN en_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'en'
+                WHEN es_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'es'
+                WHEN fr_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM langed
     """,
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex) and the polynomial
-    rolling-hash document fingerprint — engine-portable constructions
-    (identical recurrence in the DuckDB oracle)."""
+    """Token counting (whitespace + BPE-ish regex), the polynomial
+    rolling-hash document fingerprint, AND the stopword-profile language-ID
+    heuristic (argmax stopword hits over lowercased tokens, ties →
+    alphabetically first, no hits → 'und') — engine-portable constructions
+    (identical recurrence / CASE chain in the DuckDB oracle). Lang-ID was
+    folded in from the former standalone ``doc_lang_id`` row (r2 VERDICT
+    registry-budget curation): ONE token split feeds all the stats."""
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the token array once per row (see dedup.word_shingles —
     # inlining the split into every consumer re-runs the regex per reference).
-    docs = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    docs = docs.select("doc_id", "lang", "text", tokens("text").alias("__toks"))
     t = F.col("__toks")
     # O(len)/doc Arrow form; integer-equal to the oracle's list_reduce
     # recurrence (the pure-expression twin is rolling_fingerprint — O(len²))
@@ -223,11 +250,12 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(t, lambda x: F.length(x)), F.lit(0).cast("long"),
         lambda acc, x: acc + x).cast("double") / F.size(t)
     return docs.select(
-        "doc_id",
+        "doc_id", "lang",
         F.size(t).cast("long").alias("n_tokens"),
         token_count_regex("text").cast("long").alias("n_tokens_bpe"),
         F.round(avg_len, 4).alias("avg_token_len"),
         fingerprint.alias("fingerprint"),
+        predict_lang(F.transform(t, lambda x: F.lower(x))).alias("pred_lang"),
     )
 
 
@@ -298,41 +326,9 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANG_CASE_SQL = """
-    WITH toks AS (
-      SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\\s+') AS t
-      FROM documents
-    ), scores AS (
-      SELECT doc_id, lang,
-        len(list_filter(t, x -> x IN ('der','die','und','das','von','den','im','ein','zu','mit'))) AS de_n,
-        len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS en_n,
-        len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS es_n,
-        len(list_filter(t, x -> x IN ('le','la','de','et','les','des','en','un','du','que'))) AS fr_n,
-        len(list_filter(t, x -> x IN ('的','了','是','在','我','有','和','就','不','人'))) AS zh_n
-      FROM toks
-    )
-    SELECT doc_id, lang,
-           CASE WHEN greatest(de_n, en_n, es_n, fr_n, zh_n) = 0 THEN 'und'
-                WHEN de_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'de'
-                WHEN en_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'en'
-                WHEN es_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'es'
-                WHEN fr_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'fr'
-                ELSE 'zh' END AS pred_lang
-    FROM scores
-"""
-
-
-@register("doc_lang_id", oracle=_LANG_CASE_SQL)
-def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language-ID heuristic: argmax of per-language
-    stopword hits over lowercased tokens, ties → alphabetically first,
-    no hits → 'und'."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok_df = docs.select(
-        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("__toks"))
-    return tok_df.select(
-        "doc_id", "lang", predict_lang(F.col("__toks")).alias("pred_lang"))
+# Lang-ID's standalone row (`doc_lang_id`) was folded into `doc_text_stats`
+# above (identical construction, one shared token split) — r2 VERDICT
+# registry-budget curation.
 
 
 @register(

@@ -8,8 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extensions.similarity import (_dot, cosine_topk, ivf_cosine_topk,
-                                     lsh_cosine_topk)
+from ..extensions.similarity import _dot, cosine_topk, ivf_cosine_topk
 from ..io import load_table
 from . import register
 
@@ -54,29 +53,12 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register("embedding_lsh_topk")
-def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH (8 bits × 4 tables):
-    candidates from bucket equi-joins, exact cosine only on candidates.
-    Rows-only check — recall is probabilistic; tests measure it against the
-    brute-force result instead."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = (emb.filter(F.col("vec_id") < 10)
-         .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return lsh_cosine_topk(emb, q, k=5, n_planes=8, n_tables=4, dim=64)
-
-
-@register("embedding_ivf_topk")
-def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF (16-centroid k-means codebook, nprobe=4):
-    broadcast-codebook assignment, inverted-list equi-join, exact cosine on
-    ~nprobe/n_centroids of the corpus. Rows-only check — recall measured
-    against brute force in tests (Faiss IVF-Flat layout as a DataFrame
-    plan)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = (emb.filter(F.col("vec_id") < 10)
-         .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return ivf_cosine_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+# The production-config approximate paths (`lsh_cosine_topk` 8 bits × 4
+# tables; `ivf_cosine_topk` nprobe=4) had rows-only registry rows in r1/r2;
+# those were retired in the r2-VERDICT registry-budget curation. Their
+# probabilistic recall stays pinned against brute force in
+# tests/test_similarity_recall.py, and `embedding_ivf_full_probe` below
+# drives the full IVF machinery through a deterministic brute-force oracle.
 
 
 @register(

@@ -87,3 +87,15 @@ def test_pipeline_n_members_counts_alt_coins(result):
     mx = result.groupby("canonical_id")["n_members"].max().to_dict()
     for cid, n in mx.items():
         assert n == (2 if cid in {"btc", "eth"} else 1)
+
+
+def test_registry_within_driver_check_budget():
+    """The round driver verifies at most the FIRST 50 registered queries
+    (r2 VERDICT: entries past the cap silently lose driver verification).
+    Pin the budget, and pin that the oracle keys are a subset of queries."""
+    from data_engineering_etl_pipeline_spark.queries import ORACLES, QUERIES
+
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registered queries exceed the driver's 50-entry "
+        "check budget — curate the registry (consolidate or retire rows)")
+    assert set(ORACLES) <= set(QUERIES)
