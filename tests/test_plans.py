@@ -96,3 +96,26 @@ def test_monthly_top_customers_two_shuffles(spark):
     the minimum for this shape (SURVEY §7.2)."""
     p = plan_of(spark, "monthly_top_customers")
     assert shuffles(p) <= 2
+
+
+def test_asof_join_plan_is_joinless_single_shuffle(spark):
+    """The as-of join must compile to union + ONE sort-exchange + window —
+    NO join operator at all (the naive key-join-then-filter plan is
+    quadratic on hot keys; this shape is skew-immune by construction)."""
+    p = plan_of(spark, "purchase_last_view_asof")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" not in p
+    assert shuffles(p) == 1, f"asof grew extra shuffles:\n{p}"
+
+
+def test_interval_join_plan_equi_join_on_bins(spark):
+    """The interval join must be an EQUI join on (key, bin) — never a range
+    join (BroadcastNestedLoop/Cartesian), whose intermediate is quadratic
+    per key. Fan-out is bounded by per-bin density."""
+    p = plan_of(spark, "signup_click_funnel_1h")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p)
