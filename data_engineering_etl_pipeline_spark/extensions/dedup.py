@@ -312,23 +312,27 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).cache())
     changed = 0
+    cached = labels
     for _ in range(max_iter):
         neigh_min = (edges.join(labels, edges["dst"] == labels["node"])
                      .groupBy("src").agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neigh_min,
-                                  labels["node"] == neigh_min["src"], "left")
-                      .select(F.col("node"),
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nmin"), F.col("label")))
-                              .alias("label")).cache())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        # the count above materialized new_labels' cache — the superseded
+        # carry the previous label alongside the new one, so convergence
+        # detection is a filter over THIS relation — not an extra
+        # old-vs-new shuffle join per round (one join + one groupBy per
+        # round total).
+        stepped = (labels.join(neigh_min,
+                               labels["node"] == neigh_min["src"], "left")
+                   .select(F.col("node"), F.col("label").alias("__old"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nmin"), F.col("label")))
+                           .alias("label")).cache())
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        # the count above materialized stepped's cache — the superseded
         # round's labels are dead weight; free them so long propagation runs
         # hold at most two label snapshots in memory.
-        labels.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     if changed != 0:
