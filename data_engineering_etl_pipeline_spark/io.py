@@ -3,12 +3,12 @@
 The reference's IO surface is: parquet scan/sink, JSON config read/write, a
 two-tier (local disk + GCS) cache, and an idempotent dated-snapshot sink
 (reference: all-etl-pipelines/pipeline_helpers.py:34-102,
-derivatives/derivatives_snapshot_etl.py:48-56). On Spark the two-tier cache
-collapses into "a path the cluster filesystem can read" plus ``df.persist()``
-for in-session reuse, so this module provides:
+derivatives/derivatives_snapshot_etl.py:48-56). This module provides:
 
 - star-schema loaders for the driver testdata (the measurement substrate),
-- layered lake paths (bronze/silver/gold) with schema-contract hooks,
+- :class:`TwoTierCache` — the S8/S9 get/put contract re-homed to where a
+  cluster has fast storage (session tier = executor block managers via
+  ``persist()``; lake tier = durable parquet/JSON on any Hadoop FS),
 - an idempotent date-partitioned snapshot sink,
 - a REST-records constructor (driver-side rows → DataFrame) mirroring S4-S7.
 
@@ -117,6 +117,123 @@ def write_daily_snapshot(df: DataFrame, root: str, date_col: str = "snapshot_dat
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode("overwrite").partitionBy(date_col).parquet(root)
     return True
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Resolve (FileSystem, Path) for any Hadoop-supported scheme."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+class TwoTierCache:
+    """S8/S9 two-tier cache get/put (reference: ``DataPersistenceLayer``,
+    pipeline_helpers.py:34-102; test signature
+    test_caching_infrastructure.py:44-49).
+
+    The reference tiers are local disk (fast, per-machine) and GCS
+    (durable, shared). The Spark-idiomatic mapping keeps both tiers but
+    re-homes the fast one where a cluster actually has fast storage:
+
+    - **tier 1 — session tier**: ``df.persist()`` in the executors' block
+      managers (memory, spilling to executor-local disk). A ``get`` hit
+      here costs no scan at all; this is what the reference's local-disk
+      read bought on one machine, generalized to N executors.
+    - **tier 2 — lake tier**: ``{lake_dir}/{name}.parquet`` (DataFrames)
+      or ``{name}.json`` (small config dicts, e.g. the PIT universe map)
+      on any Hadoop filesystem (``file:``, ``hdfs:``, ``gs:`` — existence
+      and JSON IO go through the Hadoop FS API, never ``os.path``).
+
+    ``get(name)`` returns a DataFrame, a dict, or None (miss) — the
+    reference's contract. A lake DataFrame hit is promoted into the
+    session tier so repeated gets are scan-free. ``set(name, data)``
+    writes through: durable lake write + session-tier persist.
+
+    Scale notes: the lake write is a distributed parquet sink (never a
+    driver collect); promotion is lazy (``persist`` materializes on first
+    action, per-executor, in parallel). JSON stays driver-side by design —
+    it carries KB-scale config, same as the reference's ``dict`` branch.
+    """
+
+    def __init__(self, spark: SparkSession, lake_dir: str,
+                 promote: bool = True) -> None:
+        self.spark = spark
+        self.lake_dir = lake_dir.rstrip("/")
+        self.promote = promote
+        self._session: dict[str, DataFrame] = {}
+
+    def _paths(self, name: str) -> tuple[str, str]:
+        return (f"{self.lake_dir}/{name}.parquet",
+                f"{self.lake_dir}/{name}.json")
+
+    def _exists(self, path: str) -> bool:
+        fs, jpath = _hadoop_fs(self.spark, path)
+        return bool(fs.exists(jpath))
+
+    def get(self, name: str):
+        """Session tier → lake tier → None (reference get(), :55-70)."""
+        if name in self._session:
+            return self._session[name]
+        pq_path, js_path = self._paths(name)
+        if self._exists(pq_path):
+            df = self.spark.read.parquet(pq_path)
+            if self.promote:
+                df = df.persist()
+                self._session[name] = df
+            return df
+        if self._exists(js_path):
+            return self._read_json(js_path)
+        return None
+
+    def set(self, name: str, data) -> None:
+        """Write-through put (reference set(), :72-91): durable lake write
+        plus session-tier persist. Dicts → JSON, DataFrames → parquet."""
+        pq_path, js_path = self._paths(name)
+        if isinstance(data, DataFrame):
+            data.write.mode("overwrite").parquet(pq_path)
+            if self.promote:
+                # re-read so the session tier caches the durable bytes
+                # (and later gets dedupe with the lake representation)
+                self.invalidate(name)
+                df = self.spark.read.parquet(pq_path).persist()
+                self._session[name] = df
+        elif isinstance(data, Mapping):
+            import json
+
+            fs, jpath = _hadoop_fs(self.spark, js_path)
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(json.dumps(data).encode()))
+            finally:
+                out.close()
+        else:
+            raise TypeError(
+                f"TwoTierCache.set supports DataFrame or Mapping, "
+                f"got {type(data).__name__}")
+
+    def _read_json(self, path: str) -> dict:
+        import json
+
+        fs, jpath = _hadoop_fs(self.spark, path)
+        stream = fs.open(jpath)
+        try:
+            # IOUtils drains the Hadoop input stream JVM-side
+            jvm = self.spark.sparkContext._jvm
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return json.loads(bytes(data).decode())
+
+    def invalidate(self, name: str) -> None:
+        """Drop the session-tier entry (lake copy stays durable)."""
+        df = self._session.pop(name, None)
+        if df is not None:
+            df.unpersist()
+
+    def clear(self) -> None:
+        for name in list(self._session):
+            self.invalidate(name)
 
 
 def records_to_df(spark: SparkSession, records: Sequence[Mapping], schema) -> DataFrame:
