@@ -40,15 +40,20 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos long and
-    is converted here to a microsecond timestamp (truncation — the same
-    thing DuckDB's reader does, so oracle parity holds). The conf is set at
-    read time (it is a runtime-settable SQL conf) so the loader works in ANY
-    session, not just ones built by :func:`session.get_spark` — and the
-    PREVIOUS value is restored afterwards, so the session-global conf is
-    not mutated as a side effect of this read (the schema is resolved
-    while the conf is in force; the restored value does not re-resolve it).
+    ``events.ts`` is normalized to session-zoned TIMESTAMP at this single
+    boundary, whatever the parquet file stores:
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong`` it
+      arrives as a nanos long and is truncated to a microsecond timestamp
+      (the same thing DuckDB's reader does, so oracle parity holds). The
+      conf is set at read time (runtime-settable) so the loader works in
+      ANY session, and the PREVIOUS value is restored afterwards — the
+      session-global conf is not mutated as a side effect of this read
+      (the schema is resolved while the conf is in force).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → ``timestamp_ntz``: cast to
+      TIMESTAMP. Under the engine's UTC session timezone the wall-clock
+      values are identical; downstream event-time code (watermarks, epoch
+      casts) requires the zoned type.
     """
     if name != "events":
         return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -57,8 +62,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set(conf_key, "true")
     try:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     finally:
         if prev is None:
             spark.conf.unset(conf_key)

@@ -28,10 +28,9 @@ def stream_events(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source streaming read of the driver ``events`` table.
 
-    The parquet file carries TIMESTAMP(NANOS) (read as long under
-    ``spark.sql.legacy.parquet.nanosAsLong``); converted to a micros
-    timestamp exactly as the batch loader does, so batch results are the
-    streaming oracle. At scale this is the 'incremental cache-append'
+    ``ts`` is normalized to session-zoned TIMESTAMP exactly as the batch
+    loader does (nanos-long → micros; ntz → cast), so batch results are the
+    streaming oracle and watermarks (which require the zoned type) work. At scale this is the 'incremental cache-append'
     behavior of the reference (pipeline_helpers.py:333-375) — new files in
     the lake path become new micro-batches.
     """
@@ -47,7 +46,10 @@ def stream_events(spark: SparkSession, sf_dir: str,
     import shutil
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    st = os.stat(path)
+    tag = hashlib.md5(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"etl_spark_stream_{tag}")
     staged = os.path.join(stage, "events.parquet")
     if not os.path.exists(staged):
@@ -60,8 +62,11 @@ def stream_events(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stage)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

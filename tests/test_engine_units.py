@@ -303,29 +303,47 @@ def test_asof_join_duplicate_right_modes(spark):
                   value_cols=["v"], duplicates="bogus")
 
 
-def test_load_table_restores_nanos_conf(spark):
+def test_load_table_restores_nanos_conf(spark, tmp_path):
     """load_table('events') must not leave nanosAsLong=true behind: a later
     unrelated nanos-parquet read in the same session would silently get
-    bigint (ADVICE r2). The events frame itself stays correct after the
-    restore (schema captured at read time)."""
+    bigint (ADVICE r2). Self-contained: writes a TIMESTAMP(NANOS) events
+    parquet with pyarrow, so the nanos fallback stays verified even though
+    current driver testdata stores micros (ts arrives timestamp_ntz and the
+    fallback is a no-op there — also asserted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from data_engineering_etl_pipeline_spark.io import load_table
+
+    ns = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        # 1.5 s and 2.000000001 s after epoch, nanosecond precision
+        "ts": pa.array([1_500_000_000, 2_000_000_001], pa.timestamp("ns")),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    })
+    pq.write_table(ns, str(tmp_path / "events.parquet"),
+                   store_schema=False, coerce_timestamps=None)
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.set(key, "false")
-    ev = load_table(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
-                                          "/root/testdata/sf0.001"), "events")
+    ev = load_table(spark, str(tmp_path), "events")
     assert spark.conf.get(key) == "false"       # restored
     assert dict(ev.dtypes)["ts"] == "timestamp"
-    assert ev.count() > 0                       # execution after restore OK
-    # and a direct nanos read in the restored session behaves exactly as in
-    # a fresh conf=false session: Spark 4 rejects TIMESTAMP(NANOS) outright
-    # — the strongest proof the read-time conf did not leak
+    rows = {r["event_id"]: r["ts"] for r in ev.collect()}
+    # nanos truncated to micros (same as DuckDB's reader)
+    assert rows[1].microsecond == 500000 and rows[2].microsecond == 0
+    # a direct nanos read in the restored session behaves exactly as in a
+    # fresh conf=false session: Spark 4 rejects TIMESTAMP(NANOS) outright —
+    # the strongest proof the read-time conf did not leak
     from pyspark.errors.exceptions.captured import AnalysisException
     with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):
-        spark.read.parquet(os.environ.get(
-            "SPARK_GRAFT_TEST_SF_DIR",
-            "/root/testdata/sf0.001") + "/events.parquet").schema
+        spark.read.parquet(str(tmp_path / "events.parquet")).schema
     spark.conf.set(key, "true")  # leave the shared session as get_spark built it
+    # current driver testdata stores micros: loader passes it through intact
+    real = load_table(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                                            "/root/testdata/sf0.001"), "events")
+    assert dict(real.dtypes)["ts"].startswith("timestamp")
+    assert real.count() > 0
 
 
 def test_dedup_clusters_nonconvergence_raises(spark):
