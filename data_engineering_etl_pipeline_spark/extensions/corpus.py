@@ -1,0 +1,94 @@
+"""Corpus-level retrieval & training-shard operators (SURVEY.md §2.11
+extension family): BM25 ranked retrieval and token-budget sequence packing —
+the two ops a training-data pipeline runs between dedup/quality filtering
+and shard writing.
+
+Scale design (the point of both):
+- BM25: the ONLY full-corpus work is a map pass (tokenize + doc length);
+  every shuffle is bounded by the query's term postings, because the
+  exploded token stream is filtered to the query terms BEFORE any exchange.
+- Packing: one window cumsum per hash-shard; shards are independent, so the
+  sort is per-shard (bounded), never global.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_stats import token_count_regex
+
+
+def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 score of every matching document against a bag-of-words
+    query (Robertson-Spärck Jones; the public standard for sparse ranked
+    retrieval). Returns ``(id, bm25)`` for docs matching ≥1 query term,
+    with ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` and the usual
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` term saturation.
+
+    Plan shape: corpus stats (N, avgdl) are ONE map-side-combinable agg over
+    doc lengths (no explode); the token explode is filtered to
+    ``query_terms`` before the tf groupBy, so every exchange after the map
+    pass carries only the query's postings — at 100 TB the data-sized work
+    is one tokenize scan, and a 10-term query shuffles 10 terms' postings,
+    not the corpus.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("__t"))
+    lens = base.select(F.col(id_col), F.size("__t").alias("__dl"))
+    # corpus-level scalars: one tiny agg, joined back as a broadcast row
+    stats = lens.agg(F.count(F.lit(1)).alias("__n"),
+                     F.avg("__dl").alias("__avgdl"))
+    terms = [t.lower() for t in query_terms]
+    tf = (base.select(F.col(id_col), F.size("__t").alias("__dl"),
+                      F.explode("__t").alias("__term"))
+          .filter(F.col("__term").isin(terms))
+          .groupBy(id_col, "__dl", "__term")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    denom = (F.col("__tf")
+             + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+    contrib = idf * F.col("__tf") * (k1 + 1) / denom
+    return (tf.join(F.broadcast(dfreq), "__term")
+            .join(F.broadcast(stats))
+            .select(F.col(id_col), contrib.alias("__c"))
+            .groupBy(id_col)
+            .agg(F.round(F.sum("__c"), 6).alias("bm25")))
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 1024,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   tokens_col: str | None = None) -> DataFrame:
+    """Assign every document to a training pack of ~``budget`` tokens:
+    returns ``(id, n_tokens, shard, pack_id)`` with ``pack_id`` unique
+    across shards. Deterministic: shard = hash(id) mod n_shards; docs pack
+    in id order within their shard at cumulative-token offsets
+    (``pack = floor(exclusive_cumsum / budget)``).
+
+    This is offset packing, the distributed-standard approximation of
+    first-fit: each pack's total is < budget + max_doc_tokens (exact
+    first-fit is inherently sequential — a driver-side loop at any scale).
+    Oversized docs (n_tokens ≥ budget) straddle pack boundaries and should
+    be split/truncated upstream. Plan shape: one map pass for token counts,
+    one per-shard sort-exchange for the cumsum — shards are independent, so
+    the window never sorts globally and skew is bounded by 1/n_shards of
+    the corpus (hash-uniform over ids).
+    """
+    n_tok = (F.col(tokens_col) if tokens_col
+             else token_count_regex(text_col)).alias("n_tokens")
+    base = docs.select(
+        F.col(id_col), n_tok,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_excl = (F.coalesce(F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    pack_in_shard = F.floor(cum_excl / budget)
+    return base.select(
+        F.col(id_col), "n_tokens", "shard",
+        (F.col("shard") * F.lit(1 << 32) + pack_in_shard).alias("pack_id"))

@@ -110,6 +110,17 @@ def test_asof_join_plan_is_joinless_single_shuffle(spark):
     assert shuffles(p) == 1, f"asof grew extra shuffles:\n{p}"
 
 
+@pytest.mark.parametrize("name", ["doc_ngram_jaccard", "doc_minhash_lsh"])
+def test_near_dup_stats_pruned_by_candidate_semi_join(spark, name):
+    """The exact-Jaccard verification stats (per-doc shingle sets) must be
+    pruned to candidate-pair docs via a semi-join BEFORE the per-doc
+    groupBy — without it the stats stage shuffles the whole corpus's
+    shingles by doc_id, the kind of full-relation exchange that dies at
+    100 TB."""
+    p = plan_of(spark, name)
+    assert "LeftSemi" in p, f"{name} lost the candidate-id stats prune:\n{p}"
+
+
 def test_interval_join_plan_equi_join_on_bins(spark):
     """The interval join must be an EQUI join on (key, bin) — never a range
     join (BroadcastNestedLoop/Cartesian), whose intermediate is quadratic
