@@ -62,6 +62,31 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
             .agg(F.round(F.sum("__c"), 6).alias("bm25")))
 
 
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float], key_col: str,
+                      salt: str = "sample-v1") -> DataFrame:
+    """Deterministic per-stratum subsample — the data-mixing primitive
+    (re-weight sources/languages to a target distribution): keep each row
+    with its stratum's probability, decided by an engine-portable content
+    hash of ``key_col`` + salt, NOT an RNG. Same guarantees as the
+    train/val split (queries/text.py doc_train_val_split): stable across
+    reruns and repartitioning, duplicate keys sample identically, map-only
+    at any scale (no shuffle, no driver state). Strata missing from
+    ``fractions`` are dropped (fraction 0.0).
+
+    Hash → uniform: first 8 hex digits of md5 → 32-bit integer, compared
+    against ``fraction × 2^32`` (md5 so a DuckDB/any-engine twin can
+    reproduce the exact sample bit-for-bit).
+    """
+    hv = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
+        1, 8), 16, 10).cast("long")
+    frac = F.lit(0.0)
+    for value, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(frac)
+    return df.filter(hv < frac * F.lit(float(1 << 32)))
+
+
 def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 1024,
                    id_col: str = "doc_id", text_col: str = "text",
                    tokens_col: str | None = None) -> DataFrame:

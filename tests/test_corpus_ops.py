@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_engineering_etl_pipeline_spark.extensions.corpus import (
-    bm25_scores, pack_sequences)
+    bm25_scores, pack_sequences, stratified_sample)
 from data_engineering_etl_pipeline_spark.io import load_table
 from .conftest import SF_DIR, assert_matches_oracle
 
@@ -92,6 +92,41 @@ def test_pack_sequences_matches_duckdb(spark, duck):
         assert_matches_oracle(got, duck, _PACK_SQL, "pack")
     finally:
         duck.unregister("shards")
+
+
+_SAMPLE_SQL = """
+SELECT * FROM documents
+WHERE list_sum(list_transform(range(0, 8), i ->
+        CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || '|mix-v1'),
+                           CAST(i + 1 AS INT), 1)) - 1
+             AS BIGINT) << CAST((7 - i) * 4 AS INT)))
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.0 END
+        * 4294967296
+"""
+
+
+def test_stratified_sample_matches_duckdb(spark, duck):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = stratified_sample(docs, "lang", {"en": 0.5, "de": 1.0}, "doc_id",
+                            salt="mix-v1")
+    assert_matches_oracle(got, duck, _SAMPLE_SQL, "stratified_sample")
+
+
+def test_stratified_sample_is_deterministic_and_proportional(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    args = (docs, "lang", {"en": 0.5, "de": 1.0}, "doc_id")
+    a = stratified_sample(*args).count()
+    b = stratified_sample(*args).count()
+    assert a == b
+    per = {r.lang: r.cnt for r in
+           stratified_sample(*args).groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    full = {r.lang: r.cnt for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(per) <= {"en", "de"}            # unlisted strata dropped
+    assert per["de"] == full["de"]             # fraction 1.0 keeps all
+    assert 0.3 < per["en"] / full["en"] < 0.7  # ~half of en survives
 
 
 def test_pack_totals_bounded(spark):
