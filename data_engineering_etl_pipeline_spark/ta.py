@@ -73,10 +73,64 @@ def _ta_one_asset(pdf: pd.DataFrame, order_cols: list[str], close: str,
     return pdf
 
 
+def _ta_partition(pdf: pd.DataFrame, entity_col: str, order_cols: list[str],
+                  close: str, high: str, low: str) -> pd.DataFrame:
+    """Vectorized partition kernel: all entities of a partition in ONE frame,
+    recurrences via pandas groupby().ewm/rolling/diff/shift (Cython
+    per-group iteration) — bit-identical to ``_ta_one_asset`` per group
+    (pinned by a unit test) without one Arrow batch per entity."""
+    pdf = pdf.sort_values([entity_col, *order_cols]).reset_index(drop=True)
+    ent = pdf[entity_col]
+    c = pdf[close].astype(float)
+
+    def gewm(s: pd.Series, **kw) -> pd.Series:
+        return (s.groupby(ent, sort=False).ewm(adjust=False, **kw).mean()
+                .reset_index(level=0, drop=True))
+
+    # RSI-14 (Wilder)
+    delta = c.groupby(ent, sort=False).diff()
+    gain = delta.clip(lower=0.0)
+    loss = (-delta).clip(lower=0.0)
+    rs = gewm(gain, alpha=1.0 / 14, min_periods=14) \
+        / gewm(loss, alpha=1.0 / 14, min_periods=14)
+    pdf["rsi_14"] = 100.0 - 100.0 / (1.0 + rs)
+
+    # MACD 12/26/9
+    macd = gewm(c, span=12) - gewm(c, span=26)
+    signal = (macd.groupby(ent, sort=False).ewm(span=9, adjust=False).mean()
+              .reset_index(level=0, drop=True))
+    pdf["macd"] = macd
+    pdf["macd_signal"] = signal
+    pdf["macd_hist"] = macd - signal
+
+    # Bollinger 20/2 + width
+    groll = c.groupby(ent, sort=False).rolling(20)
+    mid = groll.mean().reset_index(level=0, drop=True)
+    sd = groll.std().reset_index(level=0, drop=True)
+    pdf["bb_mid"] = mid
+    pdf["bb_upper"] = mid + 2 * sd
+    pdf["bb_lower"] = mid - 2 * sd
+    pdf["bb_width"] = (pdf["bb_upper"] - pdf["bb_lower"]) / mid
+
+    # ATR-14: true range (first row of each entity undefined), Wilder EMA
+    h = pdf[high].astype(float)
+    lo = pdf[low].astype(float)
+    prev_c = c.groupby(ent, sort=False).shift(1)
+    tr = pd.concat([(h - lo), (h - prev_c).abs(), (lo - prev_c).abs()],
+                   axis=1).max(axis=1)
+    tr[ent.ne(ent.shift(1))] = float("nan")
+    pdf["atr_14"] = gewm(tr, alpha=1.0 / 14, min_periods=14)
+    return pdf
+
+
 def ta_features(df: DataFrame, entity_col: str, order_cols: list[str],
                 close: str, high: str | None = None, low: str | None = None) -> DataFrame:
     """Append rsi_14, macd(_signal,_hist), bb_(mid,upper,lower,width), atr_14
-    per entity — one grouped Arrow pass.
+    per entity — one hash-repartition on the entity key, then a vectorized
+    Arrow pass per PARTITION (``mapInPandas`` + pandas groupby recurrences),
+    not one Python call per entity: per-group Arrow framing dominated the
+    kernel cost once entities number in the thousands (same fix as the
+    streaming MACD batch twin, streaming.py).
 
     ``order_cols`` must be a deterministic total order within each entity
     (include a unique tiebreaker — recurrences are order-sensitive, so a
@@ -90,6 +144,18 @@ def ta_features(df: DataFrame, entity_col: str, order_cols: list[str],
            "bb_mid double", "bb_upper double", "bb_lower double", "bb_width double",
            "atr_14 double"]
     )
-    return df.groupBy(entity_col).applyInPandas(
-        lambda pdf: _ta_one_asset(pdf, list(order_cols), close, high, low),
-        schema=out_schema)
+    cols = [f.name for f in df.schema.fields]
+    out_cols = cols + ["rsi_14", "macd", "macd_signal", "macd_hist",
+                       "bb_mid", "bb_upper", "bb_lower", "bb_width", "atr_14"]
+
+    def run_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks)
+        yield _ta_partition(pdf, entity_col, list(order_cols),
+                            close, high, low)[out_cols]
+
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n_parts, entity_col).mapInPandas(
+        run_partition, out_schema)

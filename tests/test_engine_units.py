@@ -86,6 +86,36 @@ def test_ta_kernel_matches_native_bollinger(spark):
     assert (both.bb_mid_kernel - both.bb_mid_native).abs().max() < 1e-9
 
 
+def test_ta_vectorized_equals_per_asset_twin(spark):
+    """The partition-vectorized kernel (mapInPandas + pandas groupby
+    recurrences) must be bit-identical to the per-asset reference fold
+    ``_ta_one_asset`` on every indicator, including NaN placement — OHLC
+    with distinct high/low so ATR's true-range path is exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from data_engineering_etl_pipeline_spark.ta import _ta_one_asset
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(5):
+        close = rng.uniform(50, 150, size=45)
+        for i, c in enumerate(close):
+            rows.append((int(k), int(i), float(c),
+                         float(c + rng.uniform(0, 5)),
+                         float(c - rng.uniform(0, 5))))
+    df = spark.createDataFrame(rows, "k long, i long, close double, high double, low double")
+    got = (ta_features(df, "k", ["i"], "close", "high", "low")
+           .toPandas().sort_values(["k", "i"]).reset_index(drop=True))
+    pdf = pd.DataFrame(rows, columns=["k", "i", "close", "high", "low"])
+    want = (pdf.groupby("k", group_keys=False)
+            .apply(lambda g: _ta_one_asset(g, ["i"], "close", "high", "low"))
+            .sort_values(["k", "i"]).reset_index(drop=True))
+    for c in got.columns:
+        g, w = got[c], want[c]
+        assert ((g == w) | (g.isna() & w.isna())).all(), f"{c} diverged"
+
+
 def test_ta_rsi_constant_series(spark):
     """RSI of a strictly increasing series → 100; constant series → NaN/None
     (zero avg loss)."""
