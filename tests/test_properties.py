@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_etl_pipeline_spark.aggregates import (agg_dict,
                                                             canonical_aggregate)
+from data_engineering_etl_pipeline_spark.relational import asof_join
 from data_engineering_etl_pipeline_spark.streaming import sessionize_batch
 
 SET = settings(max_examples=12, deadline=None,
@@ -122,3 +123,44 @@ def test_agg_dict_last_is_order_insensitive(spark, rows, seed):
                           .collect()))
 
     assert run(data) == run(shuffled)
+
+
+@SET
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+                   min_size=1, max_size=25),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100),
+                              st.one_of(st.none(),
+                                        st.floats(-5, 5, allow_nan=False,
+                                                  width=32))),
+                    min_size=0, max_size=25),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join ≡ pandas merge_asof on randomized frames, including NULL
+    right values (the matched row's null must come through as null, never
+    an older non-null — row-level as-of semantics) and ties on
+    (key, right_time) resolved identically via duplicates='resolve_max'."""
+    ldf = spark.createDataFrame([(k, t) for k, t in lefts], "k long, lt long")
+    rdf = spark.createDataFrame([(k, t, v) for k, t, v in rights],
+                                "k long, rt long, v double")
+    got = sorted(map(tuple,
+                     asof_join(ldf, rdf, "k", "lt", "rt", ["v"],
+                               duplicates="resolve_max")
+                     .select("k", "lt", "v_asof").collect()))
+
+    lp = pd.DataFrame(lefts, columns=["k", "lt"]).sort_values("lt", kind="stable")
+    rp = (pd.DataFrame(rights, columns=["k", "rt", "v"])
+          if rights else pd.DataFrame(columns=["k", "rt", "v"]))
+    # resolve_max tie rule: keep the max value struct per (k, rt) —
+    # nulls sort FIRST (Spark struct ordering treats null as smallest),
+    # and groupby().last() must not skip NaN, so take the last ROW by index
+    rp = (rp.sort_values("v", na_position="first")
+          .groupby(["k", "rt"], as_index=False).nth(-1)
+          if len(rp) else rp)
+    rp = rp.sort_values("rt", kind="stable")
+    rp["rt"] = rp["rt"].astype("int64") if len(rp) else rp["rt"]
+    merged = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k",
+                           direction="backward") if len(rp) else lp.assign(v=None)
+    want = sorted((int(r.k), int(r.lt), None if pd.isna(r.v) else float(r.v))
+                  for r in merged.itertuples())
+    assert got == want
