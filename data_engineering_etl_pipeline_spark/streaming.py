@@ -88,6 +88,30 @@ def windowed_agg(df: DataFrame, ts_col: str, window_len: str,
     )
 
 
+def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
+                 watermark: str = "1 hour",
+                 fingerprint_col: str | None = None) -> DataFrame:
+    """Streaming exact dedup: emit each key's FIRST occurrence, drop
+    replays — the exactly-once ingest-dedup step in front of an append
+    sink (at-least-once sources re-deliver; the lake must not).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``key_cols``
+    and the watermark bounds state: a key older than the watermark horizon
+    is evicted, so state is O(keys per horizon), not O(corpus) — the only
+    shape that survives an unbounded stream. Dedup by content: pass
+    ``fingerprint_col`` naming an expression-derived column (e.g.
+    ``xxhash64(text)``) so the state store carries 8-byte keys, never
+    document bodies. On a batch frame this degrades to plain
+    ``dropDuplicates`` (same keys), so batch output is the streaming
+    oracle for replay-free inputs.
+    """
+    keys = list(key_cols) + ([fingerprint_col] if fingerprint_col else [])
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return (df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def sessionize_batch(df: DataFrame, entity_col: str, ts_col: str,
                      gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization on bounded data: a new session starts when

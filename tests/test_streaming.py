@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from data_engineering_etl_pipeline_spark.io import load_table, snapshot_exists
 from data_engineering_etl_pipeline_spark.streaming import (
-    run_stream_to_memory, sessionize_batch, sessionize_stream, stream_events,
-    windowed_agg)
+    dedup_stream, run_stream_to_memory, sessionize_batch, sessionize_stream,
+    stream_events, windowed_agg)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
@@ -182,3 +182,36 @@ def test_streaming_macd_state_spans_batches(spark, tmp_path):
     cols = ["user_id", "ts", "m", "s"]
     assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
     assert got.count() > 0
+
+
+def test_dedup_stream_drops_replays_across_batches(spark, tmp_path):
+    """At-least-once replay: two micro-batch files sharing 5 rows — the
+    streaming dedup must emit each (user_id, ts) exactly once, matching the
+    batch dropDuplicates twin over the unioned data."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i % 3, base + datetime.timedelta(minutes=i), float(i))
+            for i in range(15)]
+    src = tmp_path / "src"
+    src.mkdir()
+    sdf = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    sdf.filter(F.minute("ts") < 10).coalesce(1).write.parquet(str(src / "a"))
+    sdf.filter(F.minute("ts") >= 5).coalesce(1).write.parquet(str(src / "b"))
+    schema = sdf.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(str(src)))
+    out = dedup_stream(stream, ["user_id", "ts"], "ts", watermark="240 hours")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    q.stop()
+    got = spark.table("dedup_stream_test")
+    union = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    want = dedup_stream(union, ["user_id", "ts"], "ts")   # batch twin
+    assert got.count() == 15
+    cols = ["user_id", "ts", "value"]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
