@@ -167,9 +167,64 @@ def skew_smoke(mult: int) -> int:
     return 0
 
 
+def dedup_smoke(mult: int) -> int:
+    """Dedup-family scaling: inflate documents ``mult``× with a
+    replica-unique suffix on EVERY token, so shingles never match across
+    replicas — naive replication would make every replica of a doc a TRUE
+    near-dup of every other (quadratic pair growth, a degenerate corpus);
+    token-salted replicas keep each original near-dup pair appearing once
+    per replica with its original jaccard, i.e. pairs scale exactly
+    linearly, like a real corpus growing."""
+    from data_engineering_etl_pipeline_spark.io import load_table
+    from data_engineering_etl_pipeline_spark.queries import QUERIES
+    from data_engineering_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("dedup-smoke")
+    out_dir = f"/tmp/etl_spark_scale_smoke/docs_x{mult}"
+    path = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(path):
+        rep = F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(mult - 1).cast("long"))
+        ).alias("__rep")
+        docs = load_table(spark, SRC, "documents").select("*", rep)
+        salted = F.concat_ws(" ", F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.concat(t, F.lit("_"), F.col("__rep"))))
+        docs = (docs
+                .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * KEY_SHIFT)
+                .withColumn("text", F.when(F.col("__rep") == 0, F.col("text"))
+                            .otherwise(salted))
+                .withColumn("n_chars", F.length("text").cast("int"))
+                .drop("__rep"))
+        docs.repartition(32).write.mode("overwrite").parquet(path)
+
+    n_docs = spark.read.parquet(path).count()
+    queries = ["doc_exact_dedup", "doc_ngram_jaccard", "doc_minhash_lsh",
+               "doc_dedup_clusters", "doc_text_stats", "doc_train_val_split"]
+    times: dict[str, float] = {}
+    for name in queries:             # pass 1: warm code
+        QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    for name in queries:             # pass 2: steady state
+        t0 = time.time()
+        QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    n_pairs = QUERIES["doc_ngram_jaccard"](spark, out_dir).count()
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "dedup_smoke_seconds", "multiplier": mult,
+        "documents": n_docs, "ngram_pairs": n_pairs,
+        "value": total, "unit": "sec", "queries": times,
+    }))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         return skew_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    if len(sys.argv) > 1 and sys.argv[1] == "--dedup":
+        return dedup_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     out_dir = f"/tmp/etl_spark_scale_smoke/x{mult}"
     from data_engineering_etl_pipeline_spark.queries import QUERIES
