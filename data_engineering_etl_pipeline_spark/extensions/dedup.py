@@ -82,8 +82,8 @@ def _df_capped_index(sh: DataFrame, id_col: str, max_df: int | None) -> DataFram
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-def _verify_pairs(sh: DataFrame, id_col: str, candidates: DataFrame,
-                  threshold: float) -> DataFrame:
+def _verify_pairs(docs: DataFrame, id_col: str, text_col: str, n: int,
+                  candidates: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over candidate pairs only, via per-doc shingle SETS:
     one groupBy builds ``(set_size, sorted shingle array)`` per doc, the
     (small) candidate list joins it twice, and ``array_intersect`` sizes
@@ -91,27 +91,25 @@ def _verify_pairs(sh: DataFrame, id_col: str, candidates: DataFrame,
     banding produces false-positive candidates that need exact
     verification.
 
-    Versus re-joining the exploded shingle relation on (id, shingle) —
-    the earlier form — this saves a full-relation shuffle plus a pair
-    groupBy: the only data-sized stage left is the per-doc set build, and
-    the per-pair work is a candidate-sized broadcast join. Trade-off: a
-    doc's whole shingle set must fit in one row (fine — shingle sets are
+    The sets are derived from the CANDIDATE docs' raw rows (broadcast
+    semi-join on the candidate id set, then a candidate-sized explode) —
+    only docs that appear in some candidate pair need a shingle set, and
+    in a near-dup regime that is ≪ the corpus, so no corpus-sized shingle
+    relation is shuffled or re-scanned here at all. Trade-off: a doc's
+    whole shingle set must fit in one row (fine — shingle sets are
     document-sized); for adversarially huge docs, cap shingles upstream.
-
-    The set build itself is pruned by a candidate-id semi-join BEFORE the
-    groupBy: only docs that appear in some candidate pair need a shingle
-    set, and in a near-dup regime that is ≪ the corpus — so the stats
-    shuffle carries the candidates' shingles, not 100 TB of everyone's.
-    ``candidates`` is cached here (it feeds the id list twice and the
-    final join)."""
+    ``candidates`` is cached (it feeds the id list twice and the final
+    join)."""
     candidates = candidates.cache()
     cand_ids = (candidates.select(F.col("id_a").alias(id_col))
                 .unionByName(candidates.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    stats = (sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-             .groupBy(id_col).agg(
-                 F.count(F.lit(1)).alias("set_size"),
-                 F.array_sort(F.collect_set("shingle")).alias("sh_set")))
+    cand_sh = word_shingles(
+        docs.join(F.broadcast(cand_ids), id_col, "left_semi"),
+        id_col, text_col, n)
+    stats = (cand_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("set_size"),
+        F.array_sort(F.collect_set("shingle")).alias("sh_set")))
     st_a = stats.select(F.col(id_col).alias("id_a"),
                         F.col("set_size").alias("size_a"),
                         F.col("sh_set").alias("set_a"))
@@ -246,10 +244,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     pairs (a tiny fraction) ever pay the verification join.
     """
     rows = num_perm // bands
-    # NOT cached: sh feeds two passes (signature build, verify's pruned
-    # stats scan), both map-shaped — recomputing the split+explode twice
-    # beats pinning the corpus-sized shingle relation in executor memory,
-    # which is a non-starter at 100 TB.
+    # The signature build is the ONLY corpus-wide shingle pass; the exact
+    # verification below re-derives shingles from the candidate docs alone.
     sh = word_shingles(docs, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_perm)
     band_cols = [
@@ -273,8 +269,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact verification on candidates only (shared with the ngram path).
-    return _verify_pairs(sh, id_col, candidates, threshold)
+    # Exact verification on candidates only: shingles re-derived from the
+    # candidate docs' raw rows (candidate-sized explode, not corpus-sized).
+    return _verify_pairs(docs, id_col, text_col, n, candidates, threshold)
 
 
 def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
