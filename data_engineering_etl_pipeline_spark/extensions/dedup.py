@@ -332,7 +332,10 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     (known-distance recurrence ``d_t ≥ d_{t-1} + d_{t-2}``), so rounds are
     O(log diameter) instead of O(diameter) — on a 100 TB corpus each round
     is a full shuffle-join job, and the jump turns a 20-round chain into
-    ~6. Labels only ever decrease and always name a node in the same
+    ~6. (Pointer jumping is the classic PRAM shortcut of Shiloach-Vishkin
+    1982; the min-label + hashing-to-neighborhood-min shape follows the
+    public MapReduce connected-components family, e.g. Rastogi et al.
+    2013 "Finding Connected Components in Map-Reduce".) Labels only ever decrease and always name a node in the same
     component, so the union-find fixed point is unchanged; the loop stops
     when a full round (adopt + jump) changes nothing, checked with one
     count per round. At a 100 TB corpus the pair list is the small
