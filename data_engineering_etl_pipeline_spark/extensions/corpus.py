@@ -62,6 +62,46 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
             .agg(F.round(F.sum("__c"), 6).alias("bm25")))
 
 
+def lm_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: float = 0.1) -> DataFrame:
+    """Per-document cross-entropy under an add-k-smoothed bigram LM trained
+    on the corpus itself — the perplexity-style quality filter of public
+    LLM-data pipelines (CCNet-fashion: atypical docs score high). Returns
+    ``(id, n_bigrams, xent)``; docs with < 2 tokens get ``xent = NULL``.
+
+    Model: ``P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V)`` with ``C(w1)``
+    summed over the bigram relation and ``V`` = distinct second-position
+    tokens, so the conditional sums to 1 over the vocabulary;
+    ``xent = −mean log P`` over the doc's bigrams.
+
+    Plan shape: ONE bigram explode feeds the two count tables and the
+    scoring join; everything shuffles on token keys (vocabulary-sized
+    aggregates, data-sized scoring join — the unavoidable cost of a
+    corpus-trained LM). No Python anywhere.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    big = docs.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.countDistinct("w2").alias("v"))
+    logp = F.log((F.col("c2") + k) / (F.col("c1") + k * F.col("v")))
+    scored = (big.join(c2, ["w1", "w2"]).join(c1, "w1").join(F.broadcast(v))
+              .groupBy(id_col).agg(
+                  F.count(F.lit(1)).alias("n_bigrams"),
+                  F.round(-F.avg(logp), 6).alias("xent")))
+    return (docs.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "xent"))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict[str, float], key_col: str,
                       salt: str = "sample-v1") -> DataFrame:

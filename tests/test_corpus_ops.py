@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_engineering_etl_pipeline_spark.extensions.corpus import (
-    bm25_scores, pack_sequences, stratified_sample)
+    bm25_scores, lm_cross_entropy, pack_sequences, stratified_sample)
 from data_engineering_etl_pipeline_spark.io import load_table
 from .conftest import SF_DIR, assert_matches_oracle
 
@@ -127,6 +127,47 @@ def test_stratified_sample_is_deterministic_and_proportional(spark):
     assert set(per) <= {"en", "de"}            # unlisted strata dropped
     assert per["de"] == full["de"]             # fraction 1.0 keeps all
     assert 0.3 < per["en"] / full["en"] < 0.7  # ~half of en survives
+
+
+_LM_SQL = """
+WITH big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM c2),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         ROUND(-AVG(LN((c2 + 0.1) / (c1 + 0.1 * v))), 6) AS xent
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.xent
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def test_lm_cross_entropy_matches_duckdb(spark, duck):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = lm_cross_entropy(docs, "doc_id", "text", k=0.1)
+    assert_matches_oracle(got, duck, _LM_SQL, "lm_cross_entropy")
+
+
+def test_lm_cross_entropy_ranks_atypical_text_higher(spark):
+    """A doc of corpus-frequent bigrams must score lower (more typical)
+    than a doc of bigrams seen nowhere else."""
+    rows = ([(i, "the cat sat on the mat") for i in range(10)]
+            + [(100, "zqx wvu klm pqr stv xyz")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.xent for r in
+           lm_cross_entropy(docs, "doc_id", "text").collect()}
+    assert got[100] > got[0]
 
 
 def test_pack_totals_bounded(spark):
