@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from data_engineering_etl_pipeline_spark.aggregates import (agg_dict,
                                                             canonical_aggregate)
-from data_engineering_etl_pipeline_spark.relational import asof_join
+from data_engineering_etl_pipeline_spark.relational import (
+    asof_join, binned_interval_join)
 from data_engineering_etl_pipeline_spark.streaming import sessionize_batch
 
 SET = settings(max_examples=12, deadline=None,
@@ -163,4 +164,44 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
                            direction="backward") if len(rp) else lp.assign(v=None)
     want = sorted((int(r.k), int(r.lt), None if pd.isna(r.v) else float(r.v))
                   for r in merged.itertuples())
+    assert got == want
+
+
+@SET
+@given(
+    intervals=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200),
+                                 st.integers(0, 100)),
+                       min_size=1, max_size=20),
+    points=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300),
+                              st.integers(-5, 5)),
+                    min_size=0, max_size=30),
+)
+def test_binned_interval_join_matches_brute_force(spark, intervals, points):
+    """The binned equi-join must emit exactly the pairs the brute-force
+    (start, end] containment produces, for every bin-width/interval-length
+    relationship the random data generates (intervals shorter, longer, and
+    equal to the bin width; empty point sets; boundary hits)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    ivals = [(i, k, ts(s), ts(s + dur))
+             for i, (k, s, dur) in enumerate(intervals)]
+    pts = [(k, ts(m), float(v)) for k, m, v in points]
+    idf = spark.createDataFrame(
+        ivals, "iid long, k long, s timestamp, e timestamp")
+    pdf_s = spark.createDataFrame(pts, "k long, pt timestamp, v double") \
+        if pts else spark.createDataFrame([], "k long, pt timestamp, v double")
+    got = sorted(map(tuple,
+                     binned_interval_join(idf, pdf_s, key="k", start="s",
+                                          end="e", point_time="pt",
+                                          point_cols=["v"],
+                                          bin_seconds=3600)
+                     .select("iid", "v_pt").collect()))
+    want = sorted((iid, v) for iid, k, s, e in ivals
+                  for (pk, pt, v) in pts
+                  if pk == k and s < pt <= e)
     assert got == want
