@@ -183,3 +183,27 @@ def test_pack_totals_bounded(spark):
     bad = per_pack.filter((F.col("total") >= budget + max_doc)
                           | (F.col("n_shards") != 1)).count()
     assert bad == 0
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_corpus_ops_plans_stay_jvm_side(spark):
+    """BM25 / packing / sampling / LM are pure Catalyst plans — no Python
+    evaluation nodes anywhere (the ops must stream through codegen at
+    100 TB), and the sampler adds no shuffle at all (map-only filter)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (bm25_scores(docs, QUERY),
+               pack_sequences(docs, budget=512, n_shards=8),
+               lm_cross_entropy(docs),
+               stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")):
+        p = _plan(df)
+        assert "Python" not in p and "ArrowEval" not in p, p
+    sample_plan = _plan(stratified_sample(docs, "lang", {"en": 0.5}, "doc_id"))
+    assert "Exchange" not in sample_plan, sample_plan
