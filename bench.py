@@ -30,7 +30,6 @@ BENCH_QUERIES = [
     "customer_order_returns",
     "rolling_price_stats",
     "daily_share_and_rank",
-    "hml_factor",
     "quality_gate_summary",
     "user_sessions",
     "hourly_event_windows",
@@ -45,6 +44,10 @@ BENCH_QUERIES = [
     "doc_text_stats",
     "doc_train_val_split",
     "doc_length_quantiles",
+    "bm25_scores",
+    "lm_cross_entropy",
+    "stratified_sample",
+    "pack_sequences",
     "embedding_cosine_topk",
     "embedding_ivf_full_probe",
     "embedding_near_dup",

@@ -129,7 +129,8 @@ def stratified_sample(df: DataFrame, strata_col: str,
 
 def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 1024,
                    id_col: str = "doc_id", text_col: str = "text",
-                   tokens_col: str | None = None) -> DataFrame:
+                   tokens_col: str | None = None,
+                   portable_shard: bool = False) -> DataFrame:
     """Assign every document to a training pack of ~``budget`` tokens:
     returns ``(id, n_tokens, shard, pack_id)`` with ``pack_id`` unique
     across shards. Deterministic: shard = hash(id) mod n_shards; docs pack
@@ -144,16 +145,37 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 1024,
     one per-shard sort-exchange for the cumsum — shards are independent, so
     the window never sorts globally and skew is bounded by 1/n_shards of
     the corpus (hash-uniform over ids).
+
+    ``portable_shard=True`` derives the shard from md5 (first 8 hex digits
+    mod n_shards) instead of xxhash64 so any engine — e.g. the DuckDB
+    oracle — can reproduce the identical assignment bit-for-bit; the
+    default xxhash64 is the cheaper JVM hash for production.
+
+    Bounds: the cumulative sum and the division are exact int64 (integer
+    ``div``, no double rounding); ``pack_id`` bit-packs shard ≪ 32 |
+    pack_in_shard, which requires < 2^32 packs per shard — i.e. a shard
+    token total under budget·2^32 (~2.2e12 tokens at budget 512). A shard
+    holds 1/n_shards of the corpus, so even a 100 TB corpus (~2.5e13
+    tokens) at the default 1024 shards sits ~5 orders of magnitude under
+    the bound.
     """
     n_tok = (F.col(tokens_col) if tokens_col
              else token_count_regex(text_col)).alias("n_tokens")
-    base = docs.select(
-        F.col(id_col), n_tok,
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"))
+    if portable_shard:
+        shard = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                   16, 10).cast("long"),
+            F.lit(n_shards))
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    base = docs.select(F.col(id_col), n_tok, shard.alias("shard"))
     w = Window.partitionBy("shard").orderBy(id_col)
     cum_excl = (F.coalesce(F.sum("n_tokens").over(
         w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
-    pack_in_shard = F.floor(cum_excl / budget)
-    return base.select(
-        F.col(id_col), "n_tokens", "shard",
-        (F.col("shard") * F.lit(1 << 32) + pack_in_shard).alias("pack_id"))
+    pack_in_shard = F.expr(f"__cum_excl div {int(budget)}")
+    return (base
+            .withColumn("__cum_excl", cum_excl.cast("long"))
+            .select(
+                F.col(id_col), "n_tokens", "shard",
+                (F.col("shard") * F.lit(1 << 32) + pack_in_shard)
+                .alias("pack_id")))

@@ -35,4 +35,4 @@ def register(name: str, oracle: str | None = None):
 # silently-dropped tail (r2 VERDICT finding). Keep len(QUERIES) <= 50 —
 # tests/test_pipeline_e2e.py pins the budget.
 from . import (analytics, core, events, features, joins, pipeline,  # noqa: E402
-               quality, scalars, sqlq, tech, vectors, text)  # noqa: F401
+               quality, scalars, sqlq, tech, vectors, text, corpusq)  # noqa: F401

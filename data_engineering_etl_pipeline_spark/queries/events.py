@@ -97,41 +97,33 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "event_type_freq",
+    "event_type_profile",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY 1
-    """,
-)
-def event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 frequency table (reference value_counts, cg_attributes…py:155)
-    + A5 distinct count (reference nunique, historical_data_etl.py:196) as
-    the per-type distinct-user cardinality in the same hash aggregate. At
-    100 TB swap countDistinct for approx_count_distinct (HLL, map-side
-    combinable) — exact here to match the oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"))
-
-
-@register(
-    "props_json_extract",
-    oracle="""
-    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS null_k
     FROM events GROUP BY 1
     """,
 )
-def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F15 nested-JSON flatten (reference parse_asset_metadata,
-    pipeline_helpers.py:107-156): extract a typed field from a JSON payload
-    column and aggregate it."""
+def event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A7/F15 per-type profile in one registry row (r3 VERDICT
+    consolidation: the former ``event_type_freq`` + ``props_json_extract``
+    rows merged to free slots under the driver's 50-entry cap — same single
+    hash aggregate, one scan instead of two).
+
+    A7 frequency table (reference value_counts, cg_attributes…py:155), A5
+    distinct count (reference nunique, historical_data_etl.py:196 — at
+    100 TB swap countDistinct for approx_count_distinct, HLL map-side
+    combinable; exact here to match the oracle), and F15 nested-JSON
+    flatten (reference parse_asset_metadata, pipeline_helpers.py:107-156):
+    a typed field extracted from the JSON payload and aggregated in the
+    same pass."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
         F.sum(k).alias("sum_k"),
         F.count(F.when(k.isNull(), 1)).alias("null_k"),
     )

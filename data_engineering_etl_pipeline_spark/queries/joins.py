@@ -56,31 +56,62 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "daily_activity_outer",
+    "daily_activity_stitch",
     oracle="""
     WITH od AS (
       SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS order_value
       FROM orders GROUP BY 1
+    ), ship AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS rf,
+             SUM(l_extendedprice) AS sv
+      FROM lineitem GROUP BY 1, 2
+    ), hd AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS rf,
+             SUM(l_extendedprice) AS hv
+      FROM lineitem WHERE l_discount >= 0.05 GROUP BY 1, 2
     ), ld AS (
-      SELECT CAST(l_shipdate AS DATE) AS d, ROUND(SUM(l_extendedprice), 2) AS ship_value
-      FROM lineitem GROUP BY 1
+      SELECT s.d, ROUND(SUM(s.sv), 2) AS ship_value,
+                  ROUND(SUM(h.hv), 2) AS discounted_value
+      FROM ship s LEFT JOIN hd h ON s.d = h.d AND s.rf = h.rf
+      GROUP BY 1
     )
-    SELECT COALESCE(od.d, ld.d) AS d, od.order_value, ld.ship_value
+    SELECT COALESCE(od.d, ld.d) AS d, od.order_value,
+           ld.ship_value, ld.discounted_value
     FROM od FULL OUTER JOIN ld ON od.d = ld.d
     """,
 )
-def daily_activity_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 full-outer date-keyed stitch (reference TVL×DEX outer merge,
-    pipeline_helpers.py:291): daily order value vs daily shipped value."""
+def daily_activity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3/J4 join-shapes suite in one registry row (r3 VERDICT
+    consolidation: the former ``daily_activity_outer`` +
+    ``segment_union_align`` rows merged to free slots under the driver's
+    50-entry cap; the union-align shape now lives in
+    ``scalar_function_suite``).
+
+    Multi-key (date, returnflag) LEFT backfill of the high-discount
+    sub-segment onto the full shipped panel (reference market×onchain
+    left-merges on ['date','coin_id'], pipeline_helpers.py:364-369), rolled
+    up per day, then a FULL OUTER date-keyed stitch against the orders daily
+    series (reference TVL×DEX outer merge, pipeline_helpers.py:291). Sums
+    are exact in double (2-decimal inputs) so the rounded values are
+    summation-order-independent across engines."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     od = (o.groupBy(F.to_date("o_orderdate").alias("d"))
           .agg(F.round(F.sum("o_totalprice"), 2).alias("order_value")))
-    ld = (li.groupBy(F.to_date("l_shipdate").alias("d"))
-          .agg(F.round(F.sum("l_extendedprice"), 2).alias("ship_value")))
+    ship = (li.groupBy(F.to_date("l_shipdate").alias("d"),
+                       F.col("l_returnflag").alias("rf"))
+            .agg(F.sum("l_extendedprice").alias("sv")))
+    hd = (li.filter(F.col("l_discount") >= 0.05)
+          .groupBy(F.to_date("l_shipdate").alias("d"),
+                   F.col("l_returnflag").alias("rf"))
+          .agg(F.sum("l_extendedprice").alias("hv")))
+    ld = (ship.join(hd, ["d", "rf"], "left")
+          .groupBy("d")
+          .agg(F.round(F.sum("sv"), 2).alias("ship_value"),
+               F.round(F.sum("hv"), 2).alias("discounted_value")))
     return (
         od.join(ld, "d", "full_outer")
-        .select("d", "order_value", "ship_value")
+        .select("d", "order_value", "ship_value", "discounted_value")
     )
 
 
@@ -132,34 +163,3 @@ def pit_universe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "segment_union_align",
-    oracle="""
-    WITH unioned AS (
-      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
-      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-      UNION ALL
-      SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
-      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
-    )
-    SELECT (o_totalprice IS NULL) AS missing_price,
-           (o_orderpriority IS NULL) AS missing_priority,
-           COUNT(*) AS n
-    FROM unioned GROUP BY 1, 2
-    """,
-)
-def segment_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1/A11 schema-aligning union (reference pd.concat of heterogeneous
-    per-source frames): two projections with disjoint columns united by
-    name, missing columns null-filled, then profiled."""
-    o = load_table(spark, sf_dir, "orders")
-    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
-    a = o.filter(F.col("o_orderdate") < cutoff).select("o_orderkey", "o_totalprice")
-    b = o.filter(F.col("o_orderdate") >= cutoff).select("o_orderkey", "o_orderpriority")
-    u = a.unionByName(b, allowMissingColumns=True)
-    return (
-        u.groupBy(
-            F.col("o_totalprice").isNull().alias("missing_price"),
-            F.col("o_orderpriority").isNull().alias("missing_priority"),
-        ).agg(F.count(F.lit(1)).alias("n"))
-    )

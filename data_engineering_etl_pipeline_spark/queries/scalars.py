@@ -15,41 +15,26 @@ from . import register
 
 
 @register(
-    "order_date_parts",
+    "scalar_function_suite",
     oracle="""
-    SELECT o_orderkey,
+    SELECT 'orders' AS src, o_orderkey AS row_id,
            CAST(o_orderdate AS DATE) AS d,
            CAST(year(o_orderdate) AS INT) AS yr,
            CAST(month(o_orderdate) AS INT) AS mo,
            CAST(quarter(o_orderdate) AS INT) AS qtr,
            strftime(o_orderdate, '%Y-%m-01') AS month_key,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           NULL AS brand_u, CAST(NULL AS INT) AS name_len,
+           CAST(NULL AS BOOLEAN) AS is_brushed, NULL AS first_word,
+           CAST(NULL AS INT) AS n_vowels, CAST(NULL AS DOUBLE) AS price_round
     FROM orders
-    """,
-)
-def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F6 date normalization family (reference pd.to_datetime().dt
-    pipeline_helpers.py:213,243; month truncation universe…py:153; 'YYYY-MM-01'
-    formatting universe…py:170; epoch arithmetic :223-238). UTC session TZ
-    keeps epoch values oracle-identical."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.to_date("o_orderdate").alias("d"),
-        F.year("o_orderdate").cast("int").alias("yr"),
-        F.month("o_orderdate").cast("int").alias("mo"),
-        F.quarter("o_orderdate").cast("int").alias("qtr"),
-        F.date_format("o_orderdate", "yyyy-MM-01").alias("month_key"),
-        F.trunc("o_orderdate", "MM").alias("month_start"),
-        F.unix_timestamp("o_orderdate").alias("epoch_s"),
-    )
-
-
-@register(
-    "part_string_funcs",
-    oracle="""
-    SELECT p_partkey,
+    UNION ALL
+    SELECT 'part' AS src, p_partkey AS row_id,
+           CAST(NULL AS DATE) AS d, CAST(NULL AS INT) AS yr,
+           CAST(NULL AS INT) AS mo, CAST(NULL AS INT) AS qtr,
+           NULL AS month_key, CAST(NULL AS DATE) AS month_start,
+           CAST(NULL AS BIGINT) AS epoch_s,
            upper(p_brand) AS brand_u,
            CAST(length(p_name) AS INT) AS name_len,
            contains(p_type, 'BRUSHED') AS is_brushed,
@@ -59,14 +44,36 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     """,
 )
-def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8-F12 string/math scalar family: upper, length, substring
-    containment, split-indexing, regex counting, rounding (reference
-    F9-F11: historical_data_etl.py:120, cg_attributes…py:100,
-    test_data_integrity.py:86)."""
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F12/F16 scalar-function suite in one registry row (r3 VERDICT
+    consolidation: the former ``order_date_parts`` + ``part_string_funcs``
+    rows merged to free registry slots under the driver's 50-entry cap).
+
+    Date family on orders (reference pd.to_datetime().dt
+    pipeline_helpers.py:213,243; month truncation universe…py:153;
+    'YYYY-MM-01' formatting universe…py:170; epoch arithmetic :223-238 —
+    UTC session TZ keeps epoch values oracle-identical) united by name with
+    the string/math family on part (upper/length/contains/split-index/regex/
+    round — reference historical_data_etl.py:120, cg_attributes…py:100,
+    test_data_integrity.py:86). The union itself is U1/A11
+    (unionByName(allowMissingColumns=True), the reference's pd.concat of
+    heterogeneous per-source frames with null-filled missing columns)."""
+    o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
+    dates = o.select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").alias("row_id"),
+        F.to_date("o_orderdate").alias("d"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM-01").alias("month_key"),
+        F.trunc("o_orderdate", "MM").alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+    strings = p.select(
+        F.lit("part").alias("src"),
+        F.col("p_partkey").alias("row_id"),
         F.upper("p_brand").alias("brand_u"),
         F.length("p_name").cast("int").alias("name_len"),
         F.col("p_type").contains("BRUSHED").alias("is_brushed"),
@@ -74,6 +81,7 @@ def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("p_name", "[^aeiou]", "")).cast("int").alias("n_vowels"),
         F.round("p_retailprice", 0).alias("price_round"),
     )
+    return dates.unionByName(strings, allowMissingColumns=True)
 
 
 @register(

@@ -33,7 +33,7 @@ QUERY_SET = [
     "canonical_part_agg",
     "rolling_price_stats",
     "daily_share_and_rank",
-    "hml_factor",
+    "hml_lag_compliance",
     "quality_gate_summary",
     "supplier_declarative_agg",
     "sql_nation_revenue",

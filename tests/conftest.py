@@ -51,7 +51,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             if len(nonnull) and isinstance(nonnull.iloc[0], (datetime.date, datetime.datetime)):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             else:
-                df[c] = df[c].astype(str)
+                # Spark None vs DuckDB NaN both mean SQL NULL — stringify
+                # them identically (the driver's value_hash does the same).
+                df[c] = df[c].map(
+                    lambda v: "NULL" if (v is None or (isinstance(v, float)
+                                                       and pd.isna(v)))
+                    else str(v))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 

@@ -18,12 +18,15 @@ from data_engineering_etl_pipeline_spark.queries import QUERIES
 from .conftest import SF_DIR
 
 
-def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_DIR)
+def plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def plan_of(spark, name: str) -> str:
+    return plan_text(QUERIES[name](spark, SF_DIR))
 
 
 def shuffles(plan: str) -> int:
@@ -67,7 +70,6 @@ def test_pit_universe_join_broadcasts_universe(spark):
     "canonical_part_agg",       # A1: ONE hash aggregate, no per-group Python
     "daily_share_and_rank",     # W2+W8 share one per-date exchange
     "rolling_price_stats",      # W5-W7 share one per-entity exchange
-    "hml_factor",               # A10: percent_rank + conditional agg, one exchange
     "doc_exact_dedup",          # exact dedup = one hash-groupBy
     "supplier_declarative_agg", # A2: max_by carries order through partial aggs
 ])
@@ -77,6 +79,16 @@ def test_single_shuffle_operators(spark, name):
     the difference between one pass and two)."""
     p = plan_of(spark, name)
     assert shuffles(p) == 1, f"{name} grew extra shuffles:\n{p}"
+
+
+def test_hml_factor_library_plan_single_shuffle(spark):
+    """A10 long-short factor (library form — its registry row was
+    consolidated into hml_lag_compliance in r4): percent_rank + conditional
+    agg must stay ONE exchange."""
+    from data_engineering_etl_pipeline_spark.queries.analytics import hml_factor
+
+    p = plan_text(hml_factor(spark, SF_DIR))
+    assert shuffles(p) == 1, f"hml_factor grew extra shuffles:\n{p}"
 
 
 def test_feature_matrix_three_shuffles_two_sorts(spark):
