@@ -2,14 +2,15 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched pandas
 UDFs over ``mapInPandas``.
 
-The image decode is REAL for the PPM (P6) container — a codec-free format
-whose header+pixel layout parses in pure Python/numpy — and audio decode is
-real for raw unsigned 8-bit PCM. Compressed formats (JPEG/PNG magic bytes)
-raise ``NotImplementedError``: those codecs are not in this container, and
-the honest stub marks exactly where PIL/ffmpeg plug in. Everything
-Spark-side — schema, partition sizing, UDF signatures, batch shapes — plus
-the PPM/PCM decode itself is therefore value-checkable end-to-end (the
-registry queries carry closed-form DuckDB oracles).
+The decode is REAL for every codec-free container: PPM (P6) images, raw
+unsigned 8-bit PCM audio, and Y4M (YUV4MPEG2 — text header + uncompressed
+YUV frames) video, each parsed in pure Python/numpy. Compressed formats
+(JPEG/PNG magic bytes, MP4/H.264) raise ``NotImplementedError``: those
+codecs are not in this container, and the honest stub marks exactly where
+PIL/ffmpeg plug in. Everything Spark-side — schema, partition sizing, UDF
+signatures, batch shapes — plus the PPM/PCM/Y4M decodes themselves are
+therefore value-checkable end-to-end (the registry queries carry
+closed-form DuckDB oracles).
 
 Scale notes: binary payloads dominate row size → cap
 ``spark.sql.files.maxPartitionBytes`` so a partition of blobs fits executor
@@ -51,10 +52,26 @@ def _pcm_bytes(media_id: int, n: int) -> bytes:
     return ((media_id * 11 + k * 5) % 256).astype(np.uint8).tobytes()
 
 
+def _y4m_bytes(media_id: int, w: int, h: int, n_frames: int) -> bytes:
+    """Deterministic Y4M (YUV4MPEG2) blob, C444 colorspace: payload byte k
+    — counted ACROSS frames, FRAME markers excluded — is
+    ``(id*3 + k*13) % 256``, so frame f (3·w·h bytes) covers
+    k ∈ [f·3wh, (f+1)·3wh) and every frame/global mean is closed-form."""
+    header = f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C444\n".encode()
+    fs = 3 * w * h
+    k = np.arange(n_frames * fs, dtype=np.int64)
+    payload = ((media_id * 3 + k * 13) % 256).astype(np.uint8)
+    parts = [header]
+    for f in range(n_frames):
+        parts.append(b"FRAME\n")
+        parts.append(payload[f * fs:(f + 1) * fs].tobytes())
+    return b"".join(parts)
+
+
 def make_fake_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table: REAL PPM image blobs, real raw
-    u8 PCM audio blobs, stub video payloads — closed-form byte recipes so a
-    SQL oracle can recompute every decoded feature without the blobs."""
+    u8 PCM audio blobs, real Y4M video blobs — closed-form byte recipes so
+    a SQL oracle can recompute every decoded feature without the blobs."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -67,8 +84,9 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
             rows.append((i, kind, bytearray(_pcm_bytes(i, n_samples)),
                          None, None, 16000, None))
         else:
-            rows.append((i, kind, bytearray(bytes((i + k) % 256 for k in range(64))),
-                         None, None, None, 30))
+            w, h, nf = 8 + (i % 5) * 4, 6 + (i % 4) * 2, 30
+            rows.append((i, kind, bytearray(_y4m_bytes(i, w, h, nf)),
+                         w, h, None, nf))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
@@ -102,13 +120,62 @@ def decode_audio(blob: bytes) -> tuple[int, float]:
     return s.size, float(int(s.sum(dtype=np.int64))) / s.size
 
 
+def decode_video(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode one Y4M (YUV4MPEG2) payload → (width, height, frames) with
+    ``frames`` a uint8 array of shape (n_frames, 3·w·h).
+
+    Real parse for the uncompressed Y4M container (text header with
+    W/H/C tags, then ``FRAME``-delimited raw planes); compressed video
+    (MP4/H.264/VP9) needs ffmpeg — not in this container — so any other
+    magic raises the honest NotImplementedError seam, same contract as
+    ``decode_image``. Only the C444 colorspace (full-resolution planes) is
+    parsed; subsampled layouts extend the plane-size arithmetic.
+    """
+    b = bytes(blob)
+    if not b.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "only Y4M (uncompressed YUV) decodes codec-free; MP4/H.264 "
+            "need ffmpeg (not available in this container)")
+    header, rest = b.split(b"\n", 1)
+    w = h = None
+    colorspace = "C420jpeg"  # Y4M default when the C tag is absent
+    for tag in header.split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            colorspace = tag.decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H tags")
+    if colorspace != "C444":
+        raise NotImplementedError(
+            f"Y4M colorspace {colorspace} not supported (C444 only)")
+    frame_size = 3 * w * h
+    frames = []
+    pos = 0
+    while pos < len(rest):
+        nl = rest.index(b"\n", pos)
+        if rest[pos:pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        start = nl + 1
+        px = np.frombuffer(rest[start:start + frame_size], dtype=np.uint8)
+        if px.size != frame_size:
+            raise ValueError(f"Y4M frame payload {px.size} != {frame_size}")
+        frames.append(px)
+        pos = start + frame_size
+    return w, h, np.stack(frames) if frames else np.empty((0, frame_size),
+                                                          dtype=np.uint8)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """``mapInPandas`` feature extraction over binary media columns.
 
     Batches arrive as Arrow-backed pandas frames; each yields one
-    fixed-shape feature row per input row (video decode stays stubbed —
-    ``decode_ok=false`` — until a real frame decoder exists). The iterator
-    shape keeps peak memory to one batch of blobs per task regardless of
+    fixed-shape feature row per input row. All three kinds decode for real
+    (PPM / raw PCM / Y4M); video reports (width, height), total payload
+    bytes as ``n_samples``, and the all-frames mean. The iterator shape
+    keeps peak memory to one batch of blobs per task regardless of
     partition size.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,6 +190,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                     w, h, mv = decode_image(blob)
                 elif kind == "audio":
                     ns, mv = decode_audio(blob)
+                elif kind == "video":
+                    w, h, frames = decode_video(blob)
+                    ns = int(frames.size)
+                    mv = (float(int(frames.sum(dtype=np.int64))) / frames.size
+                          if frames.size else None)
                 else:
                     ok = False
                 out["width"].append(w)
@@ -140,12 +212,49 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: explode a frame-index plan per video
-    row (decode itself stubbed). Shows the row-explosion pattern with
-    bounded fan-out — the shape a real ffmpeg-backed sampler plugs into."""
+    """Video frame-sampling PLAN: explode a frame-index row per video from
+    metadata alone (no blob touched) — the cheap side of the two-step
+    sample: plan rows can be repartitioned/filtered before any decode."""
     videos = media.filter(F.col("kind") == "video")
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
     return videos.select(
         "media_id",
         F.explode(idx).alias("frame_idx"),
     )
+
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_mean double"
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling with REAL decode: every ``every_n``-th frame of
+    each Y4M video row → ``(media_id, frame_idx, frame_mean)``.
+
+    One ``mapInPandas`` pass over the video rows only (the kind filter
+    prunes image/audio blobs before any Python); each task holds one Arrow
+    batch of blobs and emits bounded fan-out (⌈n_frames/every_n⌉ rows per
+    video). A real ffmpeg sampler replaces ``decode_video`` here; the
+    Spark-side shape — filter → mapInPandas → explode-like output — is the
+    production one."""
+    videos = media.filter(F.col("kind") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            means: list[float] = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                _, _, frames = decode_video(blob)
+                for f in range(0, frames.shape[0], every_n):
+                    ids.append(mid)
+                    idxs.append(f)
+                    means.append(
+                        float(int(frames[f].sum(dtype=np.int64)))
+                        / frames[f].size)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_mean": pd.Series(means, dtype="float64"),
+            })
+
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -149,12 +149,17 @@ def supplier_ta_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT media_id,
         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                           ELSE 'video' END AS kind,
-        CASE WHEN media_id % 3 = 0
+        CASE WHEN media_id % 3 <> 1
              THEN CAST(8 + (media_id % 5) * 4 AS INT) END AS width,
-        CASE WHEN media_id % 3 = 0
-             THEN CAST(6 + (media_id % 7) * 2 AS INT) END AS height,
+        CASE WHEN media_id % 3 = 0 THEN CAST(6 + (media_id % 7) * 2 AS INT)
+             WHEN media_id % 3 = 2 THEN CAST(6 + (media_id % 4) * 2 AS INT)
+        END AS height,
         CASE WHEN media_id % 3 = 1
-             THEN CAST(256 + (media_id % 5) * 64 AS BIGINT) END AS n_samples
+             THEN CAST(256 + (media_id % 5) * 64 AS BIGINT)
+             WHEN media_id % 3 = 2
+             THEN CAST(30 * 3 * (8 + (media_id % 5) * 4)
+                       * (6 + (media_id % 4) * 2) AS BIGINT)
+        END AS n_samples
       FROM ids
     )
     SELECT media_id, kind, width, height, n_samples,
@@ -168,20 +173,24 @@ def supplier_ta_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
                      range(0, n_samples),
                      k -> (media_id * 11 + k * 5) % 256)) AS DOUBLE)
                    / n_samples, 6)
+           WHEN kind = 'video' THEN
+             ROUND(CAST(list_sum(list_transform(
+                     range(0, n_samples),
+                     k -> (media_id * 3 + k * 13) % 256)) AS DOUBLE)
+                   / n_samples, 6)
       END AS mean_val,
-      kind <> 'video' AS decode_ok
+      TRUE AS decode_ok
     FROM meta
     """,
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 multimodal decode: binary media columns → mapInPandas feature
-    extraction with a REAL codec-free decoder (PPM header+pixel parse,
-    raw-PCM sample stats; compressed formats stay an honest
-    NotImplementedError stub). The blobs follow closed-form byte recipes,
-    so the oracle recomputes every decoded width/height/sample-count/mean
-    arithmetically — the Spark side must actually parse the bytes to
-    match. Video decode is stubbed (decode_ok=false) until a real frame
-    decoder exists."""
+    extraction with REAL codec-free decoders for all three kinds (PPM
+    header+pixel parse, raw-PCM sample stats, Y4M header+frame parse;
+    compressed formats stay an honest NotImplementedError seam). The blobs
+    follow closed-form byte recipes, so the oracle recomputes every
+    decoded width/height/sample-count/mean arithmetically — the Spark side
+    must actually parse the bytes to match."""
     from ..extensions.multimodal import extract_features, make_fake_media
 
     media = make_fake_media(spark, n=64)
@@ -195,18 +204,29 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_frame_sample",
     oracle="""
-    SELECT CAST(t.i AS BIGINT) AS media_id, CAST(u.f AS INT) AS frame_idx
-    FROM range(64) t(i), UNNEST([0, 10, 20]) u(f)
-    WHERE t.i % 3 = 2
+    WITH v AS (
+      SELECT CAST(t.i AS BIGINT) AS media_id,
+             8 + (t.i % 5) * 4 AS w,
+             6 + (t.i % 4) * 2 AS h
+      FROM range(64) t(i) WHERE t.i % 3 = 2
+    )
+    SELECT media_id, CAST(u.f AS INT) AS frame_idx,
+           ROUND(CAST(list_sum(list_transform(
+                   range(u.f * 3 * w * h, (u.f + 1) * 3 * w * h),
+                   k -> (media_id * 3 + k * 13) % 256)) AS DOUBLE)
+                 / (3 * w * h), 6) AS frame_mean
+    FROM v, UNNEST([0, 10, 20]) u(f)
     """,
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 video frame-sampling plumbing: per-video frame-index explosion
-    with bounded fan-out (stride ``every_n`` over ``n_frames``) — the row
-    shape a real ffmpeg-backed sampler fills in. Oracle: the closed-form
-    index plan (30 frames, stride 10 → {0,10,20} per video row)."""
-    from ..extensions.multimodal import frame_sample_plan, make_fake_media
+    """§2.11 video frame sampling with REAL decode: every 10th Y4M frame's
+    mean, one mapInPandas pass over the video rows only (bounded fan-out —
+    3 sampled frames per 30-frame video). The oracle recomputes each
+    sampled frame's mean from the closed-form payload recipe, so the Spark
+    side must parse the Y4M container, locate the frame, and average the
+    right 3·w·h bytes to match."""
+    from ..extensions.multimodal import make_fake_media, sample_frames
 
     media = make_fake_media(spark, n=64)
-    return frame_sample_plan(media, every_n=10).select(
-        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+    return sample_frames(media, every_n=10).select(
+        "media_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean"))

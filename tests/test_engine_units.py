@@ -175,9 +175,14 @@ def test_multimodal_real_ppm_decode(spark):
             assert row["n_samples"] == n
             assert row["mean_val"] == pytest.approx(want_mean, abs=1e-12)
             assert row["decode_ok"]
-        else:               # video: honestly stubbed
-            assert not row["decode_ok"]
-            assert pd.isna(row["mean_val"])
+        else:               # video: real Y4M parse
+            w, h = 8 + (i % 5) * 4, 6 + (i % 4) * 2
+            n = 30 * 3 * w * h
+            want_mean = sum((i * 3 + k * 13) % 256 for k in range(n)) / n
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["n_samples"] == n
+            assert row["mean_val"] == pytest.approx(want_mean, abs=1e-12)
+            assert row["decode_ok"]
 
 
 def test_multimodal_frame_sample_fanout(spark):
@@ -193,16 +198,42 @@ def test_multimodal_frame_sample_fanout(spark):
     assert set(plan["frame_idx"]) == {0, 10, 20}
 
 
-def test_multimodal_compressed_decode_stub_raises():
-    """JPEG/PNG magic bytes hit the honest NotImplementedError seam where
-    PIL/opencv would plug in; malformed PPM payloads fail loudly too."""
+def test_multimodal_sampled_frame_means_match_recipe(spark):
+    """sample_frames really decodes the Y4M container: every sampled
+    frame's mean equals the closed-form payload recipe."""
     from data_engineering_etl_pipeline_spark.extensions.multimodal import (
-        decode_image)
+        sample_frames)
+
+    media = make_fake_media(spark, n=12)
+    got = sample_frames(media, every_n=10).toPandas()
+    assert set(got["frame_idx"]) == {0, 10, 20}
+    for _, r in got.iterrows():
+        i = int(r["media_id"])
+        w, h = 8 + (i % 5) * 4, 6 + (i % 4) * 2
+        fs = 3 * w * h
+        f = int(r["frame_idx"])
+        want = sum((i * 3 + k * 13) % 256
+                   for k in range(f * fs, (f + 1) * fs)) / fs
+        assert r["frame_mean"] == pytest.approx(want, abs=1e-12)
+
+
+def test_multimodal_compressed_decode_stub_raises():
+    """JPEG/PNG/MP4 magic bytes hit the honest NotImplementedError seams
+    where PIL/opencv/ffmpeg would plug in; malformed payloads fail loudly
+    too."""
+    from data_engineering_etl_pipeline_spark.extensions.multimodal import (
+        decode_image, decode_video)
 
     with pytest.raises(NotImplementedError, match="PPM"):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
     with pytest.raises(ValueError, match="PPM payload"):
         decode_image(b"P6\n4 4\n255\n" + b"\x00" * 7)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_video(b"\x00\x00\x00\x18ftypmp42fakemp4")
+    with pytest.raises(NotImplementedError, match="C444"):
+        decode_video(b"YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="frame payload"):
+        decode_video(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 7)
 
 
 def test_gate_null_prices_kept_not_counted(spark):
