@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 
 VECTOR_DIM = 64  # driver embeddings table dimension (TESTDATA.md)
 
+# Max rows the exact-GEMM path will collect as its broadcast build side
+# (~10M rows × 64 float64 ≈ 5 GB — the same order as a generous
+# spark.sql.autoBroadcastJoinThreshold). Override per-session with
+# spark.sql.graft.blasBroadcastRows.
+_BLAS_BROADCAST_ROWS = 10_000_000
+
 
 def _dot(a, b, dim: int | None = VECTOR_DIM):
     """Vector dot product as a column expression.
@@ -122,10 +128,25 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
     join and falls back to interpreted eval).
 
     Scale note: this is the exact-baseline path — one side must fit in a
-    broadcast. For corpora past that, ``bucket_signatures`` (hyperplane
-    LSH) is the candidate generator; the verification tail is shared.
+    broadcast. The guard below refuses oversized build sides (cheap
+    ``limit(budget+1)`` probe, no full count) instead of collecting toward
+    a driver OOM; for corpora past the budget, ``bucket_signatures``
+    (hyperplane LSH) is the candidate generator; the verification tail is
+    shared.
     """
     spark = v.sparkSession
+    budget = int(spark.conf.get(
+        "spark.sql.graft.blasBroadcastRows", str(_BLAS_BROADCAST_ROWS)))
+    probe = v.select(id_col).limit(budget + 1).count()
+    if probe > budget:
+        raise ValueError(
+            f"_blas_candidate_pairs: build side exceeds the broadcast "
+            f"budget of {budget} rows — the exact GEMM path collects one "
+            "side to the driver like a broadcast join build side. For "
+            "corpora this size, pass bucket_signatures= (e.g. from "
+            "hyperplane_lsh_buckets) so candidates come from an equi-join "
+            "instead; the exact verification tail is identical. (Raise "
+            "spark.sql.graft.blasBroadcastRows to override.)")
     build = v.toPandas()
     ids = build[id_col].to_numpy()
     mat = np.vstack([

@@ -116,6 +116,28 @@ def test_ta_vectorized_equals_per_asset_twin(spark):
         assert ((g == w) | (g.isna() & w.isna())).all(), f"{c} diverged"
 
 
+def test_ta_kernel_chunked_batches_bit_equal(spark):
+    """The kernel's streaming entity chunker (bounded task memory) must be
+    bit-identical across Arrow batch sizes: force tiny batches so entities
+    straddle batch boundaries and the carry-buffer path is exercised."""
+    import pandas as pd
+
+    rows = [(int(k), int(i), 100.0 + ((k * 31 + i * 7) % 23))
+            for k in range(6) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, i long, close double")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")  # 40-row entities span ~6 batches each
+    try:
+        tiny = (ta_features(df, "k", ["i"], "close")
+                .toPandas().sort_values(["k", "i"]).reset_index(drop=True))
+    finally:
+        spark.conf.set(key, old) if old else spark.conf.unset(key)
+    whole = (ta_features(df, "k", ["i"], "close")
+             .toPandas().sort_values(["k", "i"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(tiny, whole)
+
+
 def test_ta_rsi_constant_series(spark):
     """RSI of a strictly increasing series → 100; constant series → NaN/None
     (zero avg loss)."""
@@ -450,3 +472,33 @@ def test_simhash64_invariants(spark):
     assert out[1] == out[2] == out[3]   # order-invariant, deterministic
     assert out[4] == 0                  # token-less (null-text) doc restored
     assert out[5] != out[1]
+
+
+def test_rolling_fingerprint_udf_matches_fold_and_expression(spark):
+    """The vectorized fingerprint (numpy Horner closed form over UTF-32
+    codepoints) must equal both the pure-Python per-char fold and the
+    column-expression form, including unicode beyond the BMP, empty
+    strings, and nulls."""
+    from data_engineering_etl_pipeline_spark.extensions.text_stats import (
+        rolling_fingerprint, rolling_fingerprint_udf)
+
+    rows = [(0, ""), (1, "a"), (2, "hello world"),
+            (3, "Ünïcødé ♜ 中文 𐍈"), (4, None), (5, "x" * 5000)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.fp for r in
+           df.select("id", rolling_fingerprint_udf("text").alias("fp"))
+           .collect()}
+    expr = {r.id: r.fp for r in
+            df.select("id", rolling_fingerprint("text").alias("fp"))
+            .collect()}
+
+    def fold(t):
+        h = 0
+        for ch in (t or ""):
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    for i, t in rows:
+        assert got[i] == fold(t)
+        if t is not None:  # expression form follows SQL null semantics
+            assert expr[i] == fold(t)

@@ -108,3 +108,21 @@ def test_bucketed_near_dup_finds_planted_duplicates(spark):
     assert planted
     for vid in planted:
         assert rows.get((vid, vid + 1000000)) == 1.0
+
+
+def test_blas_exact_path_refuses_oversized_build_side(spark):
+    """The exact-GEMM near-dup path must refuse a build side past the
+    broadcast budget with the bucket_signatures guidance, not collect it
+    toward a driver OOM (r3 VERDICT item 4)."""
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    spark.conf.set("spark.sql.graft.blasBroadcastRows", "10")
+    try:
+        with pytest.raises(ValueError, match="bucket_signatures"):
+            cosine_near_dup_pairs(emb, threshold=0.95).collect()
+    finally:
+        spark.conf.unset("spark.sql.graft.blasBroadcastRows")
