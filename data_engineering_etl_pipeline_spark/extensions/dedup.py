@@ -353,6 +353,20 @@ def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a SUPERSEDED ``localCheckpoint`` snapshot's
+    storage blocks. ``DataFrame.unpersist`` is a CacheManager no-op for
+    checkpoints, so this reaches the checkpointed RDD through the plan
+    (LogicalRDD) — internal API, hence the blanket except: on failure the
+    blocks simply live until the ContextCleaner GCs the RDD, the previous
+    behavior. Only call on snapshots nothing references anymore — a
+    checkpoint has no lineage to recompute from."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (member_id, cluster_id)
@@ -383,6 +397,11 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
              .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint(eager=True))
+    # `snap` tracks the checkpointed snapshot backing `labels`; each round
+    # frees the superseded one as soon as its successor is materialized, so
+    # at most two pair-graph-sized snapshots are ever held (was: every
+    # round's snapshot until session GC).
+    snap = labels
     changed = 0
     for _ in range(max_iter):
         neigh_min = (edges.join(labels, edges["dst"] == labels["node"])
@@ -419,16 +438,24 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                                    F.coalesce(F.col("__jl"), F.col("__l1")))
                            .alias("label")).localCheckpoint(eager=True))
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        # stepped is materialized (eager + the count above): the previous
+        # round's snapshot is now unreferenced — free its blocks.
+        _release_local_checkpoint(snap)
+        snap = stepped
         labels = stepped.select("node", "label")
         if changed == 0:
             break
     if changed != 0:
         # A component deeper than max_iter would return partially-propagated
         # labels — silently wrong clusters. Fail loudly instead.
+        _release_local_checkpoint(edges)
+        _release_local_checkpoint(snap)
         raise RuntimeError(
             f"dedup_clusters: min-label propagation did not converge in "
             f"{max_iter} rounds ({changed} labels still changing) — raise "
             "max_iter (component diameter exceeds it)")
+    # The returned labels read from `snap` alone; the edge snapshot is done.
+    _release_local_checkpoint(edges)
     return labels.select(F.col("node").alias("member_id"),
                          F.col("label").alias("cluster_id"))
 

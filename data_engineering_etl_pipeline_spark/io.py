@@ -37,6 +37,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def require_utc_session(spark: SparkSession) -> None:
+    """Raise unless the session timezone is UTC. The event-time loaders cast
+    ``timestamp_ntz`` → ``timestamp``, which reinterprets the stored
+    wall-clock in the session zone — correct (epoch-preserving, oracle-
+    identical) only under UTC. Failing loudly here beats a silent
+    epoch shift in every downstream watermark/epoch computation."""
+    # no fallback arg: Spark 4 VALIDATES the fallback string, and the key
+    # always resolves (defaults to the JVM zone when unset)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"event-time loading requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the ntz→timestamp cast would shift epochs. "
+            "Build the session via session.get_spark, or set the conf.")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver star-schema table from ``{sf_dir}/{name}.parquet``.
 
@@ -51,12 +67,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       session-global conf is not mutated as a side effect of this read
       (the schema is resolved while the conf is in force).
     - TIMESTAMP(MICROS, isAdjustedToUTC=false) → ``timestamp_ntz``: cast to
-      TIMESTAMP. Under the engine's UTC session timezone the wall-clock
-      values are identical; downstream event-time code (watermarks, epoch
-      casts) requires the zoned type.
+      TIMESTAMP. The cast reads the wall-clock in the SESSION timezone, so
+      it preserves epoch values only under UTC — ``require_utc_session``
+      asserts that instead of silently shifting instants in a caller-built
+      non-UTC session (``get_spark`` pins UTC; a custom session must too).
     """
     if name != "events":
         return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    require_utc_session(spark)
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "true")

@@ -35,6 +35,9 @@ def stream_events(spark: SparkSession, sf_dir: str,
     the lake path become new micro-batches.
     """
     path = os.path.join(sf_dir, "events.parquet")
+    from .io import require_utc_session
+
+    require_utc_session(spark)  # the ntz→timestamp cast below needs UTC
     # Runtime-set so the read works in any session (see io.load_table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -47,12 +50,23 @@ def stream_events(spark: SparkSession, sf_dir: str,
     import tempfile
 
     st = os.stat(path)
-    tag = hashlib.md5(
-        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"etl_spark_stream_{tag}")
+    # Hash the path and the stat SEPARATELY: the path tag identifies all
+    # stagings of this source file across regenerations, so stale siblings
+    # (older mtime/size of the same path) can be removed instead of
+    # orphaning a full parquet copy in /tmp per regeneration.
+    path_tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
+    stat_tag = hashlib.md5(
+        f"{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    stage = os.path.join(tmp, f"etl_spark_stream_{path_tag}_{stat_tag}")
     staged = os.path.join(stage, "events.parquet")
     if not os.path.exists(staged):
+        import glob
+
+        for old in glob.glob(os.path.join(tmp,
+                                          f"etl_spark_stream_{path_tag}_*")):
+            if old != stage:
+                shutil.rmtree(old, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         try:
             os.link(path, staged)
@@ -77,6 +91,15 @@ def windowed_agg(df: DataFrame, ts_col: str, window_len: str,
 
     On a streaming df pass ``watermark`` (e.g. '10 minutes') to bound late
     data state; on batch it is ignored semantically but kept for parity.
+
+    Late-data semantics (engine-verified, pinned in test_streaming.py): the
+    watermark's hard guarantee is one-directional — data within the horizon
+    is never dropped and state for windows past it is evicted. A straggler
+    arriving in the same micro-batch that evicts its window still MERGES
+    before the append-mode emission; only once the window has been evicted
+    at a prior batch boundary are stragglers dropped (counted in
+    ``numRowsDroppedByWatermark``), and an emitted window is never
+    resurrected as a duplicate append row.
     """
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)

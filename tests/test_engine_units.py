@@ -502,3 +502,18 @@ def test_rolling_fingerprint_udf_matches_fold_and_expression(spark):
         assert got[i] == fold(t)
         if t is not None:  # expression form follows SQL null semantics
             assert expr[i] == fold(t)
+
+
+def test_event_loader_requires_utc_session(spark):
+    """The ntz→timestamp cast in the event loaders is epoch-preserving only
+    under a UTC session timezone; a non-UTC session must fail loudly, not
+    silently shift instants relative to the oracle."""
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            load_table(spark, "/root/testdata/sf0.001", "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert load_table(spark, "/root/testdata/sf0.001", "events").count() > 0

@@ -215,3 +215,67 @@ def test_dedup_stream_drops_replays_across_batches(spark, tmp_path):
     assert got.count() == 15
     cols = ["user_id", "ts", "value"]
     assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+
+
+def test_windowed_agg_drops_late_data_after_window_eviction(spark, tmp_path):
+    """Late-data DROP semantics, as the engine actually guarantees them: a
+    straggler whose window has ALREADY been evicted (watermark crossed the
+    window end at a prior batch boundary) is dropped — the finalized window
+    is emitted exactly once with its on-time contents and is never
+    resurrected as a duplicate append row — while the unfiltered batch twin
+    keeps the straggler. (A straggler arriving in the SAME batch that
+    evicts its window still merges; Spark's one-directional guarantee is
+    only that in-horizon data is never dropped.)"""
+    import datetime
+    import os
+
+    schema = "user_id long, ts timestamp, value double"
+
+    def d(h, m=0):
+        return datetime.datetime(2024, 3, 1, h, m)
+
+    batches = [
+        [(1, d(10), 1.0), (1, d(10, 5), 1.0)],  # the 10:00 window
+        [(1, d(12), 1.0)],                      # end of batch: wm -> 11:30
+        [(1, d(12, 30), 1.0)],                  # win 10:00 evicted+emitted
+        [(1, d(10, 10), 100.0)],                # straggler AFTER eviction
+        [(1, d(15), 1.0)],                      # advance wm, flush win 12:00
+    ]
+    stage = tmp_path / "src"
+    stage.mkdir()
+    for i, rows in enumerate(batches):
+        out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        src = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        dst = os.path.join(str(stage), f"{i:02d}.parquet")
+        os.rename(os.path.join(out, src), dst)
+        # file source orders batches by mtime: force arrival order
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    agg = windowed_agg(stream, "ts", "1 hour", watermark="30 minutes")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_drop_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for op in p.get("stateOperators", []))
+    q.stop()
+    rows = (spark.table("late_drop_test")
+            .select(F.col("window.start").alias("ws"), "n_events",
+                    "sum_value").collect())
+    emitted = [(r.ws, r.n_events, r.sum_value) for r in rows]
+    # exactly ONE emission of the 10:00 window, with on-time contents only
+    win10 = [e for e in emitted if e[0] == d(10)]
+    assert win10 == [(d(10), 2, 2.0)]
+    assert dropped == 1  # the straggler was counted as watermark-dropped
+
+    union = spark.read.parquet(str(stage))
+    batch = {r.ws: (r.n_events, r.sum_value) for r in
+             windowed_agg(union, "ts", "1 hour")
+             .select(F.col("window.start").alias("ws"), "n_events",
+                     "sum_value").collect()}
+    assert batch[d(10)] == (3, 102.0)  # batch twin keeps the straggler
