@@ -1,14 +1,19 @@
 """Corpus-level retrieval & training-shard operators (SURVEY.md §2.11
-extension family): BM25 ranked retrieval and token-budget sequence packing —
-the two ops a training-data pipeline runs between dedup/quality filtering
-and shard writing.
+extension family): BM25 ranked retrieval, token-budget sequence packing,
+deterministic data mixing, bigram-LM quality scoring, benchmark
+decontamination, and token-window chunking — the ops a training-data
+pipeline runs between dedup/quality filtering and shard writing.
 
-Scale design (the point of both):
+Scale design:
 - BM25: the ONLY full-corpus work is a map pass (tokenize + doc length);
   every shuffle is bounded by the query's term postings, because the
   exploded token stream is filtered to the query terms BEFORE any exchange.
 - Packing: one window cumsum per hash-shard; shards are independent, so the
   sort is per-shard (bounded), never global.
+- Decontamination: the benchmark side is MB-scale → its distinct n-grams
+  broadcast; the 100 TB corpus side is a map-only explode + broadcast
+  semi-join — the corpus never shuffles.
+- Chunking: map-only explode with bounded fan-out (⌈tokens/stride⌉ rows).
 """
 
 from __future__ import annotations
@@ -179,3 +184,71 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 1024,
                 F.col(id_col), "n_tokens", "shard",
                 (F.col("shard") * F.lit(1 << 32) + pack_in_shard)
                 .alias("pack_id")))
+
+
+def flag_contaminated(docs: DataFrame, benchmark: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      bench_text_col: str = "text", n: int = 13) -> DataFrame:
+    """Test-set decontamination flag: ``(id, contaminated)`` where a doc is
+    contaminated iff it shares at least one word ``n``-gram with the
+    benchmark corpus — the published decontamination recipe of public LLM
+    training pipelines (GPT-3 appendix C's 13-gram overlap; PaLM / Llama
+    report the same n-gram-collision form). Filter with
+    ``.filter(~F.col("contaminated"))`` or keep the flag for audits.
+
+    Plan shape (the scale point): benchmarks are MB-scale while the corpus
+    is the 100 TB side, so the benchmark's DISTINCT shingles broadcast and
+    the corpus pays one map-only shingle explode + broadcast LEFT SEMI join
+    + a distinct on the (tiny) hit-id set — no corpus-sized shuffle
+    anywhere. Shingling is shared with the near-dup family
+    (dedup.word_shingles), so the tokenization semantics match exactly.
+    """
+    from .dedup import word_shingles
+
+    doc_sh = word_shingles(docs, id_col, text_col, n)
+    bench_sh = (word_shingles(
+        benchmark.select(F.lit(0).alias("__bid"),
+                         F.col(bench_text_col).alias("__bt")),
+        "__bid", "__bt", n)
+        .select("shingle").distinct())
+    hit_ids = (doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+               .select(id_col).distinct())
+    return (docs.select(id_col)
+            .join(hit_ids.withColumn("__c", F.lit(True)), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("__c", F.lit(False)).alias("contaminated")))
+
+
+def chunk_documents(docs: DataFrame, window: int = 512, stride: int = 384,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunks for training:
+    ``(id, chunk_idx, n_tokens, chunk_text)`` — the long-document split
+    that precedes packing (window > stride ⇒ ``window − stride`` tokens of
+    overlap carry context across chunk boundaries).
+
+    Every token lands in ≥1 chunk: starts are ``1 + k·stride`` for
+    ``k = 0 .. ⌈(n_tok − window)/stride⌉`` (the last window is short when
+    the tail is), and a doc shorter than one window yields exactly one
+    chunk. Map-only: split + sequence + explode + slice, fan-out bounded
+    by ⌈n_tok/stride⌉ — no shuffle, streams through a 100 TB scan. The
+    construction is SQL-expressible, so DuckDB oracles can verify it
+    bit-for-bit.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(toks)
+    overflow = F.greatest(n_tok - window, F.lit(0))
+    # ceil(overflow/stride) in exact integer arithmetic
+    last_start = (F.floor((overflow + stride - 1) / stride) * stride + 1
+                  ).cast("int")
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    return (docs.select(F.col(id_col), toks.alias("__t"),
+                        F.posexplode(starts).alias("chunk_idx", "__s"))
+            .select(
+                F.col(id_col), "chunk_idx",
+                F.least(F.lit(window),
+                        F.size("__t") - F.col("__s") + 1).alias("n_tokens"),
+                F.concat_ws(" ", F.slice("__t", F.col("__s"), window))
+                .alias("chunk_text")))

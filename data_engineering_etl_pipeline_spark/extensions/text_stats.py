@@ -167,3 +167,48 @@ def rolling_fingerprint_udf(text: str | Column, mod: int = 1_000_000_007,
 
     t = F.col(text) if isinstance(text, str) else text
     return poly(t)
+
+
+def duplicate_line_fraction(text: str | Column) -> Column:
+    """Fraction of a doc's lines that are repeats of an earlier line — the
+    Gopher/MassiveText within-document repetition filter (docs dominated by
+    repeated lines are boilerplate/spam). Pure array expressions: 1 −
+    distinct/total over the newline split; single-line docs score 0.0."""
+    t = F.col(text) if isinstance(text, str) else text
+    lines = F.split(t, r"\n")
+    n = F.size(lines)
+    return F.when(n > 0,
+                  1.0 - F.size(F.array_distinct(lines)) / n
+                  ).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(text: str | Column, n: int = 2) -> Column:
+    """Fraction of a doc's word ``n``-grams occupied by its single most
+    frequent n-gram — the Gopher "top n-gram fraction" repetition signal
+    (a high value means one phrase dominates the document).
+
+    Computed entirely in array expressions so it streams through the scan
+    with no shuffle and no Python: build n-grams, ``array_sort``, then one
+    ``aggregate`` fold counting the longest run of equal neighbors (the
+    mode count of a sorted array). Docs with no n-grams score 0.0.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(t), r"\s+")
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_sort(F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)])))
+    zero = F.lit(0).cast("int")
+    state = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                     zero.alias("best"))
+    run = lambda acc, x: F.when(  # noqa: E731
+        x == acc["prev"], (acc["run"] + 1).cast("int")).otherwise(F.lit(1).cast("int"))
+    fold = F.aggregate(
+        grams, state,
+        lambda acc, x: F.struct(
+            x.alias("prev"), run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).cast("int").alias("best")))
+    best = fold["best"]
+    return F.when(F.size(grams) > 0, best / F.size(grams)).otherwise(F.lit(0.0))

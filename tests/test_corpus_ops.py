@@ -207,3 +207,163 @@ def test_corpus_ops_plans_stay_jvm_side(spark):
         assert "Python" not in p and "ArrowEval" not in p, p
     sample_plan = _plan(stratified_sample(docs, "lang", {"en": 0.5}, "doc_id"))
     assert "Exchange" not in sample_plan, sample_plan
+
+
+_CONTAM_SQL = """
+WITH bench AS (SELECT text FROM documents WHERE doc_id IN (3, 17, 42)),
+bsh AS (
+  SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS s
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM bench),
+       LATERAL (SELECT unnest(range(1, len(t) - 11)) AS i)
+),
+dsh AS (
+  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - 11)) AS i)
+),
+hits AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (s))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def test_flag_contaminated_matches_duckdb(spark, duck):
+    """13-gram decontamination vs a benchmark built from three corpus docs:
+    the flag must hash-match the SQL twin, and every benchmark-source doc
+    must be flagged."""
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        flag_contaminated)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id").isin([3, 17, 42])).select("text")
+    got = flag_contaminated(docs, bench, n=13)
+    assert_matches_oracle(got, duck, _CONTAM_SQL, "flag_contaminated")
+    flagged = {r.doc_id for r in
+               got.filter("contaminated").select("doc_id").collect()}
+    assert {3, 17, 42} <= flagged
+
+
+_CHUNK_SQL = """
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents),
+s AS (
+  SELECT doc_id, tk,
+         (CASE WHEN len(tk) > 64 THEN len(tk) - 64 ELSE 0 END + 47) // 48
+           AS kmax
+  FROM t
+)
+SELECT doc_id, CAST(u.k AS INT) AS chunk_idx,
+       CAST(least(64, len(tk) - (u.k * 48 + 1) + 1) AS INT) AS n_tokens,
+       array_to_string(tk[u.k * 48 + 1 : u.k * 48 + 64], ' ') AS chunk_text
+FROM s, LATERAL (SELECT unnest(range(0, kmax + 1)) AS k) u
+"""
+
+
+def test_chunk_documents_matches_duckdb(spark, duck):
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        chunk_documents)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = chunk_documents(docs, window=64, stride=48)
+    assert_matches_oracle(got, duck, _CHUNK_SQL, "chunk_documents")
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    """Coverage + overlap invariants: chunk token counts sum to
+    n_tok + (chunks−1)·overlap per doc; no chunk exceeds the window; only
+    the last chunk may be shorter than the window."""
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        chunk_documents)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w, s = 64, 48
+    chunks = chunk_documents(docs, window=w, stride=s)
+    n_tok = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
+    per_doc = (chunks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum("n_tokens").alias("tok_sum"),
+                    F.max("n_tokens").alias("max_chunk"))
+               .join(n_tok, "doc_id"))
+    bad = per_doc.filter(
+        (F.col("max_chunk") > w)
+        | (F.col("tok_sum") != F.col("nt")
+           + (F.col("n_chunks") - 1) * (w - s))).count()
+    assert bad == 0
+    short_not_last = (chunks.withColumn(
+        "last_idx", F.max("chunk_idx").over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("doc_id")))
+        .filter((F.col("n_tokens") < w)
+                & (F.col("chunk_idx") != F.col("last_idx"))).count())
+    assert short_not_last == 0
+
+
+_TOP_BIGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t))) AS i)
+), m AS (
+  SELECT doc_id, MAX(c) AS best, SUM(c) AS total
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT d.doc_id, ROUND(COALESCE(m.best * 1.0 / m.total, 0.0), 6) AS frac
+FROM documents d LEFT JOIN m USING (doc_id)
+"""
+
+
+def test_top_ngram_fraction_matches_duckdb_mode(spark, duck):
+    """The array-fold mode count (longest equal-neighbor run of the sorted
+    n-gram array) must equal a groupBy-computed mode in SQL on the real
+    corpus."""
+    from data_engineering_etl_pipeline_spark.extensions.text_stats import (
+        top_ngram_fraction)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = docs.select(
+        "doc_id", F.round(top_ngram_fraction("text", 2), 6).alias("frac"))
+    assert_matches_oracle(got, duck, _TOP_BIGRAM_SQL, "top_ngram_fraction")
+
+
+def test_repetition_metrics_hand_cases(spark):
+    from data_engineering_etl_pipeline_spark.extensions.text_stats import (
+        duplicate_line_fraction, top_ngram_fraction)
+
+    rows = [(0, "a\nb\na\na"),        # 4 lines, 2 distinct -> 0.5
+            (1, "x y x y x y"),       # bigram 'x y' 3 of 5 -> 0.6
+            (2, "solo"),              # no bigrams -> 0.0; one line -> 0.0
+            (3, "unique lines\nonly here")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.dl, r.tg) for r in df.select(
+        "id",
+        F.round(duplicate_line_fraction("text"), 6).alias("dl"),
+        F.round(top_ngram_fraction("text", 2), 6).alias("tg")).collect()}
+    assert got[0][0] == 0.5
+    assert got[1][1] == 0.6
+    assert got[2] == (0.0, 0.0)
+    assert got[3][0] == 0.0
+
+
+def test_corpus_prep_plans_stay_jvm_side(spark):
+    """Decontamination, chunking, and repetition metrics are pure Catalyst
+    plans (no Python nodes); the corpus side of decontamination must join
+    the benchmark shingles as a BROADCAST (the corpus never shuffles)."""
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        chunk_documents, flag_contaminated)
+    from data_engineering_etl_pipeline_spark.extensions.text_stats import (
+        duplicate_line_fraction, top_ngram_fraction)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") < 3).select("text")
+    flag = flag_contaminated(docs, bench, n=13)
+    for df in (flag, chunk_documents(docs, 64, 48),
+               docs.select(duplicate_line_fraction("text"),
+                           top_ngram_fraction("text", 2))):
+        p = _plan(df)
+        assert "Python" not in p and "ArrowEval" not in p, p
+    p = _plan(flag)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
