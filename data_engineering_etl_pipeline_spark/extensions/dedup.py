@@ -391,10 +391,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     relation here (near-dups are rare) — this never touches the full
     corpus.
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .unionByName(pairs.select(F.col(id_b).alias("src"),
-                                       F.col(id_a).alias("dst")))
+    # The symmetrization union references `pairs` TWICE — without a cache
+    # the whole upstream pair-generation plan (shingle explode, self-join,
+    # verification) would execute once per branch. The pair relation is
+    # near-dup-sized (tiny), so cache it for the one eager materialization
+    # and release immediately after the checkpoint pins the edges.
+    pairs_c = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = (pairs_c.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs_c.select(F.col(id_b).alias("src"),
+                                         F.col(id_a).alias("dst")))
              .distinct().localCheckpoint(eager=True))
+    pairs_c.unpersist()
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint(eager=True))
     # `snap` tracks the checkpointed snapshot backing `labels`; each round
