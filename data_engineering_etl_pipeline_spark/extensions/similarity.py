@@ -412,3 +412,136 @@ def ivf_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
                                       F.col("ib"), F.col("iq"), dim))
     )
     return _topk(scored, query_id_col, id_col, k)
+
+
+def fit_pq_codebooks(base: DataFrame, vec_col: str = "embedding",
+                     n_subspaces: int = 8, n_codes: int = 16, seed: int = 42,
+                     max_iter: int = 8, sample_size: int = 100_000,
+                     dim: int = VECTOR_DIM) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze, Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search" — the public PQ recipe): the
+    UNIT vector splits into ``n_subspaces`` contiguous sub-vectors; each
+    subspace gets its own ``n_codes``-centroid k-means codebook, trained
+    driver-side in numpy over the same corpus-wide Bernoulli sample as the
+    IVF fit (codebooks are KB-scale; a distributed fit would launch
+    max_iter jobs to compute a few KB). Unit vectors (not raw) so the ADC
+    inner product approximates COSINE.
+    """
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    prepped = with_vec_inv(base, vec_col, "vb", "ib", dim).select("vb", "ib")
+    n_rows = prepped.count()
+    frac = min(1.0, (sample_size * 1.25) / max(n_rows, 1))
+    if frac < 1.0:
+        prepped = prepped.sample(withReplacement=False, fraction=frac,
+                                 seed=seed)
+    sample = prepped.limit(sample_size).toPandas()
+    keep = [(v, inv) for v, inv in zip(sample["vb"], sample["ib"])
+            if v is not None and inv is not None]
+    x = (np.asarray([list(v) for v, _ in keep], dtype=np.float64)
+         * np.asarray([float(i) for _, i in keep])[:, None])
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for j in range(n_subspaces):
+        xs = x[:, j * sub:(j + 1) * sub]
+        k = min(n_codes, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(max_iter):
+            # nearest by L2: argmin ||x−c||² = argmax (x·c − ||c||²/2)
+            d = xs @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]
+            assign = np.argmax(d, axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([list(map(float, c)) for c in cent])
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = VECTOR_DIM) -> DataFrame:
+    """Encode every vector to ``n_subspaces`` codebook indices:
+    ``(id, codes array<int>)`` — at 8 subspaces × 256 codes that is 8 bytes
+    per vector, the ~32× compression that lets a 100 TB embedding store
+    scan memory-resident. Map-only Arrow pass (one small matmul per
+    subspace per batch, codebooks closed over as numpy constants); no
+    shuffle — encoding streams with the scan, same scale shape as the IVF
+    assignment."""
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    n_sub = len(mats)
+    sub = dim // n_sub
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        m = np.vstack([
+            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+            for v in emb
+        ])
+        norms = np.linalg.norm(m, axis=1)
+        m = m / np.where(norms > 0, norms, 1.0)[:, None]
+        codes = np.empty((len(m), n_sub), dtype=np.int32)
+        for j, cb in enumerate(mats):
+            xs = m[:, j * sub:(j + 1) * sub]
+            d = xs @ cb.T - 0.5 * (cb * cb).sum(axis=1)[None, :]
+            codes[:, j] = np.argmax(d, axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(base_codes: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                dim: int = VECTOR_DIM) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, precompute
+    lookup tables ``LUT[j][code] = q̂_subⱼ · codewordⱼ``; a base vector's
+    approximate cosine is then ``Σⱼ LUT[j][codes[j]]`` — table lookups and
+    adds only, never touching the original floats (Jégou et al. 2011 ADC).
+
+    Plan shape: queries are tiny → their LUTs broadcast (numpy closure);
+    ONE ``mapInPandas`` over the codes table scores every (base, query)
+    pair at m adds each — the compressed-domain brute-force scan — and a
+    window keeps the top-k per query. Map-only until the final (tiny)
+    top-k shuffle; composes with IVF (probe lists first, ADC-score the
+    candidates) when even the compressed scan is too much.
+    """
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    n_sub = len(mats)
+    sub = dim // n_sub
+    qrows = (with_vec_inv(queries, vec_col, "vq", "iq", dim)
+             .select(F.col(query_id_col), "vq", "iq").collect())
+    q_ids = np.asarray([r[0] for r in qrows])
+    qm = (np.asarray([list(r["vq"]) for r in qrows], dtype=np.float64)
+          * np.asarray([float(r["iq"]) for r in qrows])[:, None])
+    # luts[q][j][code]: one (n_queries × n_codes) matmul per subspace
+    luts = np.stack([qm[:, j * sub:(j + 1) * sub] @ mats[j].T
+                     for j in range(n_sub)], axis=1)
+
+    out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            codes = np.vstack(pdf["codes"].to_numpy())  # (n, n_sub) int
+            # gather per subspace: (n_queries, n_batch) accumulated
+            s = np.zeros((len(q_ids), len(ids)))
+            for j in range(n_sub):
+                s += luts[:, j, :][:, codes[:, j]]
+            qi, bi = np.indices(s.shape)
+            yield pd.DataFrame({
+                query_id_col: q_ids[qi.ravel()],
+                id_col: ids[bi.ravel()],
+                "adc_score": s.ravel(),
+            })
+
+    scored = base_codes.mapInPandas(score, out_schema)
+    scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(query_id_col, id_col,
+                    F.round("adc_score", 6).alias("adc_score")))

@@ -135,6 +135,45 @@ def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
             .dropDuplicatesWithinWatermark(keys))
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
+                         left_ts: str, right_ts: str,
+                         window_seconds: int = 3600,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: pair every left event with the same
+    key's right events in ``(left_ts, left_ts + window_seconds]`` — the
+    funnel/attribution shape (signup ⋈ clicks-in-the-next-hour) as a TRUE
+    stream-stream join, the §2.9 surface no batch twin replaces when both
+    sides are unbounded.
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so Spark can expire buffered rows: left state is held
+    ``watermark + window`` past the right watermark, right state
+    ``watermark`` past the left's (the documented state-cleanup rule for
+    time-interval stream-stream joins). An unbounded-condition
+    stream-stream join would buffer forever — the time bound IS the scale
+    contract. On batch inputs the identical condition degrades to a plain
+    theta join, so the batch form (or `relational.binned_interval_join`,
+    its skew-immune equi-join twin) is the oracle.
+
+    Column naming: output carries the left columns plus the right's
+    ``value_cols`` suffixed ``_r`` where names collide.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = (right.withWatermark(right_ts, watermark)
+          if right.isStreaming else right)
+    # disambiguate right columns before the condition references them
+    ren = {c: (c + "_r" if c in left.columns else c)
+           for c in right.columns if c != key}
+    rw = rw.select(F.col(key).alias("__rk"),
+                   *[F.col(c).alias(n) for c, n in ren.items()])
+    rts = ren[right_ts]
+    cond = ((F.col(key) == F.col("__rk"))
+            & (F.col(rts) > F.col(left_ts))
+            & (F.col(rts) <= F.col(left_ts)
+               + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")))
+    return lw.join(rw, cond, "inner").drop("__rk")
+
+
 def sessionize_batch(df: DataFrame, entity_col: str, ts_col: str,
                      gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization on bounded data: a new session starts when

@@ -126,3 +126,35 @@ def test_blas_exact_path_refuses_oversized_build_side(spark):
             cosine_near_dup_pairs(emb, threshold=0.95).collect()
     finally:
         spark.conf.unset("spark.sql.graft.blasBroadcastRows")
+
+
+def test_pq_adc_recall_on_planted(spark):
+    """PQ/ADC compressed-domain scan: planted near-dup queries (cosine
+    ≈ 0.99 to their source) must recover the source in the ADC top-k with
+    high recall — 8 subspaces × 16 codes on 64-dim random vectors is a
+    coarse quantizer, so the bar is recall ≥ 0.8 at k=5, not exactness
+    (the exact paths are the oracle-checked queries)."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        fit_pq_codebooks, pq_adc_topk, pq_encode)
+
+    emb, queries, truth = _planted(spark)
+    books = fit_pq_codebooks(emb, n_subspaces=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    got = pq_adc_topk(codes, queries, books, k=K)
+    assert _hits(got, truth) >= 0.8
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """Codes are n_subspaces ints in [0, n_codes); encoding is
+    deterministic across runs (seeded fit, argmax ties stable)."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        fit_pq_codebooks, pq_encode)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = fit_pq_codebooks(emb, n_subspaces=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    a = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    b = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in a.values())

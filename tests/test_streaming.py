@@ -279,3 +279,37 @@ def test_windowed_agg_drops_late_data_after_window_eviction(spark, tmp_path):
              .select(F.col("window.start").alias("ws"), "n_events",
                      "sum_value").collect()}
     assert batch[d(10)] == (3, 102.0)  # batch twin keeps the straggler
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """TRUE stream-stream join (both sides unbounded, watermarked, time-
+    interval condition): signup ⋈ same user's clicks in the next hour must
+    produce exactly the batch theta-join's pairs over the same bounded
+    data. State cleanup needs both watermarks + the interval bound — an
+    unbounded-condition join would buffer forever."""
+    from data_engineering_etl_pipeline_spark.streaming import (
+        interval_join_stream)
+
+    def legs(df):
+        s = (df.filter(F.col("event_type") == "signup")
+             .select("event_id", "user_id", F.col("ts").alias("s_ts")))
+        c = (df.filter(F.col("event_type") == "click")
+             .select("user_id", F.col("ts").alias("c_ts"), "value"))
+        return s, c
+
+    stream = stream_events(spark, SF_DIR)
+    s, c = legs(stream)
+    joined = interval_join_stream(s, c, key="user_id", left_ts="s_ts",
+                                  right_ts="c_ts", window_seconds=3600)
+    run_stream_to_memory(joined, "ss_join_test", output_mode="append")
+    got = spark.table("ss_join_test")
+
+    batch = load_table(spark, SF_DIR, "events")
+    sb, cb = legs(batch)
+    want = interval_join_stream(sb, cb, key="user_id", left_ts="s_ts",
+                                right_ts="c_ts", window_seconds=3600)
+    cols = ["event_id", "user_id", "s_ts", "c_ts", "value"]
+    got = got.select("event_id", "user_id", "s_ts",
+                     F.col("c_ts").alias("c_ts"), "value")
+    assert _collect_sorted(got, cols) == _collect_sorted(want.select(*cols), cols)
+    assert got.count() > 0
