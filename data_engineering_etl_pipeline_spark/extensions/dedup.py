@@ -282,7 +282,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     tok = tokenized_docs(docs, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK)
     sh = shingles_from_tokens(tok, id_col, n)
-    sig = minhash_signatures(sh, id_col, num_perm)
+    # The banding self-join below references the signatures on BOTH sides —
+    # uncached, the whole signature build (corpus shingle pass + 64 min
+    # aggs) would execute twice. Signatures are docs-sized (num_perm longs
+    # per doc — they ARE the compressed representation), so persisting them
+    # is the scale-correct move, unlike persisting the shingle relation.
+    sig = (minhash_signatures(sh, id_col, num_perm)
+           .persist(StorageLevel.MEMORY_AND_DISK))
     band_cols = [
         F.xxhash64(F.concat_ws("_", F.lit(bi), *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]))
         .alias(f"band_{bi}")
