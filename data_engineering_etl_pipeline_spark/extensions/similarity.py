@@ -545,3 +545,63 @@ def pq_adc_topk(base_codes: DataFrame, queries: DataFrame,
             .filter(F.col("__rn") <= k)
             .select(query_id_col, id_col,
                     F.round("adc_score", 6).alias("adc_score")))
+
+
+def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id", n_centroids: int = 16,
+                      nprobe: int = 4, n_subspaces: int = 8,
+                      n_codes: int = 16, seed: int = 42,
+                      dim: int = VECTOR_DIM) -> DataFrame:
+    """IVF-PQ approximate top-k — the Faiss IVFPQ composition, the standard
+    billion-scale ANN layout: the coarse IVF quantizer routes each vector
+    to an inverted list (scan fraction ≈ nprobe/n_centroids), and PQ/ADC
+    scores the candidates in the compressed domain (8 code bytes per
+    vector, table lookups instead of float dot products). This variant
+    quantizes unit vectors directly (no residual encoding — the simpler
+    published form); both stages reuse the standalone IVF and PQ
+    machinery, so their individual contracts (sampled fits, map-only
+    assignment/encoding, equi-join candidates) carry over unchanged.
+    """
+    centroids = fit_ivf_centroids(base, vec_col, n_centroids, seed, dim=dim)
+    books = fit_pq_codebooks(base, vec_col, n_subspaces, n_codes, seed,
+                             dim=dim)
+    codes = pq_encode(base, books, id_col, vec_col, dim)
+    b_assign = _nearest_centroids(base.select(id_col, vec_col), id_col,
+                                  vec_col, centroids, nprobe=1)
+    q_probe = _nearest_centroids(queries.select(query_id_col, vec_col),
+                                 query_id_col, vec_col, centroids,
+                                 nprobe=nprobe)
+    cands = (b_assign.join(F.broadcast(q_probe), "cid")
+             .select(id_col, query_id_col)
+             .filter(F.col(id_col) != F.col(query_id_col)))
+
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    n_sub = len(mats)
+    sub = dim // n_sub
+    qrows = (with_vec_inv(queries, vec_col, "vq", "iq", dim)
+             .select(F.col(query_id_col), "vq", "iq").collect())
+    qm = (np.asarray([list(r["vq"]) for r in qrows], dtype=np.float64)
+          * np.asarray([float(r["iq"]) for r in qrows])[:, None])
+    q_index = {int(r[0]): i for i, r in enumerate(qrows)}
+    luts = np.stack([qm[:, j * sub:(j + 1) * sub] @ mats[j].T
+                     for j in range(n_sub)], axis=1)
+
+    @F.pandas_udf("double")
+    def adc(qids: pd.Series, code_arrs: pd.Series) -> pd.Series:
+        qi = np.asarray([q_index[int(q)] for q in qids])
+        codes_m = np.vstack(code_arrs.to_numpy())
+        s = np.zeros(len(qi))
+        for j in range(n_sub):
+            s += luts[qi, j, codes_m[:, j]]
+        return pd.Series(s)
+
+    scored = (cands.join(codes, id_col)
+              .withColumn("adc_score", adc(F.col(query_id_col),
+                                           F.col("codes"))))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(query_id_col, id_col,
+                    F.round("adc_score", 6).alias("adc_score")))

@@ -158,3 +158,17 @@ def test_pq_encode_shape_and_determinism(spark):
     assert a == b
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
                for c in a.values())
+
+
+def test_ivfpq_recall_on_planted(spark):
+    """The IVF-PQ composition (coarse lists bound the scan, ADC scores the
+    candidates compressed-domain) must still recover planted near-dups:
+    recall compounds both stages' losses, so the bar is ≥ 0.6 at k=5 with
+    nprobe=8 of 16 lists."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        ivfpq_cosine_topk)
+
+    emb, queries, truth = _planted(spark)
+    got = ivfpq_cosine_topk(emb, queries, k=K, n_centroids=16, nprobe=8,
+                            n_subspaces=8, n_codes=16)
+    assert _hits(got, truth) >= 0.6
