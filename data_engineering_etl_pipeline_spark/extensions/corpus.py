@@ -213,8 +213,13 @@ def flag_contaminated(docs: DataFrame, benchmark: DataFrame,
         .select("shingle").distinct())
     hit_ids = (doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
                .select(id_col).distinct())
+    # hit_ids is benchmark-overlap-sized (tiny) — broadcast it so the flag
+    # join is map-side too; without the hint Catalyst's conservative
+    # post-aggregation size estimate can pick a sort-merge join and shuffle
+    # the corpus id set, breaking the 'corpus never shuffles' contract.
     return (docs.select(id_col)
-            .join(hit_ids.withColumn("__c", F.lit(True)), id_col, "left")
+            .join(F.broadcast(hit_ids.withColumn("__c", F.lit(True))),
+                  id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("__c", F.lit(False)).alias("contaminated")))
 

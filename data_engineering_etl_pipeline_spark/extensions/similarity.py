@@ -326,17 +326,37 @@ def fit_ivf_centroids(base: DataFrame, vec_col: str = "embedding",
     one file's distribution (arrival-time / source skew at scale). The
     ``count()`` sizing pass is parquet-metadata-cheap; the 1.25 oversample
     covers Bernoulli variance before the final ``limit`` trim."""
+    x = _sample_unit_matrix(base, vec_col, seed, sample_size, dim)
+    return _fit_ivf_from_matrix(x, n_centroids, seed, max_iter)
+
+
+def _sample_unit_matrix(base: DataFrame, vec_col: str, seed: int,
+                        sample_size: int, dim: int) -> np.ndarray:
+    """Shared training preamble of the IVF and PQ fits: one corpus-wide
+    Bernoulli sample of UNIT vectors as a numpy matrix (codebooks are
+    KB-scale — only a sample is needed). Null and zero-norm vectors are
+    excluded: they have no direction to train on."""
     prepped = with_vec_inv(base, vec_col, "vb", "ib", dim).select("vb", "ib")
     n_rows = prepped.count()
     frac = min(1.0, (sample_size * 1.25) / max(n_rows, 1))
     if frac < 1.0:
         prepped = prepped.sample(withReplacement=False, fraction=frac, seed=seed)
     sample = prepped.limit(sample_size).toPandas()
-    rows = [list(v) * 1 for v, inv in zip(sample["vb"], sample["ib"])
+    keep = [(v, inv) for v, inv in zip(sample["vb"], sample["ib"])
             if v is not None and inv is not None]
-    invs = [float(inv) for v, inv in zip(sample["vb"], sample["ib"])
-            if v is not None and inv is not None]
-    x = np.asarray(rows, dtype=np.float64) * np.asarray(invs)[:, None]
+    x = (np.asarray([list(v) for v, _ in keep], dtype=np.float64)
+         * np.asarray([float(i) for _, i in keep])[:, None])
+    # a zero-norm vector's inverse norm is Inf → one row of Inf/NaN would
+    # poison every k-means mean (NaN centroids → degenerate all-zero
+    # codes); keep only finite, genuinely-unit rows
+    if len(x):
+        x = x[np.isfinite(x).all(axis=1)
+              & (np.linalg.norm(x, axis=1) > 0.5)]
+    return x
+
+
+def _fit_ivf_from_matrix(x: np.ndarray, n_centroids: int, seed: int,
+                         max_iter: int) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     k = min(n_centroids, len(x))
     cent = x[rng.choice(len(x), size=k, replace=False)]
@@ -429,18 +449,14 @@ def fit_pq_codebooks(base: DataFrame, vec_col: str = "embedding",
     """
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    x = _sample_unit_matrix(base, vec_col, seed, sample_size, dim)
+    return _fit_pq_from_matrix(x, n_subspaces, n_codes, seed, max_iter, dim)
+
+
+def _fit_pq_from_matrix(x: np.ndarray, n_subspaces: int, n_codes: int,
+                        seed: int, max_iter: int,
+                        dim: int) -> list[list[list[float]]]:
     sub = dim // n_subspaces
-    prepped = with_vec_inv(base, vec_col, "vb", "ib", dim).select("vb", "ib")
-    n_rows = prepped.count()
-    frac = min(1.0, (sample_size * 1.25) / max(n_rows, 1))
-    if frac < 1.0:
-        prepped = prepped.sample(withReplacement=False, fraction=frac,
-                                 seed=seed)
-    sample = prepped.limit(sample_size).toPandas()
-    keep = [(v, inv) for v, inv in zip(sample["vb"], sample["ib"])
-            if v is not None and inv is not None]
-    x = (np.asarray([list(v) for v, _ in keep], dtype=np.float64)
-         * np.asarray([float(i) for _, i in keep])[:, None])
     rng = np.random.RandomState(seed)
     books: list[list[list[float]]] = []
     for j in range(n_subspaces):
@@ -468,27 +484,63 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     scan memory-resident. Map-only Arrow pass (one small matmul per
     subspace per batch, codebooks closed over as numpy constants); no
     shuffle — encoding streams with the scan, same scale shape as the IVF
-    assignment."""
+    assignment.
+
+    Null and zero-norm vectors encode to NULL codes (they have no cosine
+    direction) — the ADC scorers skip them, matching the exact paths'
+    behavior of surfacing such rows as NULL cosine that never makes top-k.
+    """
     mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
     n_sub = len(mats)
     sub = dim // n_sub
 
     @F.pandas_udf("array<int>")
     def encode(emb: pd.Series) -> pd.Series:
-        m = np.vstack([
-            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
-            for v in emb
-        ])
-        norms = np.linalg.norm(m, axis=1)
-        m = m / np.where(norms > 0, norms, 1.0)[:, None]
-        codes = np.empty((len(m), n_sub), dtype=np.int32)
-        for j, cb in enumerate(mats):
-            xs = m[:, j * sub:(j + 1) * sub]
-            d = xs @ cb.T - 0.5 * (cb * cb).sum(axis=1)[None, :]
-            codes[:, j] = np.argmax(d, axis=1)
-        return pd.Series(list(codes))
+        vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in emb]
+        valid = [i for i, v in enumerate(vals)
+                 if v is not None and v.shape == (dim,)
+                 and np.linalg.norm(v) > 0]
+        out: list = [None] * len(vals)
+        if valid:
+            m = np.vstack([vals[i] for i in valid])
+            m = m / np.linalg.norm(m, axis=1)[:, None]
+            codes = np.empty((len(m), n_sub), dtype=np.int32)
+            for j, cb in enumerate(mats):
+                xs = m[:, j * sub:(j + 1) * sub]
+                d = xs @ cb.T - 0.5 * (cb * cb).sum(axis=1)[None, :]
+                codes[:, j] = np.argmax(d, axis=1)
+            for row_i, i in enumerate(valid):
+                out[i] = codes[row_i]
+        return pd.Series(out)
 
     return df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+
+
+def _query_luts(queries: DataFrame, codebooks: list[list[list[float]]],
+                query_id_col: str, vec_col: str,
+                dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query ADC lookup tables: ``luts[q][j][code] = q̂_subⱼ ·
+    codewordⱼ`` — one (n_queries × n_codes) matmul per subspace, shared by
+    both ADC scorers. Null and zero-norm queries are EXCLUDED (no cosine
+    direction): the exact paths surface them as NULL cosine that sorts
+    last; the PQ paths simply emit no rows for them."""
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    n_sub = len(mats)
+    sub = dim // n_sub
+    qrows = [r for r in
+             (with_vec_inv(queries, vec_col, "vq", "iq", dim)
+              .select(F.col(query_id_col), "vq", "iq").collect())
+             if r["vq"] is not None and r["iq"] is not None]
+    if not qrows:
+        n_codes = max((len(b) for b in codebooks), default=0)
+        return np.asarray([], dtype=np.int64), np.zeros((0, n_sub, n_codes))
+    q_ids = np.asarray([int(r[0]) for r in qrows])
+    qm = (np.asarray([list(r["vq"]) for r in qrows], dtype=np.float64)
+          * np.asarray([float(r["iq"]) for r in qrows])[:, None])
+    luts = np.stack([qm[:, j * sub:(j + 1) * sub] @ mats[j].T
+                     for j in range(n_sub)], axis=1)
+    return q_ids, luts
 
 
 def pq_adc_topk(base_codes: DataFrame, queries: DataFrame,
@@ -506,26 +558,22 @@ def pq_adc_topk(base_codes: DataFrame, queries: DataFrame,
     pair at m adds each — the compressed-domain brute-force scan — and a
     window keeps the top-k per query. Map-only until the final (tiny)
     top-k shuffle; composes with IVF (probe lists first, ADC-score the
-    candidates) when even the compressed scan is too much.
+    candidates) when even the compressed scan is too much. Null-code base
+    rows are skipped; null/zero-norm queries produce no rows (see
+    ``_query_luts``).
     """
-    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    n_sub = len(mats)
-    sub = dim // n_sub
-    qrows = (with_vec_inv(queries, vec_col, "vq", "iq", dim)
-             .select(F.col(query_id_col), "vq", "iq").collect())
-    q_ids = np.asarray([r[0] for r in qrows])
-    qm = (np.asarray([list(r["vq"]) for r in qrows], dtype=np.float64)
-          * np.asarray([float(r["iq"]) for r in qrows])[:, None])
-    # luts[q][j][code]: one (n_queries × n_codes) matmul per subspace
-    luts = np.stack([qm[:, j * sub:(j + 1) * sub] @ mats[j].T
-                     for j in range(n_sub)], axis=1)
+    n_sub = len(codebooks)
+    q_ids, luts = _query_luts(queries, codebooks, query_id_col, vec_col, dim)
 
     out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
 
     def score(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            codes = np.vstack(pdf["codes"].to_numpy())  # (n, n_sub) int
+            keep = pdf["codes"].notna().to_numpy()
+            ids = pdf[id_col].to_numpy()[keep]
+            if not len(ids) or not len(q_ids):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()[keep])  # (n, n_sub)
             # gather per subspace: (n_queries, n_batch) accumulated
             s = np.zeros((len(q_ids), len(ids)))
             for j in range(n_sub):
@@ -560,12 +608,16 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     vector, table lookups instead of float dot products). This variant
     quantizes unit vectors directly (no residual encoding — the simpler
     published form); both stages reuse the standalone IVF and PQ
-    machinery, so their individual contracts (sampled fits, map-only
-    assignment/encoding, equi-join candidates) carry over unchanged.
+    machinery, so their individual contracts (map-only assignment/encoding,
+    equi-join candidates, null/zero-vector exclusion) carry over unchanged
+    — and both fits train from ONE shared corpus sample (not two sampling
+    passes).
     """
-    centroids = fit_ivf_centroids(base, vec_col, n_centroids, seed, dim=dim)
-    books = fit_pq_codebooks(base, vec_col, n_subspaces, n_codes, seed,
-                             dim=dim)
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    x = _sample_unit_matrix(base, vec_col, seed, 100_000, dim)
+    centroids = _fit_ivf_from_matrix(x, n_centroids, seed, max_iter=8)
+    books = _fit_pq_from_matrix(x, n_subspaces, n_codes, seed, 8, dim)
     codes = pq_encode(base, books, id_col, vec_col, dim)
     b_assign = _nearest_centroids(base.select(id_col, vec_col), id_col,
                                   vec_col, centroids, nprobe=1)
@@ -576,19 +628,14 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
              .select(id_col, query_id_col)
              .filter(F.col(id_col) != F.col(query_id_col)))
 
-    mats = [np.asarray(b, dtype=np.float64) for b in books]
-    n_sub = len(mats)
-    sub = dim // n_sub
-    qrows = (with_vec_inv(queries, vec_col, "vq", "iq", dim)
-             .select(F.col(query_id_col), "vq", "iq").collect())
-    qm = (np.asarray([list(r["vq"]) for r in qrows], dtype=np.float64)
-          * np.asarray([float(r["iq"]) for r in qrows])[:, None])
-    q_index = {int(r[0]): i for i, r in enumerate(qrows)}
-    luts = np.stack([qm[:, j * sub:(j + 1) * sub] @ mats[j].T
-                     for j in range(n_sub)], axis=1)
+    n_sub = len(books)
+    q_ids, luts = _query_luts(queries, books, query_id_col, vec_col, dim)
+    q_index = {int(q): i for i, q in enumerate(q_ids)}
 
     @F.pandas_udf("double")
     def adc(qids: pd.Series, code_arrs: pd.Series) -> pd.Series:
+        if not len(qids):
+            return pd.Series([], dtype="float64")
         qi = np.asarray([q_index[int(q)] for q in qids])
         codes_m = np.vstack(code_arrs.to_numpy())
         s = np.zeros(len(qi))
@@ -596,7 +643,13 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
             s += luts[qi, j, codes_m[:, j]]
         return pd.Series(s)
 
-    scored = (cands.join(codes, id_col)
+    valid_q = [int(q) for q in q_ids]
+    if not valid_q:  # every query null/zero-norm → empty result, same schema
+        cands = cands.filter(F.lit(False))
+        valid_q = [-1]
+    scored = (cands.filter(F.col(query_id_col).isin(valid_q))
+              .join(codes, id_col)
+              .filter(F.col("codes").isNotNull())
               .withColumn("adc_score", adc(F.col(query_id_col),
                                            F.col("codes"))))
     w = Window.partitionBy(query_id_col).orderBy(

@@ -117,7 +117,11 @@ def _pow_table(base: int, mod: int, n: int):
     tbl = _POW_CACHE.get(key)
     if tbl is None or len(tbl) < n:
         block = 1 << 11
-        size = max(n, 1 << 12)
+        # geometric growth: without the doubling, docs arriving in
+        # increasing length order would trigger a full rebuild per new
+        # maximum (O(docs × max_len) total instead of O(max_len))
+        have = 0 if tbl is None else len(tbl)
+        size = max(n, 2 * have, 1 << 12)
         small = np.empty(block, dtype=np.int64)
         small[0] = 1
         for k in range(1, block):

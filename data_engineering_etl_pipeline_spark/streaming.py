@@ -63,10 +63,16 @@ def stream_events(spark: SparkSession, sf_dir: str,
     if not os.path.exists(staged):
         import glob
 
-        for old in glob.glob(os.path.join(tmp,
-                                          f"etl_spark_stream_{path_tag}_*")):
-            if old != stage:
-                shutil.rmtree(old, ignore_errors=True)
+        # Only reap stale siblings while NO streaming query is active in
+        # this session — a running query may still read an old staging dir
+        # (its next micro-batch or checkpoint restart would hit
+        # FileNotFound). Orphaning until the next quiet call is the safe
+        # fallback.
+        if not spark.streams.active:
+            for old in glob.glob(
+                    os.path.join(tmp, f"etl_spark_stream_{path_tag}_*")):
+                if old != stage:
+                    shutil.rmtree(old, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         try:
             os.link(path, staged)

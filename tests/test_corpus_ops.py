@@ -367,3 +367,6 @@ def test_corpus_prep_plans_stay_jvm_side(spark):
         assert "Python" not in p and "ArrowEval" not in p, p
     p = _plan(flag)
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    # both the semi-join AND the flag join must broadcast — a sort-merge
+    # join anywhere would shuffle the corpus side
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p

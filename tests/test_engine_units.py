@@ -509,11 +509,12 @@ def test_event_loader_requires_utc_session(spark):
     under a UTC session timezone; a non-UTC session must fail loudly, not
     silently shift instants relative to the oracle."""
     from data_engineering_etl_pipeline_spark.io import load_table
+    from .conftest import SF_DIR
 
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         with pytest.raises(ValueError, match="timeZone=UTC"):
-            load_table(spark, "/root/testdata/sf0.001", "events")
+            load_table(spark, SF_DIR, "events")
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    assert load_table(spark, "/root/testdata/sf0.001", "events").count() > 0
+    assert load_table(spark, SF_DIR, "events").count() > 0

@@ -172,3 +172,35 @@ def test_ivfpq_recall_on_planted(spark):
     got = ivfpq_cosine_topk(emb, queries, k=K, n_centroids=16, nprobe=8,
                             n_subspaces=8, n_codes=16)
     assert _hits(got, truth) >= 0.6
+
+
+def test_pq_paths_handle_null_and_zero_vectors(spark):
+    """Null/zero-norm vectors must not crash or pollute the PQ paths: null
+    base rows encode to NULL codes and never appear in ADC top-k; null
+    queries are excluded (no rows) rather than raising driver-side."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        fit_pq_codebooks, ivfpq_cosine_topk, pq_adc_topk, pq_encode)
+
+    emb, queries, truth = _planted(spark)
+    weird = spark.createDataFrame(
+        [(900001, None), (900002, [0.0] * 64)],
+        "vec_id long, embedding array<double>")
+    base = emb.unionByName(weird, allowMissingColumns=True)
+    books = fit_pq_codebooks(base, n_subspaces=8, n_codes=16)
+    codes = pq_encode(base, books)
+    null_codes = {r.vec_id for r in
+                  codes.filter(F.col("codes").isNull()).collect()}
+    assert {900001, 900002} <= null_codes
+
+    wq = spark.createDataFrame([(999999, None)],
+                               "query_id long, embedding array<double>")
+    got = pq_adc_topk(codes, queries.unionByName(wq), books, k=K)
+    ids = {r.vec_id for r in got.collect()}
+    qids = {r.query_id for r in got.collect()}
+    assert not ({900001, 900002} & ids)   # null base rows never ranked
+    assert 999999 not in qids             # null query emits no rows
+    assert _hits(got, truth) >= 0.8       # real queries unaffected
+
+    got2 = ivfpq_cosine_topk(base, queries.unionByName(wq), k=K,
+                             n_centroids=16, nprobe=8)
+    assert 999999 not in {r.query_id for r in got2.collect()}
