@@ -346,9 +346,11 @@ def _sample_unit_matrix(base: DataFrame, vec_col: str, seed: int,
             if v is not None and inv is not None]
     x = (np.asarray([list(v) for v, _ in keep], dtype=np.float64)
          * np.asarray([float(i) for _, i in keep])[:, None])
-    # a zero-norm vector's inverse norm is Inf → one row of Inf/NaN would
-    # poison every k-means mean (NaN centroids → degenerate all-zero
-    # codes); keep only finite, genuinely-unit rows
+    # The `inv is not None` check above misses SQL NULLs that ride a
+    # float64 pandas column as NaN (a zero-norm vector's null inverse norm
+    # arrives as NaN, not None) — one NaN row would poison every k-means
+    # mean into NaN centroids and degenerate all codes to zero. Keep only
+    # finite, genuinely-unit rows.
     if len(x):
         x = x[np.isfinite(x).all(axis=1)
               & (np.linalg.norm(x, axis=1) > 0.5)]
