@@ -114,7 +114,7 @@ def stratified_sample(df: DataFrame, strata_col: str,
     (re-weight sources/languages to a target distribution): keep each row
     with its stratum's probability, decided by an engine-portable content
     hash of ``key_col`` + salt, NOT an RNG. Same guarantees as the
-    train/val split (queries/text.py doc_train_val_split): stable across
+    train/val split (queries/text.py corpus_split_profile): stable across
     reruns and repartitioning, duplicate keys sample identically, map-only
     at any scale (no shuffle, no driver state). Strata missing from
     ``fractions`` are dropped (fraction 0.0).

@@ -147,3 +147,63 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = corpus.pack_sequences(docs, budget=512, n_shards=8,
                                    portable_shard=True)
     return packed.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@register(
+    "doc_decontamination",
+    oracle="""
+    WITH bench AS (SELECT text FROM documents WHERE doc_id IN (3, 17, 42)),
+    bsh AS (
+      SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS s
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM bench),
+           LATERAL (SELECT unnest(range(1, len(t) - 11)) AS i)
+    ),
+    dsh AS (
+      SELECT doc_id, array_to_string(t[i:i+12], ' ') AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(t) - 11)) AS i)
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (s))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag every corpus doc sharing a word
+    13-gram with a benchmark set (here: three corpus docs stand in for the
+    benchmark, so the flag provably fires). The GPT-3-appendix-C /
+    Llama-report n-gram-collision recipe (extensions/corpus.py
+    flag_contaminated): benchmark shingles broadcast, the corpus side is a
+    map-only explode + broadcast LEFT SEMI — the 100 TB corpus never
+    shuffles (plan pinned in tests/test_corpus_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id").isin([3, 17, 42])).select("text")
+    return corpus.flag_contaminated(docs, bench, n=13)
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM documents),
+    s AS (
+      SELECT doc_id, tk,
+             (CASE WHEN len(tk) > 64 THEN len(tk) - 64 ELSE 0 END + 47) // 48
+               AS kmax
+      FROM t
+    )
+    SELECT doc_id, CAST(u.k AS INT) AS chunk_idx,
+           CAST(least(64, len(tk) - (u.k * 48 + 1) + 1) AS INT) AS n_tokens,
+           array_to_string(tk[u.k * 48 + 1 : u.k * 48 + 64], ' ') AS chunk_text
+    FROM s, LATERAL (SELECT unnest(range(0, kmax + 1)) AS k) u
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48 → 16-token
+    overlap) — the long-document split that precedes packing
+    (extensions/corpus.py chunk_documents). Map-only explode with bounded
+    fan-out ⌈n_tok/stride⌉; every token lands in ≥1 chunk (coverage/overlap
+    invariants unit-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.chunk_documents(docs, window=64, stride=48)

@@ -13,6 +13,16 @@ from ..relational import canonicalize
 from ..taxonomy import classify_scalar_by_keywords
 from . import register
 
+# Precedence-ordered taxonomy over part types (star-schema analog of the
+# reference's crypto category taxonomy, cg_attributes…py:45-80). Classified
+# per-row inside scalar_function_suite (UD5); the former standalone
+# `part_taxonomy` aggregate row was retired in the r4 registry consolidation.
+_PART_TAXONOMY = [
+    ("Premium Metal", ["STEEL", "COPPER"]),
+    ("Coated", ["ANODIZED", "PLATED", "POLISHED"]),
+    ("Finished", ["BRUSHED", "BURNISHED"]),
+]
+
 
 @register(
     "scalar_function_suite",
@@ -27,7 +37,8 @@ from . import register
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
            NULL AS brand_u, CAST(NULL AS INT) AS name_len,
            CAST(NULL AS BOOLEAN) AS is_brushed, NULL AS first_word,
-           CAST(NULL AS INT) AS n_vowels, CAST(NULL AS DOUBLE) AS price_round
+           CAST(NULL AS INT) AS n_vowels, CAST(NULL AS DOUBLE) AS price_round,
+           NULL AS standard_category
     FROM orders
     UNION ALL
     SELECT 'part' AS src, p_partkey AS row_id,
@@ -40,14 +51,27 @@ from . import register
            contains(p_type, 'BRUSHED') AS is_brushed,
            string_split(p_name, ' ')[1] AS first_word,
            CAST(length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS INT) AS n_vowels,
-           round(p_retailprice, 0) AS price_round
+           round(p_retailprice, 0) AS price_round,
+           CASE
+             WHEN contains(p_type, 'STEEL') OR contains(p_type, 'COPPER')
+               THEN 'Premium Metal'
+             WHEN contains(p_type, 'ANODIZED') OR contains(p_type, 'PLATED')
+                  OR contains(p_type, 'POLISHED')
+               THEN 'Coated'
+             WHEN contains(p_type, 'BRUSHED') OR contains(p_type, 'BURNISHED')
+               THEN 'Finished'
+             ELSE 'Other'
+           END AS standard_category
     FROM part
     """,
 )
 def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F12/F16 scalar-function suite in one registry row (r3 VERDICT
-    consolidation: the former ``order_date_parts`` + ``part_string_funcs``
-    rows merged to free registry slots under the driver's 50-entry cap).
+    """F1-F12/F16 scalar-function suite plus the UD5 precedence taxonomy in
+    one registry row (r3/r4 VERDICT consolidation: the former
+    ``order_date_parts`` + ``part_string_funcs`` + ``part_taxonomy`` rows
+    merged to free registry slots under the driver's 50-entry cap; the
+    classifier is checked per-row here — strictly stronger than the retired
+    per-class aggregate).
 
     Date family on orders (reference pd.to_datetime().dt
     pipeline_helpers.py:213,243; month truncation universe…py:153;
@@ -80,6 +104,8 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
         F.length(F.regexp_replace("p_name", "[^aeiou]", "")).cast("int").alias("n_vowels"),
         F.round("p_retailprice", 0).alias("price_round"),
+        classify_scalar_by_keywords("p_type", _PART_TAXONOMY, default="Other")
+        .alias("standard_category"),
     )
     return dates.unionByName(strings, allowMissingColumns=True)
 
@@ -132,42 +158,3 @@ def customer_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Precedence-ordered taxonomy over part types (star-schema analog of the
-# reference's crypto category taxonomy, cg_attributes…py:45-80).
-_PART_TAXONOMY = [
-    ("Premium Metal", ["STEEL", "COPPER"]),
-    ("Coated", ["ANODIZED", "PLATED", "POLISHED"]),
-    ("Finished", ["BRUSHED", "BURNISHED"]),
-]
-
-
-@register(
-    "part_taxonomy",
-    oracle="""
-    SELECT CASE
-             WHEN contains(p_type, 'STEEL') OR contains(p_type, 'COPPER')
-               THEN 'Premium Metal'
-             WHEN contains(p_type, 'ANODIZED') OR contains(p_type, 'PLATED')
-                  OR contains(p_type, 'POLISHED')
-               THEN 'Coated'
-             WHEN contains(p_type, 'BRUSHED') OR contains(p_type, 'BURNISHED')
-               THEN 'Finished'
-             ELSE 'Other'
-           END AS standard_category,
-           COUNT(*) AS n,
-           ROUND(AVG(p_retailprice), 4) AS avg_price
-    FROM part GROUP BY 1
-    """,
-)
-def part_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UD5 precedence classifier as a chained when-expression (first
-    matching bucket wins — reference assign_standard_category,
-    cg_attributes…py:82-103) + profile per class."""
-    p = load_table(spark, sf_dir, "part")
-    cat = classify_scalar_by_keywords("p_type", _PART_TAXONOMY, default="Other")
-    return (
-        p.withColumn("standard_category", cat)
-        .groupBy("standard_category")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
-    )

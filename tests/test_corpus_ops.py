@@ -370,3 +370,32 @@ def test_corpus_prep_plans_stay_jvm_side(spark):
     # both the semi-join AND the flag join must broadcast — a sort-merge
     # join anywhere would shuffle the corpus side
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+_SPLIT_PER_DOC_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         list_sum(list_transform(range(0, 8), i ->
+           CAST(strpos('0123456789abcdef',
+                       substr(md5(text || '|split-v1'), CAST(i + 1 AS INT), 1)) - 1
+                AS BIGINT) << CAST((7 - i) * 4 AS INT))) AS hv
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN hv % 100 < 90 THEN 'train' ELSE 'val' END AS split
+FROM h
+"""
+
+
+def test_train_val_split_per_doc_oracle(spark, duck):
+    """Per-doc twin of the `corpus_split_profile` registry row (the r4
+    consolidation aggregated the driver check to (split, lang) groups; this
+    keeps the doc-level hash assignment oracle-verified)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    hv = F.conv(F.substring(F.md5(F.concat(F.col("text"), F.lit("|split-v1"))),
+                            1, 8), 16, 10).cast("long")
+    got = docs.select(
+        "doc_id", "lang",
+        F.when(hv % 100 < 90, F.lit("train")).otherwise(F.lit("val"))
+         .alias("split"))
+    assert_matches_oracle(got, duck, _SPLIT_PER_DOC_SQL, "train_val_split")
