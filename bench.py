@@ -32,8 +32,7 @@ BENCH_QUERIES = [
     "daily_share_and_rank",
     "quality_gate_summary",
     "user_sessions",
-    "hourly_event_windows",
-    "sliding_event_windows",
+    "event_time_windows",
     "purchase_last_view_asof",
     "signup_click_funnel_1h",
     "user_value_macd",

@@ -15,28 +15,7 @@ from . import register
 
 
 @register(
-    "hourly_event_windows",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time windows (F.window — identical semantics batch vs
-    readStream+watermark; §2.9 extension for the events table)."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = windowed_agg(ev, "ts", "1 hour", keys=["event_type"])
-    return agg.select(
-        F.col("window.start").alias("window_start"),
-        "event_type", "n_events", "sum_value",
-    )
-
-
-@register(
-    "sliding_event_windows",
+    "event_time_windows",
     oracle="""
     WITH grid AS (
       SELECT ts, value,
@@ -49,23 +28,38 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid, UNNEST([cell, cell - INTERVAL 30 MINUTE]) AS u(ws)
       WHERE ts >= u.ws AND ts < u.ws + INTERVAL 60 MINUTE
     )
-    SELECT window_start, COUNT(*) AS n_events,
+    SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS sum_value
-    FROM assigned GROUP BY 1
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, NULL AS event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM assigned GROUP BY 1, 2, 3
     """,
 )
-def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time windows (1 h length, 30 min slide): every event
-    lands in length/slide = 2 windows. ``F.window(ts, '1 hour', '30
-    minutes')`` explodes to the same assignment the oracle builds explicitly
-    from the 30-minute grid — and the identical expression runs on a
-    watermarked stream (§2.9)."""
+def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1 h, keyed by event_type) AND sliding (1 h window / 30 min
+    slide — every event lands in exactly 2 windows) event-time aggregation
+    in one registry row (r4 consolidation of the former
+    ``hourly_event_windows`` + ``sliding_event_windows`` rows; both window
+    families stay independently verified, united by name with a ``kind``
+    tag). ``F.window`` has identical semantics batch vs
+    readStream+watermark (§2.9) — the streaming twin and the late-data-drop
+    contract are pinned in tests/test_streaming.py; the sliding oracle
+    builds the window assignment explicitly from the 30-minute grid."""
     ev = load_table(spark, sf_dir, "events")
-    agg = windowed_agg(ev, "ts", "1 hour", slide="30 minutes")
-    return agg.select(
-        F.col("window.start").alias("window_start"),
-        "n_events", "sum_value",
-    )
+    tumbling = (windowed_agg(ev, "ts", "1 hour", keys=["event_type"])
+                .select(F.lit("tumbling").alias("kind"),
+                        F.col("window.start").alias("window_start"),
+                        "event_type", "n_events", "sum_value"))
+    sliding = (windowed_agg(ev, "ts", "1 hour", slide="30 minutes")
+               .select(F.lit("sliding").alias("kind"),
+                       F.col("window.start").alias("window_start"),
+                       "n_events", "sum_value"))
+    return tumbling.unionByName(sliding, allowMissingColumns=True)
 
 
 @register(

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from ..extensions.dedup import (dedup_clusters, exact_dedup_groups,
                                 minhash_lsh_pairs, ngram_jaccard_pairs,
                                 simhash64_portable)
+from ..extensions.pii import (pii_counts, pii_counts_sql, scrub_pii,
+                              scrub_pii_sql)
 from ..extensions.text_stats import (TOKEN_PATTERN, duplicate_line_fraction,
                                      predict_lang, quality_score,
                                      rolling_fingerprint_udf,
@@ -372,3 +374,57 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", quality_score("text").alias("quality"),
         F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
         F.round(top_ngram_fraction("text", 2), 6).alias("top_bigram_frac"))
+
+
+# Deterministic PII injection: the synthetic documents carry no PII, so the
+# registry row plants addresses/numbers derived from doc_id — identically on
+# both sides — and the masking must remove exactly what the counts found.
+_PII_AUG_SQL = """
+      text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                   || CAST((doc_id * 7) % 250 AS VARCHAR) || '.7'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN ' call 555-867-5309' ELSE '' END
+"""
+
+
+@register(
+    "doc_pii_scrub",
+    oracle="WITH aug AS (\n  SELECT doc_id, " + _PII_AUG_SQL
+    + " AS __t\n  FROM documents\n)\nSELECT doc_id,\n       "
+    + ",\n       ".join(pii_counts_sql("__t"))
+    + ",\n       " + scrub_pii_sql("__t") + " AS scrubbed\nFROM aug",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking (extensions/pii.py): per-doc counts of
+    emails / card numbers / SSNs / IPv4s / phone numbers and the scrubbed
+    text with each match replaced by a typed placeholder — the redaction
+    pass of a training-data pipeline. All native regexp expressions
+    (codegen'd, map-only, no shuffle, no Python); the patterns are
+    RE2-compatible by design so the DuckDB oracle recomputes counts AND
+    masked text bit-for-bit. PII is planted deterministically from doc_id
+    (the synthetic corpus has none), so the row has guaranteed work at
+    every scale factor."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), d.cast("string"), F.lit("@example.com"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" ip 10."), (d % 200).cast("string"), F.lit("."),
+            ((d * 7) % 250).cast("string"), F.lit(".7"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(
+            F.lit(" ssn 123-45-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" card 4111 1111 1111 1111"))
+         .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", aug.alias("__t"))
+    return base.select(
+        "doc_id", *pii_counts("__t"), scrub_pii("__t").alias("scrubbed"))

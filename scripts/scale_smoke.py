@@ -38,7 +38,7 @@ QUERY_SET = [
     "supplier_declarative_agg",
     "sql_nation_revenue",
     "user_sessions",
-    "hourly_event_windows",
+    "event_time_windows",
     "supplier_feature_matrix",
 ]
 
