@@ -522,3 +522,76 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col),
                 F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
     )
+
+
+def duplicate_window_spans(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           width: int = 10) -> DataFrame:
+    """Exact-substring duplicate spans, the distributed form of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): flag every ``width``-token window whose exact text
+    occurs MORE THAN ONCE anywhere in the corpus (across or within docs),
+    then merge overlapping/adjacent flagged windows into maximal duplicated
+    spans per doc. Returns one row per affected doc:
+    ``(id, n_spans, dup_tokens, dup_frac)``.
+
+    The reference formulation (a single-machine suffix array over the
+    concatenated corpus) does not distribute; the standard shuffle-native
+    equivalent is a fingerprint aggregation over all token windows:
+
+    - window generation is a map-only explode of the persisted token
+      projection — one row per token position (the same fan-out as the
+      n-gram shingle index, and like it never persisted);
+    - the window fingerprint is md5 of the window text (hex string) so a
+      SQL oracle can recompute it bit-for-bit cross-engine; the production
+      swap at 100 TB is ``xxhash64(text) + length`` (8-byte shuffle keys,
+      collision-checked by a second exact pass like ``exact_dedup_groups``);
+    - ONE repartition exchange on the fingerprint feeds BOTH the
+      duplicate-count aggregation and the probe side of the flag-back
+      left-semi join (the agg and the join reuse the same hash
+      partitioning, so the window relation shuffles once);
+    - span merging (gaps-and-islands) runs over the FLAGGED subset only —
+      candidate-sized, not corpus-sized — as one per-doc sort window.
+    """
+    w = int(width)
+    if w < 2:
+        raise ValueError("width must be >= 2 (width-1 windows are exact "
+                         "token frequency, not substring duplication)")
+    tok = tokenized_docs(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    n = F.size(F.col("__toks"))
+    starts = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)).otherwise(
+        F.array().cast("array<int>"))
+    wins = (
+        tok.select(F.col(id_col), n.alias("__n"), F.col("__toks"),
+                   F.explode(starts).alias("start"))
+        .withColumn("whash", F.md5(F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("start"), w))))
+        .drop("__toks"))
+    n_parts = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    wins_part = wins.repartition(n_parts, "whash")
+    dup_hashes = (wins_part.groupBy("whash")
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .filter(F.col("__c") > 1).select("whash"))
+    flagged = wins_part.join(dup_hashes, "whash", "left_semi")
+    # Gaps-and-islands: a flagged window starts a new span iff it neither
+    # overlaps nor is adjacent to the previous one (start > prev + w —
+    # exact adjacency merges, the two windows cover contiguous tokens).
+    order = Window.partitionBy(id_col).orderBy("start")
+    isl = (
+        flagged.withColumn("__prev", F.lag("start").over(order))
+        .withColumn("__new", F.when(
+            F.col("__prev").isNull()
+            | (F.col("start") > F.col("__prev") + w), 1).otherwise(0))
+        .withColumn("island", F.sum("__new").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    spans = (isl.groupBy(id_col, "__n", "island")
+             .agg((F.max("start") + w - F.min("start")).alias("cov")))
+    return (
+        spans.groupBy(id_col, "__n")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum("cov").cast("long").alias("dup_tokens"))
+        .withColumn("dup_frac", F.round(F.col("dup_tokens") / F.col("__n"), 6))
+        .select(id_col, "n_spans", "dup_tokens", "dup_frac")
+    )

@@ -38,7 +38,10 @@ _PART_TAXONOMY = [
            NULL AS brand_u, CAST(NULL AS INT) AS name_len,
            CAST(NULL AS BOOLEAN) AS is_brushed, NULL AS first_word,
            CAST(NULL AS INT) AS n_vowels, CAST(NULL AS DOUBLE) AS price_round,
-           NULL AS standard_category
+           NULL AS standard_category,
+           NULL AS segment_canon, CAST(NULL AS DOUBLE) AS bal_or_null,
+           CAST(NULL AS DOUBLE) AS bal_filled,
+           CAST(NULL AS BOOLEAN) AS bal_is_null
     FROM orders
     UNION ALL
     SELECT 'part' AS src, p_partkey AS row_id,
@@ -61,17 +64,41 @@ _PART_TAXONOMY = [
              WHEN contains(p_type, 'BRUSHED') OR contains(p_type, 'BURNISHED')
                THEN 'Finished'
              ELSE 'Other'
-           END AS standard_category
+           END AS standard_category,
+           NULL AS segment_canon, CAST(NULL AS DOUBLE) AS bal_or_null,
+           CAST(NULL AS DOUBLE) AS bal_filled,
+           CAST(NULL AS BOOLEAN) AS bal_is_null
     FROM part
+    UNION ALL
+    SELECT 'customer' AS src, c_custkey AS row_id,
+           CAST(NULL AS DATE) AS d, CAST(NULL AS INT) AS yr,
+           CAST(NULL AS INT) AS mo, CAST(NULL AS INT) AS qtr,
+           NULL AS month_key, CAST(NULL AS DATE) AS month_start,
+           CAST(NULL AS BIGINT) AS epoch_s,
+           NULL AS brand_u, CAST(NULL AS INT) AS name_len,
+           CAST(NULL AS BOOLEAN) AS is_brushed, NULL AS first_word,
+           CAST(NULL AS INT) AS n_vowels, CAST(NULL AS DOUBLE) AS price_round,
+           NULL AS standard_category,
+           COALESCE(CASE c_mktsegment WHEN 'BUILDING' THEN 'B2B'
+                                      WHEN 'AUTOMOBILE' THEN 'CONSUMER'
+                    END, c_mktsegment) AS segment_canon,
+           CASE WHEN c_acctbal < 0 THEN NULL
+                ELSE c_acctbal END AS bal_or_null,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END,
+                    0.0) AS bal_filled,
+           (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL
+             AS bal_is_null
+    FROM customer
     """,
 )
 def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F12/F16 scalar-function suite plus the UD5 precedence taxonomy in
-    one registry row (r3/r4 VERDICT consolidation: the former
-    ``order_date_parts`` + ``part_string_funcs`` + ``part_taxonomy`` rows
-    merged to free registry slots under the driver's 50-entry cap; the
-    classifier is checked per-row here — strictly stronger than the retired
-    per-class aggregate).
+    """F1-F12/F16 scalar-function suite plus the UD5 precedence taxonomy
+    and the P8/P9/P11/F17/F18 null-handling family in one registry row
+    (r3/r4 VERDICT consolidation: the former ``order_date_parts`` +
+    ``part_string_funcs`` + ``part_taxonomy`` + ``customer_null_handling``
+    rows merged to free registry slots under the driver's 50-entry cap; the
+    classifier and the null-handling columns are checked per-row here —
+    strictly stronger than the retired per-class/per-segment aggregates).
 
     Date family on orders (reference pd.to_datetime().dt
     pipeline_helpers.py:213,243; month truncation universe…py:153;
@@ -79,11 +106,15 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTC session TZ keeps epoch values oracle-identical) united by name with
     the string/math family on part (upper/length/contains/split-index/regex/
     round — reference historical_data_etl.py:120, cg_attributes…py:100,
-    test_data_integrity.py:86). The union itself is U1/A11
+    test_data_integrity.py:86) and the null-handling family on customer
+    (conditional nulling, dict-map canonicalization with fallback —
+    reference col.map(m).fillna(col), historical_data_etl.py:186 —
+    fillna-zero, per-cell null test). The union itself is U1/A11
     (unionByName(allowMissingColumns=True), the reference's pd.concat of
     heterogeneous per-source frames with null-filled missing columns)."""
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
     dates = o.select(
         F.lit("orders").alias("src"),
         F.col("o_orderkey").alias("row_id"),
@@ -107,54 +138,22 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify_scalar_by_keywords("p_type", _PART_TAXONOMY, default="Other")
         .alias("standard_category"),
     )
-    return dates.unionByName(strings, allowMissingColumns=True)
-
-
-@register(
-    "customer_null_handling",
-    oracle="""
-    WITH base AS (
-      SELECT c_custkey, c_mktsegment, c_acctbal,
-             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
-      FROM customer
-    ), mapped AS (
-      SELECT *,
-             COALESCE(CASE c_mktsegment WHEN 'BUILDING' THEN 'B2B'
-                                        WHEN 'AUTOMOBILE' THEN 'CONSUMER'
-                      END, c_mktsegment) AS segment_canon,
-             COALESCE(bal_or_null, 0.0) AS bal_filled
-      FROM base
-    )
-    SELECT segment_canon,
-           COUNT(*) AS n,
-           CAST(COUNT(CASE WHEN bal_or_null IS NULL THEN 1 END) AS BIGINT) AS n_null,
-           ROUND(SUM(bal_filled), 2) AS sum_filled,
-           ROUND(AVG(bal_or_null), 4) AS avg_nonnull
-    FROM mapped GROUP BY 1
-    """,
-)
-def customer_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8/P9/P11/F17/F18 null-handling family: conditional nulling, dict-map
-    canonicalization with fallback (reference col.map(m).fillna(col),
-    historical_data_etl.py:186), fillna-zero, and null-skipping aggregation
-    (Spark avg ignores nulls like pandas mean skipna)."""
-    c = load_table(spark, sf_dir, "customer")
-    base = c.withColumn(
+    nulls = canonicalize(
+        c.withColumn(
+            "bal_or_null",
+            F.when(F.col("c_acctbal") < 0, F.lit(None))
+            .otherwise(F.col("c_acctbal"))),
+        "c_mktsegment", {"BUILDING": "B2B", "AUTOMOBILE": "CONSUMER"},
+        out_col="segment_canon",
+    ).select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("row_id"),
+        "segment_canon",
         "bal_or_null",
-        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")))
-    mapped = canonicalize(
-        base, "c_mktsegment",
-        {"BUILDING": "B2B", "AUTOMOBILE": "CONSUMER"},
-        out_col="segment_canon")
-    mapped = mapped.withColumn("bal_filled", F.coalesce("bal_or_null", F.lit(0.0)))
-    return (
-        mapped.groupBy("segment_canon")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("bal_or_null").isNull(), 1)).alias("n_null"),
-            F.round(F.sum("bal_filled"), 2).alias("sum_filled"),
-            F.round(F.avg("bal_or_null"), 4).alias("avg_nonnull"),
-        )
+        F.coalesce("bal_or_null", F.lit(0.0)).alias("bal_filled"),
+        F.col("bal_or_null").isNull().alias("bal_is_null"),
     )
+    return (dates.unionByName(strings, allowMissingColumns=True)
+            .unionByName(nulls, allowMissingColumns=True))
 
 

@@ -10,9 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extensions.dedup import (dedup_clusters, exact_dedup_groups,
-                                minhash_lsh_pairs, ngram_jaccard_pairs,
-                                simhash64_portable)
+from ..extensions.dedup import (dedup_clusters, duplicate_window_spans,
+                                exact_dedup_groups, minhash_lsh_pairs,
+                                ngram_jaccard_pairs, simhash64_portable)
 from ..extensions.pii import (pii_counts, pii_counts_sql, scrub_pii,
                               scrub_pii_sql)
 from ..extensions.text_stats import (TOKEN_PATTERN, duplicate_line_fraction,
@@ -428,3 +428,53 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", aug.alias("__t"))
     return base.select(
         "doc_id", *pii_counts("__t"), scrub_pii("__t").alias("scrubbed"))
+
+
+@register(
+    "doc_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, len(t) AS n, i AS start,
+             md5(array_to_string(t[i:i+9], ' ')) AS whash
+      FROM toks, UNNEST(CASE WHEN len(t) >= 10 THEN range(1, len(t)-8)
+                             ELSE [] END) AS u(i)
+    ), dups AS (
+      SELECT whash FROM wins GROUP BY whash HAVING COUNT(*) > 1
+    ), flagged AS (
+      SELECT doc_id, n, start FROM wins
+      WHERE whash IN (SELECT whash FROM dups)
+    ), lagged AS (
+      SELECT doc_id, n, start,
+             LAG(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+      FROM flagged
+    ), isl AS (
+      SELECT doc_id, n, start,
+             SUM(CASE WHEN prev IS NULL OR start > prev + 10
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM lagged
+    ), spans AS (
+      SELECT doc_id, n, island, MAX(start) + 10 - MIN(start) AS cov
+      FROM isl GROUP BY doc_id, n, island
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(cov) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(SUM(cov) AS DOUBLE) / n, 6) AS dup_frac
+    FROM spans GROUP BY doc_id, n
+    """,
+)
+def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021 arXiv:2107.06499,
+    distributed): every 10-token window occurring >1 time in the corpus is
+    flagged and overlapping/adjacent flags merge into maximal per-doc
+    duplicated spans — the substring-level complement of the document-level
+    near-dup family. Plan: map-only window explode off the persisted token
+    projection, ONE fingerprint exchange feeding both the duplicate count
+    and the flag-back semi-join, islands over the flagged subset only
+    (extensions/dedup.py::duplicate_window_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_window_spans(docs, "doc_id", "text", width=10)

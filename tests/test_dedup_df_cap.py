@@ -58,3 +58,52 @@ def test_cap_drops_boilerplate_only_pairs(spark):
     uncapped = ngram_jaccard_pairs(docs, threshold=0.05, max_df=None)
     assert capped.count() == 0
     assert uncapped.count() > 0  # boilerplate overlap is visible uncapped
+
+
+def test_duplicate_window_spans_hand_case(spark):
+    """Exact-substring spans (Lee et al. form): cross-doc repeat, within-doc
+    repeat, adjacency merge, and sub-width-no-flag, on a corpus small
+    enough to reason out by hand (width=3)."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        duplicate_window_spans)
+
+    shared = "a b c d"                       # 4 tokens → 2 windows of 3
+    docs = spark.createDataFrame(
+        [
+            # doc 0 and 1 share `shared` → both get one merged 4-token span
+            (0, f"{shared} x1 y1 z1 w1"),
+            (1, f"p2 q2 {shared} r2 s2"),
+            # doc 2 repeats `e f g` INSIDE itself (positions 1 and 6) →
+            # duplicated within one doc still counts, two 3-token spans
+            (2, "e f g m2 n2 e f g"),
+            # doc 3 shares only a 2-token run with doc 0 → below width,
+            # never flagged
+            (3, "a b zz3 k3 l3 m3 n3"),
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicate_window_spans(docs, width=3).collect()}
+    assert set(out) == {0, 1, 2}
+    # docs 0/1: windows at the two shared starts overlap → ONE span of 4
+    assert out[0]["n_spans"] == 1 and out[0]["dup_tokens"] == 4
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 4
+    assert out[1]["dup_frac"] == round(4 / 8, 6)
+    # doc 2: the two occurrences are 5 apart (> width+gap) → two spans
+    assert out[2]["n_spans"] == 2 and out[2]["dup_tokens"] == 6
+
+
+def test_duplicate_window_spans_adjacency_merges(spark):
+    """Two flagged windows whose starts differ by exactly `width` cover
+    contiguous tokens — they must merge into one span, not two."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        duplicate_window_spans)
+
+    run = "a b c d e f"                      # 6 tokens, width 3
+    docs = spark.createDataFrame(
+        [(0, f"{run} t0 u0"), (1, f"v1 {run} w1")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicate_window_spans(docs, width=3).collect()}
+    # starts 1..4 (doc 0) all flagged and chained → one 6-token span
+    assert out[0]["n_spans"] == 1 and out[0]["dup_tokens"] == 6
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 6

@@ -142,3 +142,39 @@ def test_interval_join_plan_equi_join_on_bins(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
             or "BroadcastHashJoin" in p)
+
+
+def test_substring_dedup_single_window_exchange(spark):
+    """Exact-substring dedup: the corpus-sized window relation must shuffle
+    ONCE — the explicit repartition on the fingerprint feeds BOTH the
+    duplicate-count aggregation and the probe side of the flag-back
+    left-semi join. The static plan prints the repartition subtree twice
+    (AQE materializes exchange reuse at RUNTIME, as skipped stages, not in
+    explain output), so the pin is empirical: execute under a dedicated job
+    group and assert at least one whole stage was skipped (its shuffle
+    output came from the reused exchange — the window explode+hash map work
+    ran once). Plus the static shape: flag-back is a semi-join, no cross
+    product anywhere."""
+    p = plan_of(spark, "doc_substring_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p, f"flag-back must be a semi-join:\n{p}"
+
+    sc = spark.sparkContext
+    group = "substring-dedup-plan-contract"
+    sc.setJobGroup(group, "exchange-reuse pin")
+    try:
+        QUERIES["doc_substring_dedup"](spark, SF_DIR).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    st = sc.statusTracker()
+    stages = set()
+    for j in st.getJobIdsForGroup(group):
+        ji = st.getJobInfo(j)
+        if ji:
+            stages.update(ji.stageIds)
+    infos = [st.getStageInfo(s) for s in stages]
+    skipped = [si for si in infos if si and si.numCompletedTasks == 0]
+    assert skipped, (
+        "no stage was skipped — the window relation's exchange was NOT "
+        "reused; both consumers re-ran the explode+fingerprint map")
