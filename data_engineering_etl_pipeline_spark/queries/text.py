@@ -15,6 +15,7 @@ from ..extensions.dedup import (dedup_clusters, duplicate_window_spans,
                                 ngram_jaccard_pairs, simhash64_portable)
 from ..extensions.pii import (pii_counts, pii_counts_sql, scrub_pii,
                               scrub_pii_sql)
+from ..extensions.cleaning import c4_stats, c4_stats_sql
 from ..extensions.text_stats import (TOKEN_PATTERN, duplicate_line_fraction,
                                      predict_lang, quality_score,
                                      rolling_fingerprint_udf,
@@ -206,14 +207,22 @@ _LANG_SCORE_SQL = "\n".join(
     "doc_text_stats",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t, text
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t, text,
+             string_split(text, chr(10)) AS ln
       FROM documents
     ), scored AS (
       SELECT *, list_transform(t, x -> lower(x)) AS lt FROM toks
     ), langed AS (
-      SELECT doc_id, lang, t, text,
+      SELECT doc_id, lang, t, text, ln,
 {_LANG_SCORE_SQL}
       FROM scored
+    ), grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ), mode AS (
+      SELECT doc_id, MAX(c) AS best, SUM(c) AS total
+      FROM (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+      GROUP BY 1
     )
     SELECT doc_id, lang,
            CAST(len(t) AS BIGINT) AS n_tokens,
@@ -230,18 +239,39 @@ _LANG_SCORE_SQL = "\n".join(
                 WHEN en_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'en'
                 WHEN es_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'es'
                 WHEN fr_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'fr'
-                ELSE 'zh' END AS pred_lang
-    FROM langed
+                ELSE 'zh' END AS pred_lang,
+           ROUND(
+             least(length(text) / 500.0, 1.0)
+             * (1 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+                         THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                              / length(regexp_replace(text, '\\s+', '', 'g'))
+                         ELSE 0.0 END)
+             * CASE WHEN len(t) > 0
+                    THEN CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS DOUBLE)
+                         / len(t)
+                    ELSE 0.0 END, 6) AS quality,
+           ROUND(CASE WHEN len(ln) > 0
+                      THEN 1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln)
+                      ELSE 0.0 END, 6) AS dup_line_frac,
+           ROUND(COALESCE(m.best * 1.0 / m.total, 0.0), 6) AS top_bigram_frac
+    FROM langed LEFT JOIN mode m USING (doc_id)
     """,
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex), the polynomial
-    rolling-hash document fingerprint, AND the stopword-profile language-ID
-    heuristic (argmax stopword hits over lowercased tokens, ties →
-    alphabetically first, no hits → 'und') — engine-portable constructions
-    (identical recurrence / CASE chain in the DuckDB oracle). Lang-ID was
-    folded in from the former standalone ``doc_lang_id`` row (r2 VERDICT
-    registry-budget curation): ONE token split feeds all the stats."""
+    """Per-document text metrics in one corpus pass: token counting
+    (whitespace + BPE-ish regex), the polynomial rolling-hash document
+    fingerprint, the stopword-profile language-ID heuristic (argmax
+    stopword hits over lowercased tokens, ties → alphabetically first, no
+    hits → 'und'), the composite quality heuristic (length ×
+    clean-punctuation × alpha-token fraction), and the Gopher/MassiveText
+    within-document repetition signals (duplicate-line fraction,
+    top-bigram fraction via a sorted-array fold — no shuffle, no Python;
+    the oracle recomputes the mode the relational way, so the fold
+    construction is what gets verified). Lang-ID was folded in from the
+    former ``doc_lang_id`` row (r2 registry curation) and the quality +
+    repetition columns from the former ``doc_quality_score`` row (r4 —
+    freed the slot for ``doc_c4_line_filter``): ONE token split feeds all
+    the stats."""
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the token array once per row (see dedup.word_shingles —
     # inlining the split into every consumer re-runs the regex per reference).
@@ -260,6 +290,9 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_len, 4).alias("avg_token_len"),
         fingerprint.alias("fingerprint"),
         predict_lang(F.transform(t, lambda x: F.lower(x))).alias("pred_lang"),
+        quality_score("text").alias("quality"),
+        F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
+        F.round(top_ngram_fraction("text", 2), 6).alias("top_bigram_frac"),
     )
 
 
@@ -326,54 +359,66 @@ def corpus_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry-budget curation.
 
 
+# Deterministic multi-line page construction for the C4 line filter: the
+# synthetic documents are single-line with no punctuation, so the registry
+# row builds a page from each doc's own tokens plus planted boilerplate
+# lines — identically on both engines — exercising every rule: terminal-
+# punctuation, min-words, the javascript line, the lorem-ipsum page flag
+# (doc_id%5), the curly-bracket page flag (doc_id%7), and the 3-sentence
+# page minimum.
+_C4_PAGE_SQL = """
+      array_to_string(t[1:8], ' ') || '.'
+      || chr(10) || array_to_string(t[1:3], ' ') || '.'
+      || chr(10) || 'Please enable JavaScript to view the comments.'
+      || chr(10) || COALESCE(array_to_string(t[9:16], ' '), '')
+      || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'It uses lorem ipsum placeholder text.'
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+      || chr(10) || COALESCE(array_to_string(t[17:28], ' '), '')
+      || ' done today.'
+      || chr(10) || 'That is all. Nothing else!'
+"""
+
+
 @register(
-    "doc_quality_score",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t,
-             string_split(text, chr(10)) AS ln
-      FROM documents
-    ), grams AS (
-      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
-      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
-    ), mode AS (
-      SELECT doc_id, MAX(c) AS best, SUM(c) AS total
-      FROM (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
-      GROUP BY 1
-    )
-    SELECT doc_id,
-           ROUND(
-             least(length(text) / 500.0, 1.0)
-             * (1 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
-                         THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                              / length(regexp_replace(text, '\\s+', '', 'g'))
-                         ELSE 0.0 END)
-             * CASE WHEN len(t) > 0
-                    THEN CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS DOUBLE)
-                         / len(t)
-                    ELSE 0.0 END, 6) AS quality,
-           ROUND(CASE WHEN len(ln) > 0
-                      THEN 1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln)
-                      ELSE 0.0 END, 6) AS dup_line_frac,
-           ROUND(COALESCE(m.best * 1.0 / m.total, 0.0), 6) AS top_bigram_frac
-    FROM toks LEFT JOIN mode m USING (doc_id)
-    """,
+    "doc_c4_line_filter",
+    oracle="WITH toks AS (\n  SELECT doc_id,"
+    " string_split_regex(trim(text), '\\s+') AS t FROM documents\n"
+    "), pages AS (\n  SELECT doc_id, " + _C4_PAGE_SQL
+    + " AS __page\n  FROM toks\n)\nSELECT doc_id,\n       "
+    + ",\n       ".join(c4_stats_sql("__page")) + "\nFROM pages",
 )
-def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality heuristic (length × clean-punctuation × alpha-token
-    fraction) PLUS the Gopher/MassiveText within-document repetition
-    signals — duplicate-line fraction and top-bigram fraction
-    (extensions/text_stats.py duplicate_line_fraction / top_ngram_fraction,
-    folded onto this row in r4 so the repetition family has a driver
-    CORRECTNESS record). All pure array/string expressions: the Spark side
-    computes the bigram mode as one sorted-array fold per row (no shuffle,
-    no Python); the oracle recomputes it the relational way (groupBy mode),
-    so the fold construction itself is what gets verified."""
+def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2,
+    extensions/cleaning.py): keep lines ending in terminal punctuation with
+    >=5 words and no 'javascript'; drop pages with 'lorem ipsum', a curly
+    bracket, or <3 sentences after cleaning. Emits per-page line counts,
+    the cleaned text itself (verified bit-for-bit), sentence count, and
+    the page verdict. Pure split/filter-lambda/regexp expressions —
+    map-only, zero shuffle, zero Python. Pages are constructed
+    deterministically from each doc's tokens (the synthetic corpus is
+    single-line), so every rule fires at every scale factor."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", quality_score("text").alias("quality"),
-        F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
-        F.round(top_ngram_fraction("text", 2), 6).alias("top_bigram_frac"))
+    t = tokens("text")
+    nl = F.lit("\n")
+    page = F.concat(
+        F.concat_ws(" ", F.slice(t, 1, 8)), F.lit("."),
+        nl, F.concat_ws(" ", F.slice(t, 1, 3)), F.lit("."),
+        nl, F.lit("Please enable JavaScript to view the comments."),
+        nl, F.concat_ws(" ", F.slice(t, 9, 8)),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(nl, F.lit("It uses lorem ipsum placeholder text.")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(nl, F.lit("function f() { return 1; }")))
+        .otherwise(F.lit("")),
+        nl, F.concat_ws(" ", F.slice(t, 17, 12)), F.lit(" done today."),
+        nl, F.lit("That is all. Nothing else!"),
+    )
+    base = docs.select("doc_id", page.alias("__page"))
+    return base.select("doc_id", *c4_stats("__page"))
 
 
 # Deterministic PII injection: the synthetic documents carry no PII, so the
