@@ -195,10 +195,6 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     verification tail, same recall trade-off as the banded-LSH text path.
     """
     v = with_vec_inv(df, vec_col, "v", "i", dim)
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                 F.col("i").alias("ia"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                 F.col("i").alias("ib"))
     if bucket_signatures is not None:
         sig_col = [c for c in bucket_signatures.columns if c != id_col][0]
         sa = bucket_signatures.select(F.col(id_col).alias("id_a"),
@@ -209,7 +205,19 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 .select("id_a", "id_b").distinct())
     else:
         cand = _blas_candidate_pairs(v, id_col, threshold, dim)
-    # exact verification: unrounded filter, rounded projection (ADVICE r2)
+    return _exact_verify_pairs(v, cand, id_col, threshold, dim)
+
+
+def _exact_verify_pairs(v: DataFrame, cand: DataFrame, id_col: str,
+                        threshold: float, dim: int) -> DataFrame:
+    """Shared exact-verification tail of every embedding near-dup candidate
+    generator: re-score candidate pairs with the codegen'd flat dot-product
+    chain. Unrounded filter, rounded projection (ADVICE r2). ``v`` must
+    carry ``(id_col, v, i)`` from ``with_vec_inv``."""
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                 F.col("i").alias("ia"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                 F.col("i").alias("ib"))
     exact = _dot(F.col("va"), F.col("vb"), dim) * F.col("ia") * F.col("ib")
     return (cand.join(a, "id_a").join(b, "id_b")
             .withColumn("__c", exact)
@@ -660,3 +668,72 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("__rn") <= k)
             .select(query_id_col, id_col,
                     F.round("adc_score", 6).alias("adc_score")))
+
+
+def _cluster_blas_pairs(v_cid: DataFrame, id_col: str, threshold: float,
+                        dim: int) -> DataFrame:
+    """Within-cluster candidate pairs via ONE GEMM per cluster:
+    ``applyInPandas`` over ``cid`` groups — each task scores its cluster's
+    unit matrix against itself and emits only pairs above
+    ``threshold − 1e-6`` (the BLAS-vs-codegen summation margin; see
+    ``_blas_candidate_pairs``). This never materializes the |c|² candidate
+    relation an equi-join-on-cid generator would shuffle: pair rows exist
+    only above threshold. Peak task memory is one cluster's vectors —
+    bounded by choosing n_clusters ≈ corpus/target_cluster_size (the
+    SemDeDup knob), exactly like a grouped-agg task."""
+    margin = threshold - 1e-6
+
+    def score(key, pdf):
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack([
+            np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
+            for row in pdf["v"]
+        ])
+        inv = pdf["i"].fillna(0.0).to_numpy()
+        unit = mat * inv[:, None]
+        sims = unit @ unit.T
+        rows_i, cols_j = np.nonzero((sims >= margin)
+                                    & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[rows_i], "id_b": ids[cols_j]})
+
+    return (v_cid.groupBy("cid")
+            .applyInPandas(score, schema="id_a long, id_b long"))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   n_clusters: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = 42,
+                   dim: int = VECTOR_DIM) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-partition the
+    embedding space, find cosine-≥-threshold pairs WITHIN each cluster
+    only, resolve connected duplicate groups, keep the minimum id per
+    group. Returns one row per vector to DROP: ``(id_col, keeper_id)`` —
+    callers left-anti-join it against the corpus.
+
+    Scale shape: the codebook is a KB-scale k-means fit on a corpus-wide
+    Bernoulli sample (``fit_ivf_centroids``); assignment is a map-only
+    Arrow matmul; within-cluster scoring is one GEMM per cluster with no
+    quadratic shuffle relation (``_cluster_blas_pairs``) — total work
+    ≈ n²/k versus the exact path's n², the SemDeDup trade: near-dup pairs
+    whose members land in different clusters are missed (the paper's
+    recall/cost knob). Pairs are exact-verified by the shared codegen tail,
+    then grouped by pointer-jumping connected components
+    (``dedup_clusters``), so keeper resolution handles chains that span
+    multiple pairs. ``n_clusters=1`` degenerates to the exact all-pairs
+    answer (one cluster = full GEMM) — pinned by unit test."""
+    from .dedup import dedup_clusters
+
+    v = with_vec_inv(df, vec_col, "v", "i", dim).select(id_col, "v", "i")
+    if n_clusters > 1:
+        centroids = fit_ivf_centroids(df, vec_col, n_clusters, seed, dim=dim)
+        assign = _nearest_centroids(df.select(id_col, vec_col), id_col,
+                                    vec_col, centroids, nprobe=1)
+        v_cid = v.join(assign, id_col)
+    else:
+        v_cid = v.withColumn("cid", F.lit(0))
+    cand = _cluster_blas_pairs(v_cid, id_col, threshold, dim)
+    pairs = _exact_verify_pairs(v, cand, id_col, threshold, dim)
+    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    return (comp.filter(F.col("member_id") != F.col("cluster_id"))
+            .select(F.col("member_id").alias(id_col),
+                    F.col("cluster_id").alias("keeper_id")))

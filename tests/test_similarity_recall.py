@@ -204,3 +204,58 @@ def test_pq_paths_handle_null_and_zero_vectors(spark):
     got2 = ivfpq_cosine_topk(base, queries.unionByName(wq), k=K,
                              n_centroids=16, nprobe=8)
     assert 999999 not in {r.query_id for r in got2.collect()}
+
+
+def _doubled_embeddings(spark):
+    """The embedding_near_dup fixture: every 7th vector re-appended under a
+    shifted id — exact copies, cosine 1.0 to their source."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    return emb.unionByName(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000))
+
+
+def _exact_drop_set(spark, docs):
+    """Ground truth: exact all-pairs near-dup pairs -> connected components
+    -> (drop, keeper) for every non-minimum member."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        dedup_clusters)
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs)
+
+    pairs = cosine_near_dup_pairs(docs, threshold=0.95)
+    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    return {(r.member_id, r.cluster_id) for r in comp.collect()
+            if r.member_id != r.cluster_id}
+
+
+def test_semantic_dedup_one_cluster_equals_exact(spark):
+    """n_clusters=1 degenerates SemDeDup to the exact all-pairs answer —
+    the whole fit->assign->cluster-GEMM->verify->components machinery must
+    reproduce the exact path bit-for-bit."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        semantic_dedup)
+
+    docs = _doubled_embeddings(spark)
+    truth = _exact_drop_set(spark, docs)
+    got = {(r.vec_id, r.keeper_id)
+           for r in semantic_dedup(docs, n_clusters=1).collect()}
+    assert truth, "fixture must contain planted duplicates"
+    assert got == truth
+
+
+def test_semantic_dedup_clustered_finds_planted_copies(spark):
+    """With real clustering (n_clusters=8): exact copies share a nearest
+    centroid deterministically, so every planted duplicate must still be
+    dropped against its source; and the exact-verify tail means no false
+    positives — drops are a subset of the exact path's."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        semantic_dedup)
+
+    docs = _doubled_embeddings(spark)
+    truth = _exact_drop_set(spark, docs)
+    got = {(r.vec_id, r.keeper_id)
+           for r in semantic_dedup(docs, n_clusters=8).collect()}
+    planted = {(m, k) for m, k in truth if m >= 1000000 and k == m - 1000000}
+    assert planted <= got, "planted exact copy escaped its cluster"
+    assert got <= truth, "false positive survived the exact-verify tail"
