@@ -41,8 +41,11 @@ BENCH_QUERIES = [
     "doc_minhash_lsh",
     "doc_dedup_clusters",
     "doc_text_stats",
-    "doc_train_val_split",
-    "doc_length_quantiles",
+    "doc_substring_dedup",
+    "doc_c4_line_filter",
+    "doc_pii_scrub",
+    "doc_decontamination",
+    "corpus_split_profile",
     "bm25_scores",
     "lm_cross_entropy",
     "stratified_sample",

@@ -200,7 +200,8 @@ def dedup_smoke(mult: int) -> int:
 
     n_docs = spark.read.parquet(path).count()
     queries = ["doc_exact_dedup", "doc_ngram_jaccard", "doc_minhash_lsh",
-               "doc_dedup_clusters", "doc_text_stats", "doc_train_val_split"]
+               "doc_dedup_clusters", "doc_text_stats", "corpus_split_profile",
+               "doc_substring_dedup"]
     times: dict[str, float] = {}
     for name in queries:             # pass 1: warm code
         QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()

@@ -117,3 +117,28 @@ def test_readme_counts_match_registry():
     assert m, "README oracle-count sentence missing"
     assert int(m.group(1)) == len(ORACLES)
     assert int(m.group(2)) == len(QUERIES)
+
+
+def test_bench_and_smoke_names_exist_in_registry():
+    """bench.py and scale_smoke.py run registry queries by name; a registry
+    consolidation that renames a row must update them or the driver's
+    per-round bench crashes with a KeyError (this bit r4: two retired names
+    survived in bench.py)."""
+    import os
+    import re
+
+    from data_engineering_etl_pipeline_spark.queries import QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import bench
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert not missing, f"bench.py references unknown queries: {missing}"
+
+    src = open(os.path.join(root, "scripts", "scale_smoke.py")).read()
+    # every string inside a `queries = [...]` literal must resolve
+    for block in re.findall(r"queries\s*=\s*\[([^\]]+)\]", src):
+        names = re.findall(r'"([a-z0-9_]+)"', block)
+        assert names, "scale_smoke queries list went empty/unparseable"
+        missing = [n for n in names if n not in QUERIES]
+        assert not missing, (
+            f"scale_smoke.py references unknown queries: {missing}")
