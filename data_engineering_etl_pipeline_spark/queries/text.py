@@ -20,7 +20,7 @@ from ..extensions.text_stats import (TOKEN_PATTERN, duplicate_line_fraction,
                                      predict_lang, quality_score,
                                      rolling_fingerprint_udf,
                                      token_count_regex, tokens,
-                                     top_ngram_fraction)
+                                     top_ngram_fraction_udf)
 from ..io import load_table
 from . import register
 
@@ -292,7 +292,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         predict_lang(F.transform(t, lambda x: F.lower(x))).alias("pred_lang"),
         quality_score("text").alias("quality"),
         F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
-        F.round(top_ngram_fraction("text", 2), 6).alias("top_bigram_frac"),
+        F.round(top_ngram_fraction_udf("text", 2), 6).alias("top_bigram_frac"),
     )
 
 

@@ -399,3 +399,24 @@ def test_train_val_split_per_doc_oracle(spark, duck):
         F.when(hv % 100 < 90, F.lit("train")).otherwise(F.lit("val"))
          .alias("split"))
     assert_matches_oracle(got, duck, _SPLIT_PER_DOC_SQL, "train_val_split")
+
+
+def test_top_ngram_fraction_udf_matches_expression(spark):
+    """The Arrow mode-count kernel must equal the interpreted aggregate-fold
+    twin on real docs and edge cases (empty doc, sub-width doc, all-equal
+    grams, whitespace padding)."""
+    from data_engineering_etl_pipeline_spark.extensions.text_stats import (
+        top_ngram_fraction, top_ngram_fraction_udf)
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "one"), (100003, "a b a b a b"),
+         (100004, "  padded   tokens  here  "), (100005, "x x x x x")],
+        "doc_id long, text string")
+    both = docs.unionByName(edge).select(
+        "doc_id",
+        F.round(top_ngram_fraction("text", 2), 6).alias("fold"),
+        F.round(top_ngram_fraction_udf("text", 2), 6).alias("arrow"))
+    bad = both.filter(F.col("fold") != F.col("arrow")).collect()
+    assert not bad, bad[:5]
