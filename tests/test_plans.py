@@ -178,3 +178,18 @@ def test_substring_dedup_single_window_exchange(spark):
     assert skipped, (
         "no stage was skipped — the window relation's exchange was NOT "
         "reused; both consumers re-ran the explode+fingerprint map")
+
+
+@pytest.mark.parametrize("name", ["doc_pii_scrub", "doc_c4_line_filter",
+                                  "doc_chunking"])
+def test_map_only_cleaners_have_zero_shuffles(spark, name):
+    """The redaction / line-filter / chunking passes are pure per-row
+    column expressions — they must compile to ZERO shuffle exchanges (and
+    no Python for the regexp families) so they stream through a 100 TB
+    scan at scan speed. A shuffle appearing here means someone introduced
+    an accidental wide dependency into a map-only cleaner."""
+    p = plan_of(spark, name)
+    assert shuffles(p) == 0, f"{name} gained a shuffle:\n{p}"
+    if name != "doc_chunking":
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{name} must stay Python-free:\n{p}")
