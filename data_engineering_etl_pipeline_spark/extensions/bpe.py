@@ -1,0 +1,173 @@
+"""Byte-pair-encoding tokenizer training & encoding (SURVEY.md §2.11
+extension family): the Sennrich et al. 2016 BPE algorithm ("Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016), split Spark-first:
+
+- the ONLY corpus-sized work is the word-frequency aggregation — one
+  hash-groupBy whose shuffle carries each partition's DISTINCT words after
+  map-side partial aggregation (vocabulary-sized, not corpus-sized);
+- the merge-learning loop runs driver-side over the word-frequency table,
+  which is KB-MB scale at any corpus size (this is how production
+  tokenizer trainers work too: BPE needs word frequencies, never the
+  corpus — the same codebook-vs-corpus split as the IVF/PQ fits);
+- encoding applies the learned merge ranks per word inside an Arrow pandas
+  UDF (GPT-2-style lowest-rank-pair loop) with a per-batch word cache —
+  map-only, embarrassingly parallel over a 100 TB scan.
+
+Determinism: pair-frequency ties break lexicographically, so the learned
+merge list is a pure function of the word-frequency table (rerun- and
+partitioning-stable), pinned by unit test.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker (Sennrich et al. §3.2)
+
+# Refuse to collect word tables past this many rows: real vocabularies are
+# far smaller; hitting this means someone pointed train_bpe at un-tokenized
+# garbage (e.g. binary blobs). Override per call.
+_VOCAB_ROW_BUDGET = 5_000_000
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` over the corpus — the one distributed step of BPE
+    training. Map-side partial agg makes the exchange vocabulary-sized."""
+    return (
+        docs.select(F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, freq in vocab.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + freq
+    return counts
+
+
+def _merge_vocab(vocab: dict[tuple[str, ...], int],
+                 pair: tuple[str, str]) -> dict[tuple[str, ...], int]:
+    a, b = pair
+    joined = a + b
+    out: dict[tuple[str, ...], int] = {}
+    for syms, freq in vocab.items():
+        merged: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                merged.append(joined)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        key = tuple(merged)
+        out[key] = out.get(key, 0) + freq
+    return out
+
+
+def train_bpe(word_freq: DataFrame, n_merges: int = 200,
+              vocab_row_budget: int = _VOCAB_ROW_BUDGET
+              ) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a ``(word, freq)`` table.
+
+    Collects the word table (vocabulary-sized by construction — guarded by
+    a ``limit(budget+1)`` probe, not trusted) and runs the reference merge
+    loop: count symbol-pair frequencies weighted by word freq, merge the
+    most frequent pair everywhere, repeat. Ties break lexicographically so
+    the merge list is deterministic. Stops early when no pair repeats."""
+    probe = word_freq.limit(vocab_row_budget + 1).count()
+    if probe > vocab_row_budget:
+        raise ValueError(
+            f"train_bpe: word table exceeds {vocab_row_budget} rows — BPE "
+            "training collects word FREQUENCIES (vocabulary-sized); a table "
+            "this large means the input is not word-tokenizable text. "
+            "Pre-filter the corpus or raise vocab_row_budget.")
+    rows = word_freq.collect()
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(r["word"][:-1]) + (r["word"][-1] + END,)
+        vocab[syms] = vocab.get(syms, 0) + int(r["freq"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        best_n = max(counts.values())
+        if best_n < 2:
+            break  # nothing repeats — further merges are arbitrary
+        best = min(p for p, c in counts.items() if c == best_n)
+        merges.append(best)
+        vocab = _merge_vocab(vocab, best)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2-style encode: repeatedly merge the present pair with the
+    lowest learned rank until none of the word's pairs were learned."""
+    if not word:
+        return []
+    syms = list(word[:-1]) + [word[-1] + END]
+    while len(syms) > 1:
+        pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+        ranked = [(ranks[p], p) for p in set(pairs) if p in ranks]
+        if not ranked:
+            break
+        _, (a, b) = min(ranked)
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_segment(text: str | Column,
+                merges: list[tuple[str, str]]) -> Column:
+    """Subword segmentation under a learned merge list, as an Arrow pandas
+    UDF (``array<string>`` of subword units, ``</w>``-marked word ends).
+    The merge ranks ride the closure (KB-scale, serialized once per task);
+    a per-batch word cache exploits Zipf — most words repeat, so each
+    distinct word is encoded once per batch."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def seg(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            if not t or not t.strip():
+                out.append([])
+                continue
+            units: list[str] = []
+            for w in _re.split(r"\s+", t.strip()):
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, ranks)
+                units.extend(got)
+            out.append(units)
+        return pd.Series(out)
+
+    t = F.col(text) if isinstance(text, str) else text
+    return seg(t)
+
+
+def bpe_token_count(text: str | Column,
+                    merges: list[tuple[str, str]]) -> Column:
+    """Learned-tokenizer token count — the budget metric sequence packing
+    and context-window chunking actually need (the whitespace and regex
+    counts in text_stats are its cheap proxies)."""
+    return F.size(bpe_segment(text, merges)).cast("long")
