@@ -205,3 +205,54 @@ def test_binned_interval_join_matches_brute_force(spark, intervals, points):
                   for (pk, pt, v) in pts
                   if pk == k and s < pt <= e)
     assert got == want
+
+
+# small token alphabet forces cross-doc and within-doc window collisions
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+    min_size=1, max_size=8)
+
+
+@SET
+@given(token_docs=docs_strategy, width=st.integers(2, 4))
+def test_duplicate_window_spans_matches_brute_force(spark, token_docs, width):
+    """Exact-substring spans vs an independent Python recomputation:
+    enumerate every width-token window, flag those whose text occurs >1
+    time corpus-wide, merge overlapping/adjacent flags per doc, compare
+    span counts, coverage, and fractions exactly."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        duplicate_window_spans)
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["dup_frac"])
+           for r in duplicate_window_spans(df, width=width).collect()}
+
+    # brute force: the tokenization must match the operator's split(trim)
+    wins: dict[tuple, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    toks_of = {}
+    for i, _ in rows:
+        toks = [t for t in " ".join(token_docs[i]).strip().split() if t != ""]
+        if token_docs[i] == []:
+            toks = [""]  # split('') semantics: one empty token
+        toks_of[i] = toks
+        for s in range(len(toks) - width + 1):
+            wins[tuple(toks[s:s + width])] = wins.get(
+                tuple(toks[s:s + width]), 0) + 1
+    want = {}
+    for i, _ in rows:
+        toks = toks_of[i]
+        flagged = [s for s in range(len(toks) - width + 1)
+                   if wins[tuple(toks[s:s + width])] > 1]
+        if not flagged:
+            continue
+        spans = []
+        for s in flagged:
+            if spans and s <= spans[-1][1] + 1:  # overlap OR exact adjacency
+                spans[-1][1] = max(spans[-1][1], s + width - 1)
+            else:
+                spans.append([s, s + width - 1])
+        cov = sum(b - a + 1 for a, b in spans)
+        want[i] = (len(spans), cov, round(cov / len(toks), 6))
+    assert got == want
