@@ -81,3 +81,24 @@ def test_bpe_vocab_budget_guard(spark):
     wf = word_frequencies(_paper_corpus(spark))
     with pytest.raises(ValueError, match="vocabulary-sized"):
         train_bpe(wf, n_merges=1, vocab_row_budget=2)
+
+
+def test_pack_sequences_by_learned_bpe_counts(spark):
+    """Composition the corpus family is designed for: train a tokenizer,
+    count with it, pack training sequences on the LEARNED counts (not the
+    whitespace proxy). Pack totals must respect the offset-packing bound
+    total < budget + max_doc under the BPE metric."""
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        pack_sequences)
+
+    docs = _paper_corpus(spark)
+    merges = train_bpe(word_frequencies(docs), n_merges=6)
+    counted = docs.withColumn("bpe_n", bpe_token_count("text", merges))
+    packed = pack_sequences(counted, budget=8, n_shards=2,
+                            tokens_col="bpe_n")
+    pdf = packed.toPandas()
+    assert set(pdf["n_tokens"]) == set(
+        r["bpe_n"] for r in counted.select("bpe_n").collect())
+    max_doc = pdf["n_tokens"].max()
+    per_pack = pdf.groupby("pack_id")["n_tokens"].sum()
+    assert (per_pack < 8 + max_doc).all()
