@@ -82,14 +82,16 @@ def train_bpe(word_freq: DataFrame, n_merges: int = 200,
     loop: count symbol-pair frequencies weighted by word freq, merge the
     most frequent pair everywhere, repeat. Ties break lexicographically so
     the merge list is deterministic. Stops early when no pair repeats."""
-    probe = word_freq.limit(vocab_row_budget + 1).count()
-    if probe > vocab_row_budget:
+    # ONE job enforces the guard AND fetches the table: collect through the
+    # limit probe (a separate count() probe would run the corpus-sized
+    # word aggregation twice — r4 review finding).
+    rows = word_freq.limit(vocab_row_budget + 1).collect()
+    if len(rows) > vocab_row_budget:
         raise ValueError(
             f"train_bpe: word table exceeds {vocab_row_budget} rows — BPE "
             "training collects word FREQUENCIES (vocabulary-sized); a table "
             "this large means the input is not word-tokenizable text. "
             "Pre-filter the corpus or raise vocab_row_budget.")
-    rows = word_freq.collect()
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
         syms = tuple(r["word"][:-1]) + (r["word"][-1] + END,)
@@ -144,16 +146,22 @@ def bpe_segment(text: str | Column,
 
     @F.pandas_udf("array<string>")
     def seg(texts: pd.Series) -> pd.Series:
-        import re as _re
+        # Tokenize EXACTLY like word_frequencies' split(trim(text),'\s+')
+        # + empty-token filter — a Python strip()/\s+ shortcut diverges on
+        # trailing newlines/tabs and NBSP, so the encoder would segment
+        # words the trainer never counted (r4 review finding).
+        from .text_stats import java_ws_tokens
 
         cache: dict[str, list[str]] = {}
         out = []
         for t in texts:
-            if not t or not t.strip():
+            if t is None:
                 out.append([])
                 continue
             units: list[str] = []
-            for w in _re.split(r"\s+", t.strip()):
+            for w in java_ws_tokens(t):
+                if w == "":
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, ranks)

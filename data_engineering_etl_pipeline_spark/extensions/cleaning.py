@@ -80,7 +80,9 @@ def c4_stats(text: str | Column,
     n_sent = F.size(F.regexp_extract_all(
         cleaned, F.lit(C4_SENTENCE_RE), F.lit(0)))
     has_lorem = F.lower(t).contains("lorem ipsum")
-    has_brace = t.contains("{")
+    # "a curly bracket" means either brace: a truncated code fragment can
+    # carry only the closing one (r4 review finding).
+    has_brace = t.contains("{") | t.contains("}")
     blocked = F.lit(False)
     for w in (blocklist or []):
         blocked = blocked | F.lower(t).contains(w.lower())
@@ -104,9 +106,12 @@ def c4_stats_sql(expr: str, blocklist: list[str] | None = None) -> list[str]:
     cleaned = f"array_to_string({kept}, chr(10))"
     n_sent = f"len(regexp_extract_all({cleaned}, '{C4_SENTENCE_RE}'))"
     has_lorem = f"contains(lower({expr}), 'lorem ipsum')"
-    has_brace = f"contains({expr}, '{{')"
+    has_brace = f"(contains({expr}, '{{') OR contains({expr}, '}}'))"
+    # single quotes doubled: a blocklist word like "don't" must not break
+    # (or inject into) the generated SQL (r4 review finding)
     blocked = " OR ".join(
-        [f"contains(lower({expr}), '{w.lower()}')" for w in (blocklist or [])]
+        [f"contains(lower({expr}), '{w.lower().replace(chr(39), chr(39) * 2)}')"
+         for w in (blocklist or [])]
     ) or "FALSE"
     return [
         f"CAST(len(string_split({expr}, chr(10))) AS INT) AS n_lines",

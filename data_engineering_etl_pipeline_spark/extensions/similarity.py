@@ -682,6 +682,9 @@ def _cluster_blas_pairs(v_cid: DataFrame, id_col: str, threshold: float,
     bounded by choosing n_clusters ≈ corpus/target_cluster_size (the
     SemDeDup knob), exactly like a grouped-agg task."""
     margin = threshold - 1e-6
+    # pair schema follows the actual id type — a hardcoded 'long' would
+    # crash string-keyed corpora (r4 review finding)
+    id_type = v_cid.schema[id_col].dataType.simpleString()
 
     def score(key, pdf):
         ids = pdf[id_col].to_numpy()
@@ -697,7 +700,7 @@ def _cluster_blas_pairs(v_cid: DataFrame, id_col: str, threshold: float,
         return pd.DataFrame({"id_a": ids[rows_i], "id_b": ids[cols_j]})
 
     return (v_cid.groupBy("cid")
-            .applyInPandas(score, schema="id_a long, id_b long"))
+            .applyInPandas(score, schema=f"id_a {id_type}, id_b {id_type}"))
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,

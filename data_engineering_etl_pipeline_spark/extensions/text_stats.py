@@ -218,6 +218,23 @@ def top_ngram_fraction(text: str | Column, n: int = 2) -> Column:
     return F.when(F.size(grams) > 0, best / F.size(grams)).otherwise(F.lit(0.0))
 
 
+# Java regex \s is ASCII-only: [ \t\n\x0B\f\r]. Python re's \s is Unicode
+# (splits NBSP/em-space where the JVM does not), and str.strip() removes all
+# Unicode whitespace where Spark's trim() removes ONLY spaces (0x20) and
+# split(limit=-1) KEEPS boundary empty tokens. Any Python-side kernel that
+# claims equality with a `split(trim(text), '\s+')` expression must
+# tokenize with THIS helper, not strip()/\s+ (r4 review finding: the
+# shortcut diverges on any text with trailing newline/tab or NBSP).
+_JAVA_WS = __import__("re").compile(r"[ \t\n\x0B\f\r]+")
+
+
+def java_ws_tokens(t: str) -> list[str]:
+    """Python twin of Spark's ``split(trim(text), r'\\s+')`` — space-only
+    trim, ASCII whitespace split, boundary empties kept. ``''`` → ``['']``
+    like the JVM."""
+    return _JAVA_WS.split(t.strip(" "))
+
+
 def top_ngram_fraction_udf(text: str | Column, n: int = 2) -> Column:
     """Same signal as :func:`top_ngram_fraction`, as an Arrow pandas UDF.
 
@@ -232,7 +249,6 @@ def top_ngram_fraction_udf(text: str | Column, n: int = 2) -> Column:
     is pinned by unit test on real docs plus edge cases."""
     @F.pandas_udf("double")
     def frac(texts: pd.Series) -> pd.Series:
-        import re as _re
         from collections import Counter
 
         out = []
@@ -240,7 +256,7 @@ def top_ngram_fraction_udf(text: str | Column, n: int = 2) -> Column:
             if t is None:
                 out.append(0.0)
                 continue
-            toks = _re.split(r"\s+", t.strip())
+            toks = java_ws_tokens(t)
             total = len(toks) - (n - 1)
             if total <= 0:
                 out.append(0.0)

@@ -5,7 +5,7 @@ taxonomy classifier — all native column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -41,7 +41,8 @@ _PART_TAXONOMY = [
            NULL AS standard_category,
            NULL AS segment_canon, CAST(NULL AS DOUBLE) AS bal_or_null,
            CAST(NULL AS DOUBLE) AS bal_filled,
-           CAST(NULL AS BOOLEAN) AS bal_is_null
+           CAST(NULL AS BOOLEAN) AS bal_is_null,
+           CAST(NULL AS DOUBLE) AS seg_avg_nonnull
     FROM orders
     UNION ALL
     SELECT 'part' AS src, p_partkey AS row_id,
@@ -67,7 +68,8 @@ _PART_TAXONOMY = [
            END AS standard_category,
            NULL AS segment_canon, CAST(NULL AS DOUBLE) AS bal_or_null,
            CAST(NULL AS DOUBLE) AS bal_filled,
-           CAST(NULL AS BOOLEAN) AS bal_is_null
+           CAST(NULL AS BOOLEAN) AS bal_is_null,
+           CAST(NULL AS DOUBLE) AS seg_avg_nonnull
     FROM part
     UNION ALL
     SELECT 'customer' AS src, c_custkey AS row_id,
@@ -87,7 +89,12 @@ _PART_TAXONOMY = [
            COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END,
                     0.0) AS bal_filled,
            (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL
-             AS bal_is_null
+             AS bal_is_null,
+           ROUND(AVG(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END)
+                   OVER (PARTITION BY
+                     COALESCE(CASE c_mktsegment WHEN 'BUILDING' THEN 'B2B'
+                                                WHEN 'AUTOMOBILE' THEN 'CONSUMER'
+                              END, c_mktsegment)), 4) AS seg_avg_nonnull
     FROM customer
     """,
 )
@@ -152,6 +159,11 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_or_null",
         F.coalesce("bal_or_null", F.lit(0.0)).alias("bal_filled"),
         F.col("bal_or_null").isNull().alias("bal_is_null"),
+        # null-SKIPPING aggregation semantics stay oracle-pinned (the
+        # retired row's AVG check, kept as a per-row window aggregate —
+        # r4 review finding: the merge had dropped it)
+        F.round(F.avg("bal_or_null").over(
+            Window.partitionBy("segment_canon")), 4).alias("seg_avg_nonnull"),
     )
     return (dates.unionByName(strings, allowMissingColumns=True)
             .unionByName(nulls, allowMissingColumns=True))

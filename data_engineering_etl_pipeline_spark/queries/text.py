@@ -264,10 +264,12 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword hits over lowercased tokens, ties → alphabetically first, no
     hits → 'und'), the composite quality heuristic (length ×
     clean-punctuation × alpha-token fraction), and the Gopher/MassiveText
-    within-document repetition signals (duplicate-line fraction,
-    top-bigram fraction via a sorted-array fold — no shuffle, no Python;
-    the oracle recomputes the mode the relational way, so the fold
-    construction is what gets verified). Lang-ID was folded in from the
+    within-document repetition signals (duplicate-line fraction as a pure
+    array expression; top-bigram fraction via the Arrow mode-count kernel
+    ``top_ngram_fraction_udf`` — the expression fold is interpreted at
+    ~2-3 ms/doc and lives on as the pure-SQL twin, equality unit-pinned;
+    the oracle recomputes the mode the relational way, so the kernel's
+    construction is what the driver verifies). Lang-ID was folded in from the
     former ``doc_lang_id`` row (r2 registry curation) and the quality +
     repetition columns from the former ``doc_quality_score`` row (r4 —
     freed the slot for ``doc_c4_line_filter``): ONE token split feeds all

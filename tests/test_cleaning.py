@@ -31,6 +31,10 @@ PAGES = [
     (3, "One good sentence lives right here.\n"
         "nope\n"
         "Two good sentences live right here."),
+    # close-brace-only page: "a curly bracket" covers both braces
+    (6, "A good first sentence sits here.\n"
+        "stray fragment ends abruptly };\n"
+        "A good third sentence closes it out."),
     # whitespace-padded terminal punctuation still counts (rtrim)
     (4, "Padded terminal punctuation still counts fine.   \n"
         "Second sentence arrives on schedule now.\n"
@@ -61,6 +65,8 @@ def test_c4_hand_cases(spark):
     # doc 3: 2 kept lines -> 2 sentences < 3 -> page dropped
     assert out[3]["n_kept"] == 2 and out[3]["keep_page"] is False
     assert out[4]["n_kept"] == 3 and out[4]["keep_page"] is True
+    # doc 6: close brace alone must trip the page drop (r4 review finding)
+    assert out[6]["has_brace"] is True and out[6]["keep_page"] is False
     # doc 5: the 4-word line is dropped, the 5-word line kept
     assert out[5]["n_kept"] == 3
     assert "Only four words" not in out[5]["cleaned"]
@@ -79,12 +85,12 @@ def test_c4_sql_twin_matches_spark(spark):
     adversarial pages (same check as the doc_c4_line_filter oracle, harder
     inputs)."""
     sdf = (spark.createDataFrame(PAGES, "doc_id long, text string")
-           .select("doc_id", *c4_stats("text", blocklist=["schedule"]))
+           .select("doc_id", *c4_stats("text", blocklist=["schedule", "don't"]))
            .toPandas().sort_values("doc_id").reset_index(drop=True))
     con = duckdb.connect()
     con.execute("CREATE TABLE pages (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO pages VALUES (?, ?)", PAGES)
-    cols = ",\n".join(c4_stats_sql("text", blocklist=["schedule"]))
+    cols = ",\n".join(c4_stats_sql("text", blocklist=["schedule", "don't"]))
     odf = (con.execute(f"SELECT doc_id, {cols} FROM pages").df()
            .sort_values("doc_id").reset_index(drop=True))
     for c in sdf.columns:

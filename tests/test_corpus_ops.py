@@ -412,7 +412,12 @@ def test_top_ngram_fraction_udf_matches_expression(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     edge = spark.createDataFrame(
         [(100001, ""), (100002, "one"), (100003, "a b a b a b"),
-         (100004, "  padded   tokens  here  "), (100005, "x x x x x")],
+         (100004, "  padded   tokens  here  "), (100005, "x x x x x"),
+         # Java-vs-Python whitespace semantics (r4 review finding): a
+         # trailing newline/tab yields a KEPT empty token in Spark's
+         # split(trim(.)), and NBSP must NOT split (Java \s is ASCII)
+         (100006, "a b\n"), (100007, "a b\t"), (100008, "\ta b"),
+         (100009, "a\u00a0b c a\u00a0b"), (100010, "x y \n ")],
         "doc_id long, text string")
     both = docs.unionByName(edge).select(
         "doc_id",

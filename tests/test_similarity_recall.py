@@ -258,4 +258,11 @@ def test_semantic_dedup_clustered_finds_planted_copies(spark):
            for r in semantic_dedup(docs, n_clusters=8).collect()}
     planted = {(m, k) for m, k in truth if m >= 1000000 and k == m - 1000000}
     assert planted <= got, "planted exact copy escaped its cluster"
-    assert got <= truth, "false positive survived the exact-verify tail"
+    # Subset guarantee holds for DROPPED MEMBER IDS only: when clustering
+    # splits a multi-pair component, a correct drop can surface with a
+    # different (higher) min-id keeper than the exact path's, so comparing
+    # (member, keeper) tuples would flag correct behavior (r4 review
+    # finding — latent under the current fixture, where components are
+    # planted pairs).
+    assert {m for m, _ in got} <= {m for m, _ in truth}, (
+        "false positive survived the exact-verify tail")
