@@ -1,0 +1,102 @@
+"""End-to-end training-corpus preparation: the standard public LLM data
+pipeline (C4/Gopher/GPT-3/Llama recipes) composed from this repo's
+operators in the canonical order:
+
+    line-level clean (C4) → PII scrub → exact dedup → near-dup dedup
+    → benchmark decontamination → quality floor → deterministic
+    train/val split → token-budget sequence packing
+
+Stage-ordering rationale (each choice is load-bearing at 100 TB):
+- cleaning runs FIRST so every downstream hash/shingle/fingerprint sees
+  the text that will actually be trained on (dedup on raw text would keep
+  two docs whose cleaned forms are identical);
+- PII scrub precedes dedup so redaction cannot split a duplicate group
+  (two copies differing only in scrubbed content dedup together);
+- exact dedup precedes near-dup so the O(pairs) machinery never scores
+  byte-identical copies;
+- decontamination and the quality floor run after dedup — they are
+  per-doc filters, cheapest on the already-shrunk corpus;
+- the split is a pure content-hash map (leakage-safe: duplicates would
+  land in the same split — and dedup has already removed them);
+- packing runs last, on exactly the docs that will ship.
+
+Every stage is one of the repo's verified operators; this module adds no
+new math, only the composition — so its correctness surface is the
+invariants (tested in tests/test_prep_pipeline.py), not new oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .cleaning import c4_stats
+from .corpus import flag_contaminated, pack_sequences
+from .dedup import dedup_clusters, ngram_jaccard_pairs
+from .pii import scrub_pii
+from .text_stats import quality_score
+
+
+def prepare_training_corpus(docs: DataFrame,
+                            benchmark: DataFrame | None = None, *,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            min_quality: float = 0.05,
+                            near_dup_threshold: float = 0.8,
+                            train_frac: float = 0.9,
+                            pack_budget: int = 2048,
+                            n_shards: int = 64) -> DataFrame:
+    """Run the full preparation pipeline; returns the packed training set:
+    ``(id, text, split, n_tokens, shard, pack_id)`` where ``text`` is the
+    cleaned+scrubbed form and ``split`` ∈ {train, val} by content hash.
+
+    ``benchmark`` (optional) is a DataFrame with a ``text`` column of
+    evaluation documents to decontaminate against (13-gram overlap)."""
+    d = F.col(id_col)
+
+    # 1. C4 line-level clean: drop failing pages, keep the cleaned text.
+    cleaned = (docs.select(id_col, *c4_stats(text_col))
+               .filter(F.col("keep_page"))
+               .select(id_col, F.col("cleaned").alias(text_col)))
+
+    # 2. PII scrub (map-only regexp chain).
+    scrubbed = cleaned.select(id_col, scrub_pii(text_col).alias(text_col))
+
+    # 3. Exact dedup: keeper = min id per identical text (one hash
+    #    exchange; at 100 TB key the window on xxhash64(text)+length so
+    #    the shuffle carries 8-byte keys — see dedup.exact_dedup_groups).
+    w = Window.partitionBy(text_col).orderBy(d.asc())
+    exact = (scrubbed.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+
+    # 4. Near-dup dedup: trigram-Jaccard pairs → connected components →
+    #    drop every non-minimum member.
+    pairs = ngram_jaccard_pairs(exact, id_col, text_col,
+                                n=3, threshold=near_dup_threshold)
+    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    drops = (comp.filter(F.col("member_id") != F.col("cluster_id"))
+             .select(F.col("member_id").alias(id_col)))
+    deduped = exact.join(F.broadcast(drops), id_col, "left_anti")
+
+    # 5. Benchmark decontamination (13-gram overlap, corpus never shuffles).
+    if benchmark is not None:
+        flags = flag_contaminated(deduped, benchmark, id_col, text_col)
+        deduped = (deduped.join(flags, id_col)
+                   .filter(~F.col("contaminated")).drop("contaminated"))
+
+    # 6. Quality floor (pure column expression).
+    kept = deduped.filter(quality_score(text_col) >= min_quality)
+
+    # 7. Deterministic content-hash split (train_frac of the 32-bit hash
+    #    space → train). Same portable-md5 convention as stratified_sample:
+    #    rerun-, repartition-, and engine-stable; no RNG state.
+    hv = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+    split = F.when(hv < F.lit(float(1 << 32)) * train_frac, "train").otherwise("val")
+    labeled = kept.withColumn("split", split)
+
+    # 8. Token-budget packing of the train split only (val ships unpacked
+    #    rows with pack_id null via the left join).
+    packs = pack_sequences(labeled.filter(F.col("split") == "train"),
+                           budget=pack_budget, n_shards=n_shards,
+                           id_col=id_col, text_col=text_col)
+    return (labeled.join(packs.select(id_col, "n_tokens", "shard", "pack_id"),
+                         id_col, "left"))
