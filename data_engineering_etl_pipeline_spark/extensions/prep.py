@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .cleaning import c4_stats
+from .cleaning import c4_stats, gopher_keep
 from .corpus import flag_contaminated, pack_sequences
 from .dedup import dedup_clusters, ngram_jaccard_pairs
 from .pii import scrub_pii
@@ -42,6 +42,7 @@ def prepare_training_corpus(docs: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
                             min_quality: float = 0.05,
                             near_dup_threshold: float = 0.8,
+                            apply_gopher: bool = False,
                             train_frac: float = 0.9,
                             pack_budget: int = 2048,
                             n_shards: int = 64) -> DataFrame:
@@ -83,8 +84,13 @@ def prepare_training_corpus(docs: DataFrame,
         deduped = (deduped.join(flags, id_col)
                    .filter(~F.col("contaminated")).drop("contaminated"))
 
-    # 6. Quality floor (pure column expression).
+    # 6. Quality floor (pure column expression); optionally also the full
+    #    Gopher/MassiveText document rules (cleaning.gopher_keep — off by
+    #    default: the paper's 50-word floor and stop-word requirement
+    #    assume web-scale English prose and would wipe short-doc corpora).
     kept = deduped.filter(quality_score(text_col) >= min_quality)
+    if apply_gopher:
+        kept = kept.filter(gopher_keep(text_col))
 
     # 7. Deterministic content-hash split (train_frac of the 32-bit hash
     #    space → train). Same portable-md5 convention as stratified_sample:

@@ -15,7 +15,8 @@ from ..extensions.dedup import (dedup_clusters, duplicate_window_spans,
                                 ngram_jaccard_pairs, simhash64_portable)
 from ..extensions.pii import (pii_counts, pii_counts_sql, scrub_pii,
                               scrub_pii_sql)
-from ..extensions.cleaning import c4_stats, c4_stats_sql
+from ..extensions.cleaning import (c4_stats, c4_stats_sql, gopher_stats,
+                                   gopher_stats_sql)
 from ..extensions.text_stats import (TOKEN_PATTERN, duplicate_line_fraction,
                                      predict_lang, quality_score,
                                      rolling_fingerprint_udf,
@@ -361,13 +362,14 @@ def corpus_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry-budget curation.
 
 
-# Deterministic multi-line page construction for the C4 line filter: the
+# Deterministic multi-line page construction for the cleaning suite: the
 # synthetic documents are single-line with no punctuation, so the registry
 # row builds a page from each doc's own tokens plus planted boilerplate
-# lines — identically on both engines — exercising every rule: terminal-
+# lines — identically on both engines — exercising every C4 rule (terminal-
 # punctuation, min-words, the javascript line, the lorem-ipsum page flag
-# (doc_id%5), the curly-bracket page flag (doc_id%7), and the 3-sentence
-# page minimum.
+# (doc_id%5), the curly-bracket page flag (doc_id%7), the 3-sentence page
+# minimum) and every Gopher line/symbol rule (bullet line doc_id%3,
+# ellipsis-terminated line doc_id%4, '#' symbols doc_id%6).
 _C4_PAGE_SQL = """
       array_to_string(t[1:8], ' ') || '.'
       || chr(10) || array_to_string(t[1:3], ' ') || '.'
@@ -378,6 +380,15 @@ _C4_PAGE_SQL = """
               ELSE '' END
       || CASE WHEN doc_id % 7 = 0
               THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || '• ' || array_to_string(t[1:2], ' ')
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || COALESCE(array_to_string(t[4:6], ' '), '')
+                   || '...'
+              ELSE '' END
+      || CASE WHEN doc_id % 6 = 0
+              THEN chr(10) || 'Tags: #data #corpus' ELSE '' END
       || chr(10) || COALESCE(array_to_string(t[17:28], ' '), '')
       || ' done today.'
       || chr(10) || 'That is all. Nothing else!'
@@ -390,18 +401,25 @@ _C4_PAGE_SQL = """
     " string_split_regex(trim(text), '\\s+') AS t FROM documents\n"
     "), pages AS (\n  SELECT doc_id, " + _C4_PAGE_SQL
     + " AS __page\n  FROM toks\n)\nSELECT doc_id,\n       "
-    + ",\n       ".join(c4_stats_sql("__page")) + "\nFROM pages",
+    + ",\n       ".join(c4_stats_sql("__page") + gopher_stats_sql("__page"))
+    + "\nFROM pages",
 )
 def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style line-level cleaning (Raffel et al. 2020 §2.2,
-    extensions/cleaning.py): keep lines ending in terminal punctuation with
-    >=5 words and no 'javascript'; drop pages with 'lorem ipsum', a curly
-    bracket, or <3 sentences after cleaning. Emits per-page line counts,
-    the cleaned text itself (verified bit-for-bit), sentence count, and
-    the page verdict. Pure split/filter-lambda/regexp expressions —
-    map-only, zero shuffle, zero Python. Pages are constructed
-    deterministically from each doc's tokens (the synthetic corpus is
-    single-line), so every rule fires at every scale factor."""
+    """Document-cleaning suite: the C4 line-level rules (Raffel et al.
+    2020 §2.2) AND the Gopher/MassiveText document-quality rules (Rae et
+    al. 2021 Appendix A1.1), both from extensions/cleaning.py, over one
+    shared page per document. C4: keep lines ending in terminal
+    punctuation with >=5 words and no 'javascript'; drop pages with
+    'lorem ipsum', a curly bracket, or <3 sentences after cleaning —
+    emits line counts, the cleaned text itself (verified bit-for-bit),
+    sentence count, and the page verdict. Gopher: word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stop-word floor, and the composite
+    ``keep_doc`` verdict — every metric checked per-row. Pure
+    split/filter-lambda/regexp expressions — map-only, zero shuffle, zero
+    Python. Pages are constructed deterministically from each doc's
+    tokens (the synthetic corpus is single-line), so every rule of both
+    sets fires at every scale factor."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens("text")
     nl = F.lit("\n")
@@ -416,11 +434,20 @@ def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 7 == 0,
                F.concat(nl, F.lit("function f() { return 1; }")))
         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(nl, F.lit("• "), F.concat_ws(" ", F.slice(t, 1, 2))))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(nl, F.concat_ws(" ", F.slice(t, 4, 3)), F.lit("...")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(nl, F.lit("Tags: #data #corpus")))
+        .otherwise(F.lit("")),
         nl, F.concat_ws(" ", F.slice(t, 17, 12)), F.lit(" done today."),
         nl, F.lit("That is all. Nothing else!"),
     )
     base = docs.select("doc_id", page.alias("__page"))
-    return base.select("doc_id", *c4_stats("__page"))
+    return base.select("doc_id", *c4_stats("__page"), *gopher_stats("__page"))
 
 
 # Deterministic PII injection: the synthetic documents carry no PII, so the

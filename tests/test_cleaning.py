@@ -1,14 +1,15 @@
-"""C4 line-filter rules (extensions/cleaning.py) on hand-reasoned pages,
-plus the DuckDB-twin equivalence of the SQL builders on arbitrary text —
-the same check the registry row performs at sf0.01, run here on adversarial
-page shapes (empty lines, whitespace padding, rule-boundary word counts)."""
+"""C4 line-filter and Gopher quality rules (extensions/cleaning.py) on
+hand-reasoned pages, plus the DuckDB-twin equivalence of the SQL builders
+on arbitrary text — the same check the registry row performs at sf0.01,
+run here on adversarial page shapes (empty lines, whitespace padding,
+rule-boundary word counts, per-rule Gopher violations)."""
 
 from __future__ import annotations
 
 import duckdb
 
 from data_engineering_etl_pipeline_spark.extensions.cleaning import (
-    c4_stats, c4_stats_sql)
+    GOPHER_MIN_WORDS, c4_stats, c4_stats_sql, gopher_stats, gopher_stats_sql)
 
 
 PAGES = [
@@ -78,6 +79,68 @@ def test_c4_blocklist_drops_page(spark):
     # pages 4 contains 'schedule'; line rules unchanged, page verdict flips
     assert out[4]["n_kept"] == 3 and out[4]["keep_page"] is False
     assert out[0]["keep_page"] is True
+
+
+_GOOD = ("the quick brown fox jumps over that lazy dog with style and grace "
+         * 5).strip()  # 65 words, mean len ~4.1, 4 stop words, all alpha
+
+GOPHER_DOCS = [
+    (0, _GOOD),                                        # passes every rule
+    (1, "the cat sat with that."),                     # word count < 50
+    (2, " ".join(["abcdefghijklm"] * 60) + " the that"),   # mean len > 10
+    (3, " ".join(["ab"] * 60) + " the that of"),       # mean len < 3
+    (4, _GOOD + " " + " ".join(["#"] * 8)),            # symbol ratio > 0.1
+    (5, "\n".join(["- the quick brown fox jumps that"] * 10)),  # all bullets
+    (6, "\n".join(["the quick brown fox jumps that..."] * 4
+                  + ["the quick brown fox jumps that again"] * 6)),  # ellipsis
+    (7, _GOOD + " " + " ".join(["123"] * 30)),         # alpha frac < 0.8
+    (8, " ".join(["quick", "brown", "fox", "jumps", "lazy", "dog", "style",
+                  "grace"] * 8)),                      # no stop words
+    (9, ""),                                           # empty text edge
+    (10, _GOOD + "\nthe end arrives here…"             # unicode ellipsis
+         + "\nmore of the good stuff lands here" * 2),
+]
+
+
+def _gopher_rows(spark):
+    df = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    out = df.select("doc_id", *gopher_stats("text"))
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_hand_cases(spark):
+    out = _gopher_rows(spark)
+    good = out[0]
+    assert good["keep_doc"] is True
+    assert good["n_words"] == 65 and good["n_stop_hits"] == 4
+    assert good["alpha_word_frac"] == 1.0
+    # each violation doc fails, and fails on the intended metric
+    assert out[1]["keep_doc"] is False and out[1]["n_words"] < GOPHER_MIN_WORDS
+    assert out[2]["keep_doc"] is False and out[2]["mean_word_len"] > 10
+    assert out[3]["keep_doc"] is False and out[3]["mean_word_len"] < 3
+    assert out[4]["keep_doc"] is False and out[4]["symbol_word_ratio"] > 0.1
+    assert out[5]["keep_doc"] is False and out[5]["bullet_line_frac"] == 1.0
+    assert out[6]["keep_doc"] is False and out[6]["ellipsis_line_frac"] == 0.4
+    assert out[7]["keep_doc"] is False and out[7]["alpha_word_frac"] < 0.8
+    assert out[8]["keep_doc"] is False and out[8]["n_stop_hits"] == 0
+    assert out[9]["keep_doc"] is False
+    # the '…' line counts toward both the symbol ratio and the ellipsis
+    # line fraction; 1 of 4 lines keeps both under their caps
+    assert out[10]["keep_doc"] is True and out[10]["ellipsis_line_frac"] == 0.25
+
+
+def test_gopher_sql_twin_matches_spark(spark):
+    sdf = (spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+           .select("doc_id", *gopher_stats("text"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", GOPHER_DOCS)
+    cols = ",\n".join(gopher_stats_sql("text"))
+    odf = (con.execute(f"SELECT doc_id, {cols} FROM docs").df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in sdf.columns:
+        assert list(sdf[c]) == list(odf[c].astype(sdf[c].dtype)), c
 
 
 def test_c4_sql_twin_matches_spark(spark):
