@@ -129,9 +129,15 @@ def _verify_pairs(tok: DataFrame, id_col: str, n: int,
                 .distinct())
     cand_sh = shingles_from_tokens(
         tok.join(F.broadcast(cand_ids), id_col, "left_semi"), id_col, n)
+    # Sets are collected as 64-bit shingle hashes, not strings: the
+    # intersection COUNT is what Jaccard needs, and |A∩B| over xxhash64
+    # values equals |A∩B| over the strings absent a same-doc-pair 64-bit
+    # collision (~1e-19 per pair) — while the collected arrays shrink from
+    # n-gram strings to 8 bytes per element and array_intersect compares
+    # longs instead of strings.
     stats = (cand_sh.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("set_size"),
-        F.array_sort(F.collect_set("shingle")).alias("sh_set")))
+        F.array_sort(F.collect_set(F.xxhash64("shingle"))).alias("sh_set")))
     st_a = stats.select(F.col(id_col).alias("id_a"),
                         F.col("set_size").alias("size_a"),
                         F.col("sh_set").alias("set_a"))
@@ -313,6 +319,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             for bi in range(bands)
         ])).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # ONE shuffle of the bucket relation feeds BOTH sides of the banding
+    # self-join (same single-exchange idiom as ngram_jaccard_pairs: the two
+    # aliased projections sit above one repartition, so the band explode
+    # materializes once instead of per-side).
+    n_parts = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    bucket = bucket.repartition(n_parts, "band", "bh")
     left = bucket.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = bucket.select(F.col(id_col).alias("id_b"), "band", "bh")
     candidates = (
