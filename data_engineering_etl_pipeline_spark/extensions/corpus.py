@@ -1,8 +1,9 @@
 """Corpus-level retrieval & training-shard operators (SURVEY.md §2.11
 extension family): BM25 ranked retrieval, token-budget sequence packing,
-deterministic data mixing, bigram-LM quality scoring, benchmark
-decontamination, and token-window chunking — the ops a training-data
-pipeline runs between dedup/quality filtering and shard writing.
+deterministic data mixing, bigram-LM quality scoring, DSIR importance
+resampling, benchmark decontamination, and token-window chunking — the
+ops a training-data pipeline runs between dedup/quality filtering and
+shard writing.
 
 Scale design:
 - BM25: the ONLY full-corpus work is a map pass (tokenize + doc length);
@@ -14,6 +15,9 @@ Scale design:
   broadcast; the 100 TB corpus side is a map-only explode + broadcast
   semi-join — the corpus never shuffles.
 - Chunking: map-only explode with bounded fan-out (⌈tokens/stride⌉ rows).
+- DSIR: bucket count tables are buckets-sized (KB–MB) and broadcast; the
+  raw corpus pays one map-only feature explode per pass, and the scoring
+  groupBy collapses to docs-sized rows via map-side partial aggregation.
 """
 
 from __future__ import annotations
@@ -184,6 +188,110 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 1024,
                 F.col(id_col), "n_tokens", "shard",
                 (F.col("shard") * F.lit(1 << 32) + pack_in_shard)
                 .alias("pack_id")))
+
+
+def _portable_hv(col) -> F.Column:
+    """Engine-portable 32-bit hash: first 8 hex digits of md5 (the same
+    convention as ``stratified_sample`` / the train-val split, so any
+    engine reproduces the value bit-for-bit)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hashed_ngram_buckets(text_col: str, buckets: int,
+                         salt: str = "dsir-v1") -> F.Column:
+    """Per-row array of hashed n-gram feature buckets (lowercased word
+    unigrams + bigrams, each md5-hashed into ``buckets``) — the hashed
+    feature map of Xie et al. 2023 (DSIR, arXiv:2302.03169 §3). Map-only
+    array expression; portable md5 so a DuckDB twin reproduces the exact
+    bucket ids."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    feats = F.concat(toks, bigrams)
+    return F.transform(
+        feats,
+        lambda g: F.pmod(_portable_hv(F.concat(g, F.lit("|" + salt))),
+                         F.lit(buckets)))
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    target_text_col: str = "text", buckets: int = 4096,
+                    smoothing: float = 1.0,
+                    salt: str = "dsir-v1") -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
+    score every RAW document by how much more likely its hashed n-gram
+    features are under the TARGET distribution than under the raw one —
+    ``logw = Σ_f c_f(doc) · (ln p_target(f) − ln p_raw(f))`` with add-a
+    smoothed bucket probabilities ``p(b) = (C[b]+a)/(N+a·B)``. Returns
+    ``(id, n_feats, logw)``; high logw = looks like the target. Sampling
+    proportional to ``exp(logw)`` (see :func:`dsir_topk`) reweights the
+    raw corpus toward the target domain — the public importance-resampling
+    recipe for data selection.
+
+    Plan shape at 100 TB: both bucket-count tables are ``buckets``-sized
+    (KB–MB) — the target corpus is small by construction, and the raw
+    corpus's count pass is a map-side-combinable groupBy on bucket ids.
+    The log-ratio table broadcasts; scoring is one map-only feature
+    explode + broadcast join + per-doc sum (partial agg collapses to
+    docs-sized rows before the exchange). The raw corpus is scanned twice
+    (counts, scoring) and shuffled never."""
+    a = float(smoothing)
+    feats = hashed_ngram_buckets(text_col, buckets, salt)
+    raw_f = raw.select(F.col(id_col), F.explode(feats).alias("__b"))
+    tgt_f = target.select(F.explode(
+        hashed_ngram_buckets(target_text_col, buckets, salt)).alias("__b"))
+    rc = raw_f.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tc = tgt_f.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    # totals as 1-row broadcast aggs over the (tiny) count tables
+    rn = rc.agg(F.sum("__cr").alias("__nr"))
+    tn = tc.agg(F.sum("__ct").alias("__nt"))
+    ratio = (rc.join(tc, "__b", "left")
+             .join(F.broadcast(rn)).join(F.broadcast(tn))
+             .select(
+                 "__b",
+                 (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a)
+                        / (F.col("__nt") + a * buckets))
+                  - F.log((F.col("__cr") + a)
+                          / (F.col("__nr") + a * buckets))).alias("__lr")))
+    scored = (raw_f.join(F.broadcast(ratio), "__b")
+              .groupBy(id_col).agg(
+                  F.count(F.lit(1)).alias("n_feats"),
+                  F.round(F.sum("__lr"), 6).alias("logw")))
+    return (raw.select(id_col).join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                    "logw"))
+
+
+def dsir_topk(raw: DataFrame, target: DataFrame, k: int,
+              id_col: str = "doc_id", text_col: str = "text",
+              target_text_col: str = "text", buckets: int = 4096,
+              smoothing: float = 1.0, salt: str = "dsir-v1") -> DataFrame:
+    """Select ``k`` raw documents by Gumbel-top-k over the DSIR
+    log-weights — equivalent to sampling k docs WITHOUT replacement with
+    probability ∝ exp(logw) (the Gumbel-max trick), but fully
+    deterministic: the per-doc uniform comes from the portable content
+    hash of the id + salt, not an RNG, so reruns, repartitioning, and
+    engine twins reproduce the same sample. Returns
+    ``(id, logw, dsir_score)`` — the k highest ``dsir_score = logw +
+    Gumbel(hash)``, ties broken by id.
+
+    Scale: the ranking is a TakeOrdered (per-partition top-k, driver
+    merge of k·n_partitions rows) — no global sort; k is sample-sized."""
+    lw = dsir_logweights(raw, target, id_col, text_col, target_text_col,
+                         buckets, smoothing, salt)
+    # u in (0,1): (hv+1)/(2^32+1) — never 0 or 1, so the double log is finite
+    u = ((_portable_hv(F.concat(F.col(id_col).cast("string"),
+                                F.lit("|" + salt))) + 1)
+         / F.lit(float((1 << 32) + 1)))
+    gumbel = -F.log(-F.log(u))
+    return (lw.filter(F.col("logw").isNotNull())
+            .select(F.col(id_col), "logw",
+                    F.round(F.col("logw") + gumbel, 6).alias("dsir_score"))
+            .orderBy(F.col("dsir_score").desc(), F.col(id_col))
+            .limit(k))
 
 
 def flag_contaminated(docs: DataFrame, benchmark: DataFrame,

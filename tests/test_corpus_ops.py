@@ -425,3 +425,96 @@ def test_top_ngram_fraction_udf_matches_expression(spark):
         F.round(top_ngram_fraction_udf("text", 2), 6).alias("arrow"))
     bad = both.filter(F.col("fold") != F.col("arrow")).collect()
     assert not bad, bad[:5]
+
+
+_HV = """list_sum(list_transform(range(0, 8), i ->
+      CAST(strpos('0123456789abcdef',
+                  substr(md5({e}), CAST(i + 1 AS INT), 1)) - 1
+           AS BIGINT) << CAST((7 - i) * 4 AS INT)))"""
+
+
+def _dsir_sql(k: int | None = None) -> str:
+    """DuckDB twin of dsir_logweights / dsir_topk: raw = documents,
+    target = the English documents, buckets=512, smoothing=1.0."""
+    hv_g = _HV.format(e="g || '|dsir-v1'")
+    hv_id = _HV.format(e="CAST(doc_id AS VARCHAR) || '|dsir-v1'")
+    base = """
+WITH base AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), featarr AS (
+  SELECT doc_id, lang,
+         list_concat(t, list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS f
+  FROM base
+), rawf AS (
+  SELECT doc_id, {hv_g} % 512 AS b
+  FROM (SELECT doc_id, unnest(f) AS g FROM featarr)
+), tgtf AS (
+  SELECT {hv_g} % 512 AS b
+  FROM (SELECT unnest(f) AS g FROM featarr WHERE lang = 'en')
+), rc AS (SELECT b, COUNT(*) AS cr FROM rawf GROUP BY 1),
+tc AS (SELECT b, COUNT(*) AS ct FROM tgtf GROUP BY 1),
+rn AS (SELECT SUM(cr) AS nr FROM rc),
+tn AS (SELECT SUM(ct) AS nt FROM tc),
+ratio AS (
+  SELECT rc.b,
+         LN((COALESCE(tc.ct, 0) + 1.0) / (tn.nt + 512.0))
+         - LN((rc.cr + 1.0) / (rn.nr + 512.0)) AS lr
+  FROM rc LEFT JOIN tc USING (b) CROSS JOIN rn CROSS JOIN tn
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_feats, ROUND(SUM(lr), 6) AS logw
+  FROM rawf JOIN ratio USING (b) GROUP BY 1
+), lw AS (
+  SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats, s.logw
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+""".format(hv_g=hv_g)
+    if k is None:
+        return base + "SELECT doc_id, n_feats, logw FROM lw"
+    return base + f"""
+SELECT doc_id, logw,
+       ROUND(logw + -(LN(-LN(({hv_id} + 1) / 4294967297.0))), 6)
+         AS dsir_score
+FROM lw WHERE logw IS NOT NULL
+ORDER BY dsir_score DESC, doc_id LIMIT {k}
+"""
+
+
+def test_dsir_logweights_match_duckdb(spark, duck):
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        dsir_logweights)
+    docs = load_table(spark, SF_DIR, "documents")
+    got = dsir_logweights(docs, docs.filter(F.col("lang") == "en"),
+                          buckets=512)
+    assert_matches_oracle(got, duck, _dsir_sql(), "dsir_logweights")
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """With the English documents as target, English raw docs must score
+    higher on average than every other language (the whole point of
+    importance resampling)."""
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        dsir_logweights)
+    docs = load_table(spark, SF_DIR, "documents")
+    lw = dsir_logweights(docs, docs.filter(F.col("lang") == "en"),
+                         buckets=512)
+    means = {r["lang"]: r["m"] for r in
+             lw.join(docs.select("doc_id", "lang"), "doc_id")
+             .groupBy("lang").agg(F.avg("logw").alias("m")).collect()}
+    assert all(means["en"] > v for l, v in means.items() if l != "en"), means
+
+
+def test_dsir_topk_matches_duckdb_and_is_deterministic(spark, duck):
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        dsir_topk)
+    docs = load_table(spark, SF_DIR, "documents")
+    args = dict(k=25, buckets=512)
+    got = dsir_topk(docs, docs.filter(F.col("lang") == "en"), **args)
+    assert_matches_oracle(got, duck, _dsir_sql(k=25), "dsir_topk")
+    a = [r.doc_id for r in got.collect()]
+    b = [r.doc_id for r in
+         dsir_topk(docs.repartition(7),
+                   docs.filter(F.col("lang") == "en"), **args).collect()]
+    assert a == b
