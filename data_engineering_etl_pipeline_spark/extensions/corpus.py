@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -292,6 +294,55 @@ def dsir_topk(raw: DataFrame, target: DataFrame, k: int,
                     F.round(F.col("logw") + gumbel, 6).alias("dsir_score"))
             .orderBy(F.col("dsir_score").desc(), F.col(id_col))
             .limit(k))
+
+
+def hashed_tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", dim: int = 256,
+                         salt: str = "tfidf-v1",
+                         out_col: str = "embedding") -> DataFrame:
+    """L2-normalized hashed TF-IDF document vectors: ``(id, embedding)``
+    with ``embedding`` an ``array<float>`` of length ``dim`` — the
+    feature-hashing vectorizer (Weinberger et al. 2009) over the same
+    unigram+bigram buckets as DSIR, with smoothed idf
+    ``ln((1+N)/(1+df)) + 1`` (the standard public convention).
+
+    This bridges the text family to the similarity stack: the output is
+    drop-in for ``similarity.cosine_topk`` / ``cosine_near_dup_pairs`` /
+    ``semantic_dedup`` (pass ``dim=dim``), giving text near-dup and
+    retrieval WITHOUT a precomputed embedding column.
+
+    Plan shape at 100 TB: bucketing is a map-only array expression; the
+    document-frequency table is ≤ ``dim`` rows (one vocabulary-sized agg
+    with map-side combine) and ships to executors inside the vectorizer
+    closure — the same KB-scale codebook-vs-corpus split as the IVF/PQ
+    fits; vectorization is one Arrow-batched pandas UDF (numpy bincount +
+    scale + normalize per doc), map-only over the scan. The only
+    corpus-wide actions are the scan passes — nothing data-sized ever
+    shuffles or reaches the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    base = docs.select(F.col(id_col),
+                       hashed_ngram_buckets(text_col, dim, salt).alias("__b"))
+    n_docs = docs.count()
+    dfreq = (base.select(F.explode(F.array_distinct("__b")).alias("__k"))
+             .groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
+             .collect())  # <= dim rows — KB-scale, the codebook pattern
+    idf = np.ones(dim, dtype=np.float64)
+    for r in dfreq:
+        idf[r["__k"]] = np.log((1.0 + n_docs) / (1.0 + r["__df"])) + 1.0
+
+    @pandas_udf("array<float>")
+    def vectorize(buckets: pd.Series) -> pd.Series:
+        out = []
+        for arr in buckets:
+            tf = np.bincount(np.asarray(arr, dtype=np.int64),
+                             minlength=dim).astype(np.float64)
+            v = tf * idf
+            n = np.linalg.norm(v)
+            out.append((v / n if n > 0 else v).astype(np.float32))
+        return pd.Series(out)
+
+    return base.select(F.col(id_col), vectorize("__b").alias(out_col))
 
 
 def flag_contaminated(docs: DataFrame, benchmark: DataFrame,

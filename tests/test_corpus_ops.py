@@ -518,3 +518,77 @@ def test_dsir_topk_matches_duckdb_and_is_deterministic(spark, duck):
          dsir_topk(docs.repartition(7),
                    docs.filter(F.col("lang") == "en"), **args).collect()]
     assert a == b
+
+
+def _ref_tfidf(texts: dict[int, str], dim: int, salt: str = "tfidf-v1"):
+    """Pure-python reference of hashed_tfidf_vectors (same md5 buckets,
+    same smoothed idf, same l2 normalization)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    def buckets(text):
+        # re.split mirrors Spark's split(trim(lower(text)), '\s+'): an
+        # empty text yields the single empty token, not an empty list
+        toks = re.split(r"\s+", text.strip().lower())
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [int(hashlib.md5(f"{g}|{salt}".encode()).hexdigest()[:8], 16)
+                % dim for g in grams]
+
+    n = len(texts)
+    df = {}
+    per_doc = {i: buckets(t) for i, t in texts.items()}
+    for bs in per_doc.values():
+        for k in set(bs):
+            df[k] = df.get(k, 0) + 1
+    idf = np.ones(dim)
+    for k, d in df.items():
+        idf[k] = np.log((1.0 + n) / (1.0 + d)) + 1.0
+    out = {}
+    for i, bs in per_doc.items():
+        tf = np.bincount(np.asarray(bs, dtype=np.int64),
+                         minlength=dim).astype(float)
+        v = tf * idf
+        nrm = np.linalg.norm(v)
+        out[i] = (v / nrm if nrm > 0 else v).astype(np.float32)
+    return out
+
+
+def test_hashed_tfidf_matches_reference(spark):
+    import numpy as np
+
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        hashed_tfidf_vectors)
+    texts = {0: "the quick brown fox", 1: "the quick brown dog",
+             2: "completely different words entirely", 3: "the the the",
+             4: ""}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: np.asarray(r.embedding, dtype=np.float32)
+           for r in hashed_tfidf_vectors(df, dim=64).collect()}
+    want = _ref_tfidf(texts, dim=64)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i].shape == (64,)
+        np.testing.assert_allclose(got[i], want[i], rtol=1e-6, atol=1e-7), i
+
+
+def test_hashed_tfidf_feeds_cosine_near_dup(spark):
+    """The vectorizer's output is drop-in for the embedding near-dup
+    machinery: planted near-identical texts pair up, unrelated ones
+    don't."""
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        hashed_tfidf_vectors)
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs)
+    rows = []
+    for i in range(20):
+        ws = [f"w{i}x{j}" for j in range(30)]
+        rows.append((i, " ".join(ws)))
+        if i < 3:  # plant a near-dup: one word changed
+            rows.append((100 + i, " ".join(ws[:-1] + ["changed"])))
+    df = spark.createDataFrame(rows, "vec_id long, text string")
+    vecs = hashed_tfidf_vectors(df, id_col="vec_id", dim=128)
+    pairs = cosine_near_dup_pairs(vecs, threshold=0.9, dim=128)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 100), (1, 101), (2, 102)}
