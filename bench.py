@@ -82,20 +82,21 @@ def main() -> int:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    # Three passes: pass 1 warms codegen/JIT/Python workers (untimed);
-    # passes 2-3 are measured and each query reports its MINIMUM — the
+    # Four passes: pass 1 warms codegen/JIT/Python workers (untimed);
+    # passes 2-4 are measured and each query reports its MINIMUM — the
     # steady-state cost of the plan. Back-to-back identical runs on this
-    # box vary up to 1.5× from scheduler/GC noise; min-of-2 keeps the
-    # number about the plan, not the weather. clearCache between queries
-    # and passes so no query is timed against another's (or its own
-    # earlier pass's) persisted intermediates — warm code, cold data.
+    # box vary up to 1.5× from scheduler/GC noise; min-of-3 (r3 VERDICT
+    # bench-protocol item) keeps the number about the plan, not the
+    # weather. clearCache between queries and passes so no query is timed
+    # against another's (or its own earlier pass's) persisted
+    # intermediates — warm code, cold data.
     skip_warmup = os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP") == "1"
     if not skip_warmup:
         for name in BENCH_QUERIES:
             run_one(name)
             spark.catalog.clearCache()
     times: dict[str, float] = {}
-    for _ in range(1 if skip_warmup else 2):
+    for _ in range(1 if skip_warmup else 3):
         for name in BENCH_QUERIES:
             t = run_one(name)
             times[name] = min(times.get(name, t), t)
