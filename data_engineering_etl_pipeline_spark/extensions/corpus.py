@@ -113,6 +113,36 @@ def lm_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
                     "xent"))
 
 
+def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: float = 0.1) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): score every document with the corpus-trained
+    bigram-LM cross-entropy (:func:`lm_cross_entropy`) and assign it to
+    the ``head`` / ``middle`` / ``tail`` tercile of the corpus
+    distribution — head = most fluent. Returns
+    ``(id, n_bigrams, xent, ppl_bucket)``; docs too short to score
+    (``xent`` NULL) get a NULL bucket.
+
+    Compose with :func:`stratified_sample` on ``ppl_bucket`` for the
+    paper's per-bucket downsampling (keep head, thin tail).
+
+    Plan shape: the tercile cutoffs are ONE exact-percentile aggregate
+    over the docs-sized score relation (a 1-row broadcast); at 100 TB swap
+    ``percentile`` for ``approx_percentile`` (t-digest, map-side
+    combinable) — same plan, bounded error, the same documented trade as
+    the corpus length profile."""
+    lw = lm_cross_entropy(docs, id_col, text_col, k)
+    cuts = lw.agg(F.percentile("xent", F.array(
+        F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))).alias("__c"))
+    bucket = (F.when(F.col("xent").isNull(), F.lit(None).cast("string"))
+              .when(F.col("xent") <= F.element_at("__c", 1), "head")
+              .when(F.col("xent") <= F.element_at("__c", 2), "middle")
+              .otherwise("tail"))
+    return (lw.join(F.broadcast(cuts))
+            .select(F.col(id_col), "n_bigrams", "xent",
+                    bucket.alias("ppl_bucket")))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict[str, float], key_col: str,
                       salt: str = "sample-v1") -> DataFrame:

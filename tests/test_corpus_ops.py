@@ -592,3 +592,46 @@ def test_hashed_tfidf_feeds_cosine_near_dup(spark):
     pairs = cosine_near_dup_pairs(vecs, threshold=0.9, dim=128)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(0, 100), (1, 101), (2, 102)}
+
+
+def test_perplexity_buckets_match_duckdb(spark, duck):
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        perplexity_buckets)
+    docs = load_table(spark, SF_DIR, "documents")
+    got = perplexity_buckets(docs)
+    sql = f"""
+WITH lw AS ({_LM_SQL}),
+cuts AS (SELECT quantile_cont(xent, [1.0/3.0, 2.0/3.0]) AS c FROM lw)
+SELECT doc_id, n_bigrams, xent,
+       CASE WHEN xent IS NULL THEN NULL
+            WHEN xent <= c[1] THEN 'head'
+            WHEN xent <= c[2] THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM lw CROSS JOIN cuts
+"""
+    assert_matches_oracle(got, duck, sql, "perplexity_buckets")
+
+
+def test_perplexity_bucket_proportions_and_sampling(spark):
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        perplexity_buckets)
+    docs = load_table(spark, SF_DIR, "documents")
+    b = perplexity_buckets(docs)
+    counts = {r.ppl_bucket: r.cnt for r in
+              b.filter(F.col("ppl_bucket").isNotNull())
+              .groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()}
+    n = sum(counts.values())
+    # terciles: each bucket holds ~1/3 (ties can shift boundaries a bit)
+    for name in ("head", "middle", "tail"):
+        assert 0.2 < counts[name] / n < 0.47, counts
+    # CCNet downsampling composes with the deterministic sampler
+    kept = stratified_sample(
+        b.filter(F.col("ppl_bucket").isNotNull()), "ppl_bucket",
+        {"head": 1.0, "middle": 0.5, "tail": 0.1}, "doc_id")
+    per = {r.ppl_bucket: r.cnt for r in
+           kept.groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("cnt"))
+           .collect()}
+    assert per["head"] == counts["head"]
+    assert per["middle"] < counts["middle"]
+    assert per["tail"] < counts["tail"] * 0.3
