@@ -313,3 +313,37 @@ def test_stream_stream_interval_join_matches_batch(spark):
                      F.col("c_ts").alias("c_ts"), "value")
     assert _collect_sorted(got, cols) == _collect_sorted(want.select(*cols), cols)
     assert got.count() > 0
+
+
+def test_cleaning_family_streams_map_only(spark, tmp_path):
+    """The corpus-cleaning operators (C4 + Gopher + PII scrub) are pure
+    map-only column expressions, so they run UNCHANGED on a streaming
+    source in append mode with no watermark or state — and produce
+    bit-identical rows to the batch run. This is the 100 TB ingest-time
+    filtering path: clean/score documents as they land, before any
+    batch job sees them."""
+    from data_engineering_etl_pipeline_spark.extensions.cleaning import (
+        c4_stats, gopher_stats)
+    from data_engineering_etl_pipeline_spark.extensions.pii import scrub_pii
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    src = str(tmp_path / "docs_stream")
+    docs = load_table(spark, SF_DIR.replace("0.01", "0.001"), "documents")
+    docs.limit(200).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def pipeline(df):
+        return df.select(
+            "doc_id", *c4_stats("text"), *gopher_stats("text"),
+            scrub_pii("text").alias("scrubbed"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = pipeline(stream)
+    assert out.isStreaming
+    run_stream_to_memory(out, "clean_stream_test", output_mode="append")
+    got = spark.table("clean_stream_test")
+    want = pipeline(spark.read.parquet(src))
+    cols = [c for c in want.columns]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+    assert got.count() == 200
