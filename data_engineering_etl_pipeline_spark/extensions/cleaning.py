@@ -19,7 +19,9 @@ MassiveText document-level quality rules:
 
 - word count in [50, 100000];
 - mean word length in [3, 10];
-- symbol-to-word ratio ('#' or ellipsis) <= 0.1;
+- symbol-to-word ratio <= 0.1 for EACH of '#' and ellipsis (reported as
+  the max of the two ratios; words and lines exclude whitespace-only
+  entries, so trailing newlines mint no phantom words);
 - <= 90% of lines starting with a bullet point;
 - <= 30% of lines ending with an ellipsis;
 - >= 80% of words containing at least one alphabetic character;
@@ -172,8 +174,12 @@ def gopher_stats(text: str | Column) -> list[Column]:
     interpreted higher-order fold. Ratios rounded so the driver's value
     hash is stable across engines."""
     t = _col(text)
-    words = F.split(F.trim(t), r"\s+")
-    lines = F.split(t, "\n")
+    # drop empty tokens/lines: trim strips only spaces and Spark's split
+    # keeps boundary empties, so a trailing newline/tab would otherwise
+    # mint a phantom word (49-word doc + '\n' passing the 50-word floor)
+    # and a phantom line diluting the bullet/ellipsis fractions
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
     n_words = F.size(words)
     n_lines = F.size(lines)
     nw = n_words.cast("double")
@@ -185,7 +191,12 @@ def gopher_stats(text: str | Column) -> list[Column]:
         .cast("long")
         + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
     )
-    sym_ratio = F.when(n_words > 0, (n_hash + n_ellipsis).cast("double") / nw)
+    # the paper caps EACH symbol's ratio at 0.1 ("either the hash symbol
+    # or the ellipsis"), so the reported ratio is the max of the two —
+    # one column, same verdict as two separate caps
+    sym_ratio = F.when(
+        n_words > 0,
+        F.greatest(n_hash.cast("double"), n_ellipsis.cast("double")) / nw)
     bullet_frac = F.when(
         n_lines > 0,
         F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(_BULLET_RE)))
@@ -232,8 +243,10 @@ def gopher_keep(text: str | Column) -> Column:
 def gopher_stats_sql(expr: str) -> list[str]:
     """DuckDB twin of :func:`gopher_stats` over the SQL expression
     ``expr`` — identical rules, identical column names."""
-    w = f"string_split_regex(trim({expr}), '\\s+')"
-    ln = f"string_split({expr}, chr(10))"
+    w = (f"list_filter(string_split_regex(trim({expr}), '\\s+'), "
+         f"x -> x <> '')")
+    ln = (f"list_filter(string_split({expr}, chr(10)), "
+          f"l -> trim(l) <> '')")
     n_words = f"len({w})"
     n_lines = f"len({ln})"
     word_chars = f"length(regexp_replace({expr}, '\\s+', '', 'g'))"
@@ -243,7 +256,8 @@ def gopher_stats_sql(expr: str) -> list[str]:
     n_ellipsis = (f"((length({expr}) - length(replace({expr}, '...', ''))) // 3"
                   f" + length({expr}) - length(replace({expr}, '…', '')))")
     sym_ratio = (f"CASE WHEN {n_words} > 0 THEN "
-                 f"CAST({n_hash} + {n_ellipsis} AS DOUBLE) / {n_words} END")
+                 f"greatest(CAST({n_hash} AS DOUBLE), "
+                 f"CAST({n_ellipsis} AS DOUBLE)) / {n_words} END")
     bullet = (f"CASE WHEN {n_lines} > 0 THEN CAST(len(list_filter({ln}, "
               f"l -> regexp_matches(ltrim(l), '{_BULLET_RE}'))) AS DOUBLE)"
               f" / {n_lines} END")

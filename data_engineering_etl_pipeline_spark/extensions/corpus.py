@@ -247,28 +247,14 @@ def hashed_ngram_buckets(text_col: str, buckets: int,
                          F.lit(buckets)))
 
 
-def dsir_logweights(raw: DataFrame, target: DataFrame,
-                    id_col: str = "doc_id", text_col: str = "text",
-                    target_text_col: str = "text", buckets: int = 4096,
-                    smoothing: float = 1.0,
-                    salt: str = "dsir-v1") -> DataFrame:
-    """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
-    score every RAW document by how much more likely its hashed n-gram
-    features are under the TARGET distribution than under the raw one —
-    ``logw = Σ_f c_f(doc) · (ln p_target(f) − ln p_raw(f))`` with add-a
-    smoothed bucket probabilities ``p(b) = (C[b]+a)/(N+a·B)``. Returns
-    ``(id, n_feats, logw)``; high logw = looks like the target. Sampling
-    proportional to ``exp(logw)`` (see :func:`dsir_topk`) reweights the
-    raw corpus toward the target domain — the public importance-resampling
-    recipe for data selection.
-
-    Plan shape at 100 TB: both bucket-count tables are ``buckets``-sized
-    (KB–MB) — the target corpus is small by construction, and the raw
-    corpus's count pass is a map-side-combinable groupBy on bucket ids.
-    The log-ratio table broadcasts; scoring is one map-only feature
-    explode + broadcast join + per-doc sum (partial agg collapses to
-    docs-sized rows before the exchange). The raw corpus is scanned twice
-    (counts, scoring) and shuffled never."""
+def _dsir_scored(raw: DataFrame, target: DataFrame, id_col: str,
+                 text_col: str, target_text_col: str, buckets: int,
+                 smoothing: float, salt: str) -> DataFrame:
+    """Inner DSIR scoring relation: one row per raw doc WITH features
+    (``(id, n_feats, logw)``, logw never NULL). ``dsir_logweights`` adds
+    the featureless-docs left join for the complete contract;
+    ``dsir_topk`` consumes this directly (a featureless doc can never
+    rank, so the topk path skips that docs-sized join + extra scan)."""
     a = float(smoothing)
     feats = hashed_ngram_buckets(text_col, buckets, salt)
     raw_f = raw.select(F.col(id_col), F.explode(feats).alias("__b"))
@@ -287,10 +273,38 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
                         / (F.col("__nt") + a * buckets))
                   - F.log((F.col("__cr") + a)
                           / (F.col("__nr") + a * buckets))).alias("__lr")))
-    scored = (raw_f.join(F.broadcast(ratio), "__b")
-              .groupBy(id_col).agg(
-                  F.count(F.lit(1)).alias("n_feats"),
-                  F.round(F.sum("__lr"), 6).alias("logw")))
+    return (raw_f.join(F.broadcast(ratio), "__b")
+            .groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_feats"),
+                F.round(F.sum("__lr"), 6).alias("logw")))
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    target_text_col: str = "text", buckets: int = 4096,
+                    smoothing: float = 1.0,
+                    salt: str = "dsir-v1") -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
+    score every RAW document by how much more likely its hashed n-gram
+    features are under the TARGET distribution than under the raw one —
+    ``logw = Σ_f c_f(doc) · (ln p_target(f) − ln p_raw(f))`` with add-a
+    smoothed bucket probabilities ``p(b) = (C[b]+a)/(N+a·B)``. Returns
+    ``(id, n_feats, logw)`` for EVERY raw doc (featureless docs get
+    ``n_feats=0``, NULL logw); high logw = looks like the target.
+    Sampling proportional to ``exp(logw)`` (see :func:`dsir_topk`)
+    reweights the raw corpus toward the target domain — the public
+    importance-resampling recipe for data selection.
+
+    Plan shape at 100 TB: both bucket-count tables are ``buckets``-sized
+    (KB–MB) — the target corpus is small by construction, and the raw
+    corpus's count pass is a map-side-combinable groupBy on bucket ids.
+    The log-ratio table broadcasts; scoring is one map-only feature
+    explode + broadcast join + per-doc sum (partial agg collapses to
+    docs-sized rows before the exchange). The completeness left join is
+    the one docs-sized exchange — use :func:`dsir_topk` when only the
+    selection matters (it skips this join entirely)."""
+    scored = _dsir_scored(raw, target, id_col, text_col, target_text_col,
+                          buckets, smoothing, salt)
     return (raw.select(id_col).join(scored, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
@@ -312,14 +326,14 @@ def dsir_topk(raw: DataFrame, target: DataFrame, k: int,
 
     Scale: the ranking is a TakeOrdered (per-partition top-k, driver
     merge of k·n_partitions rows) — no global sort; k is sample-sized."""
-    lw = dsir_logweights(raw, target, id_col, text_col, target_text_col,
-                         buckets, smoothing, salt)
+    lw = _dsir_scored(raw, target, id_col, text_col, target_text_col,
+                      buckets, smoothing, salt)
     # u in (0,1): (hv+1)/(2^32+1) — never 0 or 1, so the double log is finite
     u = ((_portable_hv(F.concat(F.col(id_col).cast("string"),
                                 F.lit("|" + salt))) + 1)
          / F.lit(float((1 << 32) + 1)))
     gumbel = -F.log(-F.log(u))
-    return (lw.filter(F.col("logw").isNotNull())
+    return (lw
             .select(F.col(id_col), "logw",
                     F.round(F.col("logw") + gumbel, 6).alias("dsir_score"))
             .orderBy(F.col("dsir_score").desc(), F.col(id_col))
@@ -363,8 +377,12 @@ def hashed_tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
 
     @pandas_udf("array<float>")
     def vectorize(buckets: pd.Series) -> pd.Series:
+        zero = np.zeros(dim, dtype=np.float32)
         out = []
         for arr in buckets:
+            if arr is None:  # NULL text propagates a NULL bucket array
+                out.append(zero)
+                continue
             tf = np.bincount(np.asarray(arr, dtype=np.int64),
                              minlength=dim).astype(np.float64)
             v = tf * idf

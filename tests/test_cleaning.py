@@ -99,6 +99,10 @@ GOPHER_DOCS = [
     (9, ""),                                           # empty text edge
     (10, _GOOD + "\nthe end arrives here…"             # unicode ellipsis
          + "\nmore of the good stuff lands here" * 2),
+    (11, " ".join(_GOOD.split()[:49]) + "\n"),         # trailing \n: 49 words
+    # each symbol ratio <= 0.1 though their sum exceeds it; trailing words
+    # keep the single line from ending in an ellipsis
+    (12, _GOOD + " #a #b #c #d x... y... z... w... closing words arrive"),
 ]
 
 
@@ -127,6 +131,11 @@ def test_gopher_hand_cases(spark):
     # the '…' line counts toward both the symbol ratio and the ellipsis
     # line fraction; 1 of 4 lines keeps both under their caps
     assert out[10]["keep_doc"] is True and out[10]["ellipsis_line_frac"] == 0.25
+    # a trailing newline must not mint a phantom 50th word
+    assert out[11]["n_words"] == 49 and out[11]["keep_doc"] is False
+    # the 0.1 cap applies to EACH symbol separately (paper semantics):
+    # 4 hashes and 4 ellipses in 73 words each sit under the cap
+    assert out[12]["symbol_word_ratio"] < 0.1 and out[12]["keep_doc"] is True
 
 
 def test_gopher_sql_twin_matches_spark(spark):
@@ -140,7 +149,9 @@ def test_gopher_sql_twin_matches_spark(spark):
     odf = (con.execute(f"SELECT doc_id, {cols} FROM docs").df()
            .sort_values("doc_id").reset_index(drop=True))
     for c in sdf.columns:
-        assert list(sdf[c]) == list(odf[c].astype(sdf[c].dtype)), c
+        g, w = sdf[c], odf[c].astype(sdf[c].dtype)
+        eq = (g == w) | (g.isna() & w.isna())  # NULL metrics on empty text
+        assert bool(eq.all()), (c, list(g), list(w))
 
 
 def test_c4_sql_twin_matches_spark(spark):

@@ -635,3 +635,16 @@ def test_perplexity_bucket_proportions_and_sampling(spark):
     assert per["head"] == counts["head"]
     assert per["middle"] < counts["middle"]
     assert per["tail"] < counts["tail"] * 0.3
+
+
+def test_hashed_tfidf_null_text_yields_zero_vector(spark):
+    import numpy as np
+
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        hashed_tfidf_vectors)
+    df = spark.createDataFrame([(0, "the quick fox"), (1, None)],
+                               "doc_id long, text string")
+    got = {r.doc_id: np.asarray(r.embedding)
+           for r in hashed_tfidf_vectors(df, dim=32).collect()}
+    assert np.all(got[1] == 0.0) and got[1].shape == (32,)
+    assert np.linalg.norm(got[0]) > 0
