@@ -47,8 +47,8 @@ BENCH_QUERIES = [
     "doc_decontamination",
     "corpus_split_profile",
     "bm25_scores",
-    "lm_cross_entropy",
-    "stratified_sample",
+    "ccnet_perplexity_mix",
+    "dsir_select",
     "pack_sequences",
     "embedding_cosine_topk",
     "embedding_ivf_full_probe",

@@ -65,9 +65,17 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bm25_scores(docs, _QUERY_TERMS)
 
 
-@register(
-    "lm_cross_entropy",
-    oracle="""
+# The standalone `lm_cross_entropy` row was folded into
+# `ccnet_perplexity_mix` below (r4 registry curation under the 50-row
+# cap): the mix row recomputes the identical add-k bigram LM per doc —
+# scores, cutoffs, buckets, and the surviving sample are all
+# hash-checked — and the FULL per-doc contract (including NULL xent on
+# short docs) keeps its DuckDB hash-match unit in
+# tests/test_corpus_ops.py::test_lm_cross_entropy_matches_duckdb.
+
+
+# Shared LM-score CTE for the CCNet row (same model as lm_cross_entropy).
+_LM_CTE = """
     WITH big AS (
       SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
       FROM (SELECT doc_id,
@@ -83,40 +91,102 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(-AVG(LN((c2 + 0.1) / (c1 + 0.1 * v))), 6) AS xent
       FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
       GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           s.xent
-    FROM documents d LEFT JOIN scored s USING (doc_id)
-    """,
-)
-def lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document cross-entropy under an add-k bigram LM trained on the
-    corpus itself — the CCNet-style perplexity quality filter
-    (extensions/corpus.py lm_cross_entropy; one bigram explode feeds the
-    count tables and the scoring join)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return corpus.lm_cross_entropy(docs, "doc_id", "text", k=0.1)
+    ),
+    lw AS (
+      SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             s.xent
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    )"""
 
 
 @register(
-    "stratified_sample",
-    oracle="""
-    SELECT * FROM documents
-    WHERE """ + _MD5_32.format(
-        arg="CAST(doc_id AS VARCHAR) || '|mix-v1'") + """
-          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.0 END
-            * 4294967296
+    "ccnet_perplexity_mix",
+    oracle=_LM_CTE + """,
+    cuts AS (SELECT quantile_cont(xent, [1.0/3.0, 2.0/3.0]) AS c FROM lw),
+    bucketed AS (
+      SELECT doc_id, n_bigrams, xent,
+             CASE WHEN xent IS NULL THEN NULL
+                  WHEN xent <= c[1] THEN 'head'
+                  WHEN xent <= c[2] THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM lw CROSS JOIN cuts
+    )
+    SELECT * FROM bucketed
+    WHERE ppl_bucket IS NOT NULL
+      AND """ + _MD5_32.format(
+        arg="CAST(doc_id AS VARCHAR) || '|ccnet-v1'") + """
+          < CASE ppl_bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+                            ELSE 0.1 END * 4294967296
     """,
 )
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum subsample (data mixing) via an
-    engine-portable md5 content hash — map-only, rerun/repartition-stable
-    (extensions/corpus.py stratified_sample). The oracle reproduces the
-    exact sample bit-for-bit from the same hash."""
+def ccnet_perplexity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing + per-bucket downsampling in one
+    row (Wenzek et al. 2020 §4.3): score every doc with the corpus-trained
+    bigram-LM cross-entropy, assign head/middle/tail terciles (one exact
+    1-row percentile agg), then keep head=100% / middle=50% / tail=10% via
+    the deterministic md5 per-stratum sampler (extensions/corpus.py
+    perplexity_buckets + stratified_sample — the r4 consolidation of the
+    former standalone ``stratified_sample`` row into a strictly richer
+    query: the oracle must reproduce the scores, the tercile cutoffs, the
+    bucket assignment, AND the exact surviving sample bit-for-bit)."""
     docs = load_table(spark, sf_dir, "documents")
+    b = (corpus.perplexity_buckets(docs)
+         .filter(F.col("ppl_bucket").isNotNull()))
     return corpus.stratified_sample(
-        docs, "lang", {"en": 0.5, "de": 1.0}, "doc_id", salt="mix-v1")
+        b, "ppl_bucket", {"head": 1.0, "middle": 0.5, "tail": 0.1},
+        "doc_id", salt="ccnet-v1")
+
+
+@register(
+    "dsir_select",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), featarr AS (
+      SELECT doc_id, lang,
+             list_concat(t, list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1])) AS f
+      FROM base
+    ), rawf AS (
+      SELECT doc_id, """ + _MD5_32.format(arg="g || '|dsir-v1'") + """
+               % 512 AS b
+      FROM (SELECT doc_id, unnest(f) AS g FROM featarr)
+    ), tgtf AS (
+      SELECT """ + _MD5_32.format(arg="g || '|dsir-v1'") + """ % 512 AS b
+      FROM (SELECT unnest(f) AS g FROM featarr WHERE lang = 'en')
+    ), rc AS (SELECT b, COUNT(*) AS cr FROM rawf GROUP BY 1),
+    tc AS (SELECT b, COUNT(*) AS ct FROM tgtf GROUP BY 1),
+    rn AS (SELECT SUM(cr) AS nr FROM rc),
+    tn AS (SELECT SUM(ct) AS nt FROM tc),
+    ratio AS (
+      SELECT rc.b,
+             LN((COALESCE(tc.ct, 0) + 1.0) / (tn.nt + 512.0))
+             - LN((rc.cr + 1.0) / (rn.nr + 512.0)) AS lr
+      FROM rc LEFT JOIN tc USING (b) CROSS JOIN rn CROSS JOIN tn
+    ), lw AS (
+      SELECT doc_id, ROUND(SUM(lr), 6) AS logw
+      FROM rawf JOIN ratio USING (b) GROUP BY 1
+    )
+    SELECT doc_id, logw,
+           ROUND(logw + -(LN(-LN((""" + _MD5_32.format(
+        arg="CAST(doc_id AS VARCHAR) || '|dsir-v1'") + """
+             + 1) / 4294967297.0))), 6) AS dsir_score
+    FROM lw ORDER BY dsir_score DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance log-weights of
+    every doc vs the English-documents target distribution over 512
+    hashed unigram+bigram buckets, then a deterministic Gumbel-top-50
+    sample ∝ exp(logw) (extensions/corpus.py dsir_topk — KB-scale
+    broadcast count tables, map-only scoring, TakeOrdered ranking; the
+    oracle reproduces weights, Gumbel noise, and the selected set
+    bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.dsir_topk(docs, docs.filter(F.col("lang") == "en"),
+                            k=50, buckets=512)
 
 
 @register(
