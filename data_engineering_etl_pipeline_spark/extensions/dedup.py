@@ -23,21 +23,95 @@ from pyspark.sql import functions as F
 _MINHASH_P = 2147483647  # 2^31 - 1
 
 
+def _default_fingerprint(text_col: str) -> list:
+    """8-byte xxhash64 + length: the scale-safe exact-dedup shuffle key.
+    Length rides along for free (it is already computed during the scan)
+    and cheaply splits same-hash groups before any text comparison."""
+    return [F.xxhash64(F.col(text_col)).alias("__fp"),
+            F.length(F.col(text_col)).alias("__fplen")]
+
+
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       fingerprint=None) -> DataFrame:
     """Exact-duplicate groups: keeper = min id per identical text; returns
     one row per duplicated text: keeper id + the number of copies.
 
-    At scale, group on ``xxhash64(text)`` (+ length) instead of the raw
-    string so the shuffle carries 8-byte keys; here we keep the text equality
-    semantics (hash collisions are then resolved by a second exact pass).
+    Two-phase plan (EXACT text-equality semantics at fingerprint-key
+    shuffle cost — the most-used operator of a 100 TB training-data
+    pipeline must never shuffle raw documents as groupBy keys):
+
+    1. groupBy ``(xxhash64(text), length(text))`` over an ``(id, fp, len)``
+       projection — the corpus-wide exchange carries 12-byte keys + ids,
+       never text. Fingerprint groups with one member are unique docs and
+       are done.
+    2. Docs in multi-member fingerprint groups (true duplicates + the
+       ~2^-64-rare hash collisions) are re-grouped by the RAW text — but
+       only those candidate rows ever shuffle text, and in a dedup regime
+       candidates ≪ corpus. This second pass is what resolves a collision
+       (two different texts sharing a fingerprint end up in different
+       final groups), so the output is bit-identical to a groupBy on text.
+
+    ``fingerprint`` (list of Columns, default xxhash64+length) is
+    injectable so tests can force the collision path with a weak hash.
     """
+    fp = fingerprint if fingerprint is not None else _default_fingerprint(text_col)
+    slim = docs.select(F.col(id_col), *fp)
+    fp_names = slim.columns[1:]  # resolved aliases, no execution
+    # Phase 1: fingerprint groups with >1 member — the only corpus-wide
+    # exchange, keyed on the fingerprint columns alone.
+    cand_fp = (slim.groupBy(*fp_names)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > 1)
+               .select(*fp_names))
+    # Phase 2: exact-equality resolution over candidate rows only. The
+    # semi-join keys on the fingerprint (no text); only the surviving
+    # candidate rows carry text into the final (tiny) exchange.
+    cand = (docs.select(F.col(id_col), F.col(text_col), *fp)
+            .join(cand_fp, fp_names, "left_semi"))
     return (
-        docs.groupBy(F.col(text_col))
+        cand.groupBy(F.col(text_col))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
         .select("keep_id", "n_copies")
     )
+
+
+def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           fingerprint=None) -> DataFrame:
+    """Exact dedup that RETURNS THE DEDUPED CORPUS (keeper = min id per
+    identical text), preserving all input columns — the form a pipeline
+    composes (``prepare_training_corpus`` stage 3).
+
+    Same two-phase shape as :func:`exact_dedup_groups`: the corpus-wide
+    exchange keys on ``(xxhash64(text), length)``; docs in single-member
+    fingerprint groups pass through untouched (no text ever shuffles for
+    them), and only multi-member groups pay a row_number window over
+    ``(fp, len, text)`` — candidate-sized — to keep exactly the min-id row
+    per distinct text.
+    """
+    fp = fingerprint if fingerprint is not None else _default_fingerprint(text_col)
+    fp_names = docs.select(*fp).columns  # resolved aliases, no execution
+    base = docs.select("*", *fp)
+    cand_fp = (base.select(F.col(id_col), *[F.col(n) for n in fp_names])
+               .groupBy(*fp_names)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > 1)
+               .select(*fp_names)
+               .withColumn("__dup_cand", F.lit(True)))
+    flagged = base.join(cand_fp, fp_names, "left")
+    unique = (flagged.filter(F.col("__dup_cand").isNull())
+              .drop("__dup_cand", *fp_names))
+    # Candidate rows: min-id per exact text. Partitioning by the
+    # fingerprint FIRST keeps the sort keys mostly-fingerprint-discriminated;
+    # text participates only to split the rare collision.
+    w = Window.partitionBy(*fp_names, text_col).orderBy(F.col(id_col).asc())
+    keepers = (flagged.filter(F.col("__dup_cand").isNotNull())
+               .withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1)
+               .drop("__rn", "__dup_cand", *fp_names))
+    return unique.unionByName(keepers)
 
 
 def tokenized_docs(docs: DataFrame, id_col: str = "doc_id",

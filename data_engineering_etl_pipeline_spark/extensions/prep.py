@@ -27,12 +27,12 @@ invariants (tested in tests/test_prep_pipeline.py), not new oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cleaning import c4_stats, gopher_keep
 from .corpus import flag_contaminated, pack_sequences
-from .dedup import dedup_clusters, ngram_jaccard_pairs
+from .dedup import dedup_clusters, exact_dedup_keep_first, ngram_jaccard_pairs
 from .pii import scrub_pii
 from .text_stats import quality_score
 
@@ -52,8 +52,6 @@ def prepare_training_corpus(docs: DataFrame,
 
     ``benchmark`` (optional) is a DataFrame with a ``text`` column of
     evaluation documents to decontaminate against (13-gram overlap)."""
-    d = F.col(id_col)
-
     # 1. C4 line-level clean: drop failing pages, keep the cleaned text.
     cleaned = (docs.select(id_col, *c4_stats(text_col))
                .filter(F.col("keep_page"))
@@ -62,12 +60,11 @@ def prepare_training_corpus(docs: DataFrame,
     # 2. PII scrub (map-only regexp chain).
     scrubbed = cleaned.select(id_col, scrub_pii(text_col).alias(text_col))
 
-    # 3. Exact dedup: keeper = min id per identical text (one hash
-    #    exchange; at 100 TB key the window on xxhash64(text)+length so
-    #    the shuffle carries 8-byte keys — see dedup.exact_dedup_groups).
-    w = Window.partitionBy(text_col).orderBy(d.asc())
-    exact = (scrubbed.withColumn("__rn", F.row_number().over(w))
-             .filter(F.col("__rn") == 1).drop("__rn"))
+    # 3. Exact dedup: keeper = min id per identical text. Two-phase
+    #    fingerprint plan (dedup.exact_dedup_keep_first): the corpus-wide
+    #    exchange keys on xxhash64(text)+length — raw text shuffles only
+    #    for the candidate (multi-member fingerprint) rows.
+    exact = exact_dedup_keep_first(scrubbed, id_col, text_col)
 
     # 4. Near-dup dedup: trigram-Jaccard pairs → connected components →
     #    drop every non-minimum member.

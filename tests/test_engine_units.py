@@ -429,6 +429,41 @@ def test_load_table_restores_nanos_conf(spark, tmp_path):
     assert real.count() > 0
 
 
+def test_exact_dedup_collision_path(spark):
+    """Two DISTINCT same-length texts forced onto ONE fingerprint (weak
+    injected hash = length only) must come out as two separate duplicate
+    groups — proving the phase-2 exact-equality resolver actually splits
+    colliding fingerprint groups instead of trusting the hash."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        exact_dedup_groups, exact_dedup_keep_first)
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa"),      # dup group A (len 4)
+         (3, "bbbb"), (4, "bbbb"), (5, "bbbb"),  # dup group B (len 4!)
+         (6, "unique doc"),             # singleton
+         (7, "solo"), (8, "also")],     # len-4 singletons colliding w/ A+B
+        "doc_id long, text string")
+    weak = [F.length("text").alias("__fp")]
+    got = sorted((r["keep_id"], r["n_copies"]) for r in
+                 exact_dedup_groups(docs, "doc_id", "text",
+                                    fingerprint=weak).collect())
+    assert got == [(1, 2), (3, 3)], got
+    # default (strong) fingerprint agrees
+    got2 = sorted((r["keep_id"], r["n_copies"]) for r in
+                  exact_dedup_groups(docs, "doc_id", "text").collect())
+    assert got2 == [(1, 2), (3, 3)], got2
+    # keep-first form: keeper rows of both groups + all singletons survive
+    kept = sorted(r["doc_id"] for r in
+                  exact_dedup_keep_first(docs, "doc_id", "text",
+                                         fingerprint=weak).collect())
+    assert kept == [1, 3, 6, 7, 8], kept
+    kept2 = sorted(r["doc_id"] for r in
+                   exact_dedup_keep_first(docs, "doc_id", "text").collect())
+    assert kept2 == [1, 3, 6, 7, 8], kept2
+
+
 def test_dedup_clusters_nonconvergence_raises(spark):
     """A component deeper than max_iter must fail loudly (partial labels
     would silently be wrong clusters — ADVICE r2)."""

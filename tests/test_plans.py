@@ -70,7 +70,6 @@ def test_pit_universe_join_broadcasts_universe(spark):
     "canonical_part_agg",       # A1: ONE hash aggregate, no per-group Python
     "daily_share_and_rank",     # W2+W8 share one per-date exchange
     "rolling_price_stats",      # W5-W7 share one per-entity exchange
-    "doc_exact_dedup",          # exact dedup = one hash-groupBy
     "supplier_declarative_agg", # A2: max_by carries order through partial aggs
 ])
 def test_single_shuffle_operators(spark, name):
@@ -79,6 +78,21 @@ def test_single_shuffle_operators(spark, name):
     the difference between one pass and two)."""
     p = plan_of(spark, name)
     assert shuffles(p) == 1, f"{name} grew extra shuffles:\n{p}"
+
+
+def test_exact_dedup_shuffles_fingerprints_not_text(spark):
+    """r4 VERDICT item 1: the corpus-wide exact-dedup exchange must key on
+    the (xxhash64, length) fingerprint — 12-byte keys — never the raw
+    document text. The only text-keyed aggregation left in the plan is the
+    phase-2 collision resolver, which consumes candidate (multi-member
+    fingerprint) rows alone."""
+    p = plan_of(spark, "doc_exact_dedup")
+    # phase-1 exchange keys on the fingerprint columns
+    assert "hashpartitioning(__fp" in p, f"fingerprint exchange missing:\n{p}"
+    # phase-2 text agg exists but sits above the candidate semi-join, i.e.
+    # every text-keyed exchange is downstream of a Join on the fingerprint
+    assert "hashpartitioning(text" in p, "phase-2 exact resolver disappeared"
+    assert shuffles(p) <= 4, f"exact dedup grew extra shuffles:\n{p}"
 
 
 def test_hml_factor_library_plan_single_shuffle(spark):
