@@ -373,19 +373,24 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     tok = tokenized_docs(docs, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK)
     sh = shingles_from_tokens(tok, id_col, n)
-    # The banding self-join below references the signatures on BOTH sides —
-    # uncached, the whole signature build (corpus shingle pass + 64 min
-    # aggs) would execute twice. Signatures are docs-sized (num_perm longs
-    # per doc — they ARE the compressed representation), so persisting them
-    # is the scale-correct move, unlike persisting the shingle relation.
-    sig = (minhash_signatures(sh, id_col, num_perm)
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    # Band hashes fold into the projection directly above the signature
+    # aggregate (same stage — the 64 mins never materialize separately),
+    # and the relation is NOT persisted: the banding self-join's two sides
+    # are identical subtrees, so Spark's ReuseExchange/AQE stage reuse runs
+    # the signature build once and replays its shuffle output for the other
+    # side. The r4 shape (persist sig, re-project bands, explicit
+    # repartition before the join) was measured 1.8× slower at sf0.1
+    # (scripts/minhash_variants.py: 6.7s → 3.6s): the persist paid a full
+    # docs-sized write+read and the hardcoded-width repartition defeated
+    # AQE partition coalescing (r4 ADVICE item 1) while saving nothing the
+    # exchange reuse didn't already save.
     band_cols = [
         F.xxhash64(F.concat_ws("_", F.lit(bi), *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]))
         .alias(f"band_{bi}")
         for bi in range(bands)
     ]
-    banded = sig.select(F.col(id_col), *band_cols)
+    banded = minhash_signatures(sh, id_col, num_perm).select(
+        F.col(id_col), *band_cols)
     bucket = banded.select(
         F.col(id_col),
         F.explode(F.array(*[
@@ -393,13 +398,6 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             for bi in range(bands)
         ])).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    # ONE shuffle of the bucket relation feeds BOTH sides of the banding
-    # self-join (same single-exchange idiom as ngram_jaccard_pairs: the two
-    # aliased projections sit above one repartition, so the band explode
-    # materializes once instead of per-side).
-    n_parts = int(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"))
-    bucket = bucket.repartition(n_parts, "band", "bh")
     left = bucket.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = bucket.select(F.col(id_col).alias("id_b"), "band", "bh")
     candidates = (
