@@ -50,8 +50,9 @@ BENCH_QUERIES = [
     "ccnet_perplexity_mix",
     "dsir_select",
     "pack_sequences",
-    "embedding_cosine_topk",
-    "embedding_ivf_full_probe",
+    "prep_training_corpus",
+    "doc_tfidf_near_dup",
+    "embedding_topk_exact",
     "embedding_near_dup",
     "supplier_ta_indicators",
     "supplier_feature_matrix",

@@ -355,6 +355,12 @@ def hashed_tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
     ``semantic_dedup`` (pass ``dim=dim``), giving text near-dup and
     retrieval WITHOUT a precomputed embedding column.
 
+    NULL-text convention (r4 ADVICE): a NULL-text doc has a NULL bucket
+    array — it is EXCLUDED from the idf's N (it can never contribute
+    document frequency) and its output vector is all-zero, which has
+    cosine NULL (not 0) downstream because ``with_vec_inv`` nulls the
+    inverse norm of zero vectors — so such docs never pair with anything.
+
     Plan shape at 100 TB: bucketing is a map-only array expression; the
     document-frequency table is ≤ ``dim`` rows (one vocabulary-sized agg
     with map-side combine) and ships to executors inside the vectorizer
@@ -367,7 +373,7 @@ def hashed_tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
 
     base = docs.select(F.col(id_col),
                        hashed_ngram_buckets(text_col, dim, salt).alias("__b"))
-    n_docs = docs.count()
+    n_docs = base.filter(F.col("__b").isNotNull()).count()
     dfreq = (base.select(F.explode(F.array_distinct("__b")).alias("__k"))
              .groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
              .collect())  # <= dim rows — KB-scale, the codebook pattern

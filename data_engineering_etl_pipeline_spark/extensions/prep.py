@@ -27,6 +27,7 @@ invariants (tested in tests/test_prep_pipeline.py), not new oracles.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,7 +43,9 @@ def prepare_training_corpus(docs: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
                             min_quality: float = 0.05,
                             near_dup_threshold: float = 0.8,
+                            near_dup_max_df: int | None = 10000,
                             apply_gopher: bool = False,
+                            gopher_first: bool = False,
                             train_frac: float = 0.9,
                             pack_budget: int = 2048,
                             n_shards: int = 64) -> DataFrame:
@@ -51,7 +54,20 @@ def prepare_training_corpus(docs: DataFrame,
     cleaned+scrubbed form and ``split`` ∈ {train, val} by content hash.
 
     ``benchmark`` (optional) is a DataFrame with a ``text`` column of
-    evaluation documents to decontaminate against (13-gram overlap)."""
+    evaluation documents to decontaminate against (13-gram overlap).
+
+    Gopher placement (r4 ADVICE): ``gopher_first=True`` applies the Gopher
+    document rules to the RAW documents before the C4 line filter — the
+    ordering the Gopher/MassiveText paper uses, and the one under which the
+    bullet-line and ellipsis-line fraction rules can actually fire.
+    With the default ``gopher_first=False`` (+ ``apply_gopher=True``) the
+    rules run on C4-cleaned text, where every surviving line already ends
+    in terminal punctuation — so the bullet/ellipsis line rules are
+    vacuous and Gopher effectively reduces to its word-count / word-length
+    / symbol / alpha / stop-word rules."""
+    if apply_gopher and gopher_first:
+        docs = docs.filter(gopher_keep(text_col))
+
     # 1. C4 line-level clean: drop failing pages, keep the cleaned text.
     cleaned = (docs.select(id_col, *c4_stats(text_col))
                .filter(F.col("keep_page"))
@@ -64,12 +80,21 @@ def prepare_training_corpus(docs: DataFrame,
     #    fingerprint plan (dedup.exact_dedup_keep_first): the corpus-wide
     #    exchange keys on xxhash64(text)+length — raw text shuffles only
     #    for the candidate (multi-member fingerprint) rows.
-    exact = exact_dedup_keep_first(scrubbed, id_col, text_col)
+    #    Persisted (docs-sized, spillable): the cleaned+scrubbed+deduped
+    #    relation feeds BOTH the near-dup pair generation (which
+    #    dedup_clusters materializes eagerly) and the final corpus chain —
+    #    uncached, the whole C4+PII+dedup prefix would execute once per
+    #    consumer (measured 1.9× end-to-end at sf0.1). Same caller-release
+    #    contract as ngram_jaccard_pairs (clearCache / unpersist after the
+    #    action).
+    exact = exact_dedup_keep_first(scrubbed, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     # 4. Near-dup dedup: trigram-Jaccard pairs → connected components →
     #    drop every non-minimum member.
     pairs = ngram_jaccard_pairs(exact, id_col, text_col,
-                                n=3, threshold=near_dup_threshold)
+                                n=3, threshold=near_dup_threshold,
+                                max_df=near_dup_max_df)
     comp = dedup_clusters(pairs.select("id_a", "id_b"))
     drops = (comp.filter(F.col("member_id") != F.col("cluster_id"))
              .select(F.col("member_id").alias(id_col)))
@@ -84,9 +109,11 @@ def prepare_training_corpus(docs: DataFrame,
     # 6. Quality floor (pure column expression); optionally also the full
     #    Gopher/MassiveText document rules (cleaning.gopher_keep — off by
     #    default: the paper's 50-word floor and stop-word requirement
-    #    assume web-scale English prose and would wipe short-doc corpora).
+    #    assume web-scale English prose and would wipe short-doc corpora;
+    #    see the docstring for gopher_first, the paper's raw-document
+    #    placement).
     kept = deduped.filter(quality_score(text_col) >= min_quality)
-    if apply_gopher:
+    if apply_gopher and not gopher_first:
         kept = kept.filter(gopher_keep(text_col))
 
     # 7. Deterministic content-hash split (train_frac of the 32-bit hash

@@ -252,6 +252,44 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.flag_contaminated(docs, bench, n=13)
 
 
+@register("prep_training_corpus")
+def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation (extensions/prep.py
+    prepare_training_corpus), the flagship composition: C4 line clean →
+    PII scrub → fingerprint-keyed exact dedup → trigram-Jaccard near-dup
+    dedup → 13-gram benchmark decontamination → quality floor →
+    content-hash train/val split → token-budget packing.
+
+    Input: the deterministic multi-line synthetic pages (queries/text.py
+    synthetic_page — the same construction the cleaning suite verifies
+    per-rule), with every 11th-ish doc re-appended under a shifted id so
+    exact dedup has planted work, and docs 3/17 as the benchmark so
+    decontamination provably fires (each cleaned page keeps a 14-token
+    line → a shared 13-gram with its own raw page; doc 42's page is
+    C4-dropped first).
+
+    Rows-only driver check (the ``market_history_pipeline`` pattern): the
+    full composition is not ANSI-SQL-expressible in one oracle, but every
+    stage is individually oracle-checked by its own registry row, and
+    tests/test_prep_pipeline.py asserts each stage's verdict on planted
+    artifacts. max_df=50 on the near-dup index: the planted boilerplate
+    lines appear in EVERY page, and the DF cap is exactly the guard that
+    keeps corpus-wide shingles out of the pair self-join."""
+    from ..extensions.prep import prepare_training_corpus
+    from .text import synthetic_page
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", synthetic_page().alias("text"))
+    doubled = pages.unionByName(
+        pages.filter(F.col("doc_id") % 11 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    bench = pages.filter(F.col("doc_id").isin([3, 17, 42])).select("text")
+    out = prepare_training_corpus(
+        doubled, bench, near_dup_threshold=0.8, near_dup_max_df=50,
+        pack_budget=512, n_shards=8)
+    return out.select("doc_id", "split", "n_tokens", "shard", "pack_id")
+
+
 @register(
     "doc_chunking",
     oracle="""

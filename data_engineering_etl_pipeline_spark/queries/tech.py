@@ -142,7 +142,7 @@ def supplier_ta_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "media_feature_extract",
+    "media_pipeline",
     oracle="""
     WITH ids AS (SELECT CAST(t.i AS BIGINT) AS media_id FROM range(64) t(i)),
     meta AS (
@@ -161,72 +161,79 @@ def supplier_ta_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (6 + (media_id % 4) * 2) AS BIGINT)
         END AS n_samples
       FROM ids
-    )
-    SELECT media_id, kind, width, height, n_samples,
-      CASE WHEN kind = 'image' THEN
+    ),
+    feats AS (
+      SELECT media_id, kind, width, height, n_samples,
+        CASE WHEN kind = 'image' THEN
+               ROUND(CAST(list_sum(list_transform(
+                       range(0, width * height * 3),
+                       k -> (media_id * 7 + k * 13) % 256)) AS DOUBLE)
+                     / (width * height * 3), 6)
+             WHEN kind = 'audio' THEN
+               ROUND(CAST(list_sum(list_transform(
+                       range(0, n_samples),
+                       k -> (media_id * 11 + k * 5) % 256)) AS DOUBLE)
+                     / n_samples, 6)
+             WHEN kind = 'video' THEN
+               ROUND(CAST(list_sum(list_transform(
+                       range(0, n_samples),
+                       k -> (media_id * 3 + k * 13) % 256)) AS DOUBLE)
+                     / n_samples, 6)
+        END AS mean_val,
+        TRUE AS decode_ok
+      FROM meta
+    ),
+    vids AS (
+      SELECT media_id,
+             CAST(8 + (media_id % 5) * 4 AS BIGINT) AS w,
+             CAST(6 + (media_id % 4) * 2 AS BIGINT) AS h
+      FROM ids WHERE media_id % 3 = 2
+    ),
+    frames AS (
+      SELECT media_id, CAST(u.f AS INT) AS frame_idx,
              ROUND(CAST(list_sum(list_transform(
-                     range(0, width * height * 3),
-                     k -> (media_id * 7 + k * 13) % 256)) AS DOUBLE)
-                   / (width * height * 3), 6)
-           WHEN kind = 'audio' THEN
-             ROUND(CAST(list_sum(list_transform(
-                     range(0, n_samples),
-                     k -> (media_id * 11 + k * 5) % 256)) AS DOUBLE)
-                   / n_samples, 6)
-           WHEN kind = 'video' THEN
-             ROUND(CAST(list_sum(list_transform(
-                     range(0, n_samples),
+                     range(u.f * 3 * w * h, (u.f + 1) * 3 * w * h),
                      k -> (media_id * 3 + k * 13) % 256)) AS DOUBLE)
-                   / n_samples, 6)
-      END AS mean_val,
-      TRUE AS decode_ok
-    FROM meta
+                   / (3 * w * h), 6) AS frame_mean
+      FROM vids, UNNEST([0, 10, 20]) u(f)
+    )
+    SELECT 'features' AS stage, media_id, kind, width, height, n_samples,
+           mean_val, decode_ok,
+           CAST(NULL AS INT) AS frame_idx, CAST(NULL AS DOUBLE) AS frame_mean
+    FROM feats
+    UNION ALL
+    SELECT 'frames' AS stage, media_id, CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS DOUBLE) AS mean_val,
+           CAST(NULL AS BOOLEAN) AS decode_ok, frame_idx, frame_mean
+    FROM frames
     """,
 )
-def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 multimodal decode: binary media columns → mapInPandas feature
-    extraction with REAL codec-free decoders for all three kinds (PPM
-    header+pixel parse, raw-PCM sample stats, Y4M header+frame parse;
-    compressed formats stay an honest NotImplementedError seam). The blobs
-    follow closed-form byte recipes, so the oracle recomputes every
-    decoded width/height/sample-count/mean arithmetically — the Spark side
-    must actually parse the bytes to match."""
-    from ..extensions.multimodal import extract_features, make_fake_media
+def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 multimodal pipeline — the r5 consolidation of the former
+    ``media_feature_extract`` + ``media_frame_sample`` rows into one
+    stage-tagged union (both machines stay fully oracle-checked):
+
+    - ``features``: binary media columns → mapInPandas feature extraction
+      with REAL codec-free decoders for all three kinds (PPM header+pixel
+      parse, raw-PCM sample stats, Y4M header+frame parse; compressed
+      formats stay an honest NotImplementedError seam);
+    - ``frames``: every 10th Y4M frame's mean, one mapInPandas pass over
+      the video rows only (bounded fan-out — 3 sampled frames per 30-frame
+      video), which must locate and average exactly the right 3·w·h bytes.
+
+    The blobs follow closed-form byte recipes, so the oracle recomputes
+    every decoded width/height/sample-count/mean arithmetically — the
+    Spark side must actually parse the bytes to match."""
+    from ..extensions.multimodal import (extract_features, make_fake_media,
+                                         sample_frames)
 
     media = make_fake_media(spark, n=64)
-    feats = extract_features(media)
-    return feats.select(
+    feats = extract_features(media).select(
+        F.lit("features").alias("stage"),
         "media_id", "kind", "width", "height", "n_samples",
-        F.round("mean_val", 6).alias("mean_val"), "decode_ok",
-    )
-
-
-@register(
-    "media_frame_sample",
-    oracle="""
-    WITH v AS (
-      SELECT CAST(t.i AS BIGINT) AS media_id,
-             8 + (t.i % 5) * 4 AS w,
-             6 + (t.i % 4) * 2 AS h
-      FROM range(64) t(i) WHERE t.i % 3 = 2
-    )
-    SELECT media_id, CAST(u.f AS INT) AS frame_idx,
-           ROUND(CAST(list_sum(list_transform(
-                   range(u.f * 3 * w * h, (u.f + 1) * 3 * w * h),
-                   k -> (media_id * 3 + k * 13) % 256)) AS DOUBLE)
-                 / (3 * w * h), 6) AS frame_mean
-    FROM v, UNNEST([0, 10, 20]) u(f)
-    """,
-)
-def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 video frame sampling with REAL decode: every 10th Y4M frame's
-    mean, one mapInPandas pass over the video rows only (bounded fan-out —
-    3 sampled frames per 30-frame video). The oracle recomputes each
-    sampled frame's mean from the closed-form payload recipe, so the Spark
-    side must parse the Y4M container, locate the frame, and average the
-    right 3·w·h bytes to match."""
-    from ..extensions.multimodal import make_fake_media, sample_frames
-
-    media = make_fake_media(spark, n=64)
-    return sample_frames(media, every_n=10).select(
+        F.round("mean_val", 6).alias("mean_val"), "decode_ok")
+    frames = sample_frames(media, every_n=10).select(
+        F.lit("frames").alias("stage"),
         "media_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean"))
+    return feats.unionByName(frames, allowMissingColumns=True)

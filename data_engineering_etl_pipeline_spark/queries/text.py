@@ -424,9 +424,18 @@ def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (the synthetic corpus is single-line), so every rule of both
     sets fires at every scale factor."""
     docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", synthetic_page().alias("__page")).select(
+        "doc_id", *c4_stats("__page"), *gopher_stats("__page"))
+
+
+def synthetic_page() -> F.Column:
+    """Deterministic multi-line page from a doc's own tokens + planted
+    boilerplate (the Spark twin of ``_C4_PAGE_SQL``) — shared by
+    ``doc_c4_line_filter`` and the ``prep_training_corpus`` row so the
+    cleaning suite and the end-to-end pipeline see the same pages."""
     t = tokens("text")
     nl = F.lit("\n")
-    page = F.concat(
+    return F.concat(
         F.concat_ws(" ", F.slice(t, 1, 8)), F.lit("."),
         nl, F.concat_ws(" ", F.slice(t, 1, 3)), F.lit("."),
         nl, F.lit("Please enable JavaScript to view the comments."),
@@ -449,8 +458,6 @@ def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl, F.concat_ws(" ", F.slice(t, 17, 12)), F.lit(" done today."),
         nl, F.lit("That is all. Nothing else!"),
     )
-    base = docs.select("doc_id", page.alias("__page"))
-    return base.select("doc_id", *c4_stats("__page"), *gopher_stats("__page"))
 
 
 # Deterministic PII injection: the synthetic documents carry no PII, so the
@@ -505,6 +512,88 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", aug.alias("__t"))
     return base.select(
         "doc_id", *pii_counts("__t"), scrub_pii("__t").alias("scrubbed"))
+
+
+# DuckDB twin of the engine's portable 32-bit md5-prefix hash (shared
+# convention with corpusq._MD5_32; no conv() in DuckDB).
+_MD5_32 = """list_sum(list_transform(range(0, 8), i ->
+        CAST(strpos('0123456789abcdef',
+                    substr(md5({arg}), CAST(i + 1 AS INT), 1)) - 1
+             AS BIGINT) << CAST((7 - i) * 4 AS INT)))"""
+
+
+@register(
+    "doc_tfidf_near_dup",
+    oracle="""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM doubled WHERE text IS NOT NULL
+    ), featarr AS (
+      SELECT doc_id,
+             list_concat(t, list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1])) AS f
+      FROM base
+    ), bk AS (
+      SELECT doc_id, """ + _MD5_32.format(arg="g || '|tfidf-v1'") + """
+               % 64 AS b, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(f) AS g FROM featarr)
+      GROUP BY 1, 2
+    ), nn AS (SELECT COUNT(*) AS n FROM featarr),
+    dfq AS (SELECT b, COUNT(*) AS df FROM bk GROUP BY 1),
+    w AS (
+      SELECT doc_id, b, tf * (LN((1.0 + n) / (1.0 + df)) + 1.0) AS wt
+      FROM bk JOIN dfq USING (b) CROSS JOIN nn
+    ), nrm AS (
+      SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM w GROUP BY 1
+    ), u AS (
+      -- float32 quantization of the stored embedding, then back to double:
+      -- exactly the engine's array<float> round-trip
+      SELECT doc_id, b, CAST(CAST(wt / nrm AS FLOAT) AS DOUBLE) AS uv
+      FROM w JOIN nrm USING (doc_id) WHERE nrm > 0
+    ), inv AS (
+      SELECT doc_id, 1.0 / SQRT(SUM(uv * uv)) AS iv FROM u GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, SUM(a.uv * b2.uv) AS dp
+      FROM u a JOIN u b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(dp * ia.iv * ib.iv, 6) AS cosine
+    FROM pairs
+    JOIN inv ia ON ia.doc_id = id_a
+    JOIN inv ib ON ib.doc_id = id_b
+    WHERE dp * ia.iv * ib.iv >= 0.9
+    """,
+)
+def doc_tfidf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text→similarity bridge (new r5 driver row, r4 VERDICT item 3): text
+    → hashed TF-IDF vectors (extensions/corpus.py hashed_tfidf_vectors —
+    md5 unigram+bigram feature hashing, smoothed idf, l2-normalized
+    float32 output) → embedding-cosine near-dup pairs
+    (extensions/similarity.py cosine_near_dup_pairs) — text near-dup and
+    retrieval WITHOUT a precomputed embedding column. Deterministic
+    duplicates injected (every 7th doc re-appended, cosine 1.0) so the
+    operator has guaranteed work at every scale factor.
+
+    The oracle recomputes the ENTIRE construction in SQL: the md5 bucket
+    ids, per-bucket tf, the idf table, the double-precision weights, the
+    float32 quantization of the stored vector (CAST ... AS FLOAT), the
+    inverse norms of the quantized vectors, and the sparse pairwise dot —
+    so both the vectorizer and the near-dup machinery are hash-checked
+    end-to-end."""
+    from ..extensions.corpus import hashed_tfidf_vectors
+    from ..extensions.similarity import cosine_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    vecs = hashed_tfidf_vectors(doubled, id_col="doc_id", dim=64)
+    return cosine_near_dup_pairs(vecs, threshold=0.9, id_col="doc_id",
+                                 vec_col="embedding", dim=64)
 
 
 @register(

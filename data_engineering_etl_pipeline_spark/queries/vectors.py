@@ -13,8 +13,20 @@ from ..io import load_table
 from . import register
 
 
+# Shared exact-top-k SQL: both members of the merged row below must
+# reproduce exactly this ranking.
+_TOPK_SQL = """
+      SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+"""
+
+
 @register(
-    "embedding_cosine_topk",
+    "embedding_topk_exact",
     oracle="""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -32,75 +44,39 @@ from . import register
       FROM n b CROSS JOIN q
       WHERE b.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, cosine, rank FROM (
-      SELECT query_id, vec_id, cosine,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 5
+    SELECT 'brute' AS method, * FROM (""" + _TOPK_SQL + """)
+    UNION ALL
+    SELECT 'ivf_full' AS method, * FROM (""" + _TOPK_SQL + """)
     """,
 )
-def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for 10 query vectors: broadcast the query
-    side, fused array dot products, round-before-rank so float ties break
-    deterministically by id. The 100 TB path swaps in LSH/IVF candidate
-    generation with the same scoring tail (see embedding_lsh_topk)."""
+def embedding_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors by TWO independent machines
+    under one oracle (the r4→r5 consolidation of the former
+    ``embedding_cosine_topk`` + ``embedding_ivf_full_probe`` rows —
+    identical oracles, so one row verifies both):
+
+    - ``brute``: broadcast the query side, fused codegen'd dot products,
+      round-before-rank so float ties break deterministically by id;
+    - ``ivf_full``: the full IVF machinery (k-means codebook fit → map-only
+      assignment → inverted-list equi-join → exact cosine rank) probed at
+      nprobe = n_centroids, which makes the candidate set the whole corpus
+      and the result EXACTLY brute force — a deterministic oracle for the
+      approximate path's plumbing. ``embedding_ivf_topk`` is the production
+      nprobe<K configuration (recall measured in
+      tests/test_similarity_recall.py).
+
+    The two legs must agree with the SQL ranking AND each other row-for-row
+    — a divergence in either machine breaks the hash."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 10)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = cosine_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding",
-                      query_id_col="query_id")
-    return out.withColumn("rank", F.col("rank").cast("int"))
-
-
-# The production-config approximate paths (`lsh_cosine_topk` 8 bits × 4
-# tables; `ivf_cosine_topk` nprobe=4) had rows-only registry rows in r1/r2;
-# those were retired in the r2-VERDICT registry-budget curation. Their
-# probabilistic recall stays pinned against brute force in
-# tests/test_similarity_recall.py, and `embedding_ivf_full_probe` below
-# drives the full IVF machinery through a deterministic brute-force oracle.
-
-
-@register(
-    "embedding_ivf_full_probe",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-      FROM embeddings
-    ), n AS (
-      SELECT vec_id, ve,
-             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
-                  THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
-      FROM v
-    ), q AS (
-      SELECT vec_id AS query_id, ve AS qe, inv AS qinv FROM n WHERE vec_id < 10
-    ), scored AS (
-      SELECT q.query_id, b.vec_id,
-             ROUND(list_dot_product(b.ve, q.qe) * b.inv * q.qinv, 6) AS cosine
-      FROM n b CROSS JOIN q
-      WHERE b.vec_id <> q.query_id
-    )
-    SELECT query_id, vec_id, cosine, rank FROM (
-      SELECT query_id, vec_id, cosine,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    """,
-)
-def embedding_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe = n_centroids: every inverted list is probed, so the
-    candidate set is the whole corpus and the result is EXACTLY brute-force
-    top-k — which gives the full IVF machinery (codebook fit → map-only
-    assignment → inverted-list equi-join → exact cosine rank) a
-    deterministic brute-force oracle. ``embedding_ivf_topk`` is the
-    production nprobe<K configuration (recall measured in tests); this row
-    proves the plumbing exact end-to-end in the driver's own session."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = (emb.filter(F.col("vec_id") < 10)
-         .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = ivf_cosine_topk(emb, q, k=5, n_centroids=16, nprobe=16)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+    brute = cosine_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding",
+                        query_id_col="query_id")
+    ivf = ivf_cosine_topk(emb, q, k=5, n_centroids=16, nprobe=16)
+    return (brute.withColumn("method", F.lit("brute"))
+            .unionByName(ivf.withColumn("method", F.lit("ivf_full")))
+            .select("method", "query_id", "vec_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
 
 
 @register(
