@@ -20,8 +20,11 @@ MassiveText document-level quality rules:
 - word count in [50, 100000];
 - mean word length in [3, 10];
 - symbol-to-word ratio <= 0.1 for EACH of '#' and ellipsis (reported as
-  the max of the two ratios; words and lines exclude whitespace-only
-  entries, so trailing newlines mint no phantom words);
+  the max of the two ratios; words and lines exclude entries that are
+  empty after an ASCII-space/newline trim, so trailing newlines mint no
+  phantom words — note trim() in both Spark and DuckDB strips ASCII
+  spaces only, so a line of tabs or NBSPs still counts as a line; both
+  engines agree, which is what the oracle checks);
 - <= 90% of lines starting with a bullet point;
 - <= 30% of lines ending with an ellipsis;
 - >= 80% of words containing at least one alphabetic character;

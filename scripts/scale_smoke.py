@@ -183,25 +183,12 @@ def dedup_smoke(mult: int) -> int:
     out_dir = f"/tmp/etl_spark_scale_smoke/docs_x{mult}"
     path = os.path.join(out_dir, "documents.parquet")
     if not os.path.exists(path):
-        rep = F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(mult - 1).cast("long"))
-        ).alias("__rep")
-        docs = load_table(spark, SRC, "documents").select("*", rep)
-        salted = F.concat_ws(" ", F.transform(
-            F.split(F.trim(F.col("text")), r"\s+"),
-            lambda t: F.concat(t, F.lit("_"), F.col("__rep"))))
-        docs = (docs
-                .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * KEY_SHIFT)
-                .withColumn("text", F.when(F.col("__rep") == 0, F.col("text"))
-                            .otherwise(salted))
-                .withColumn("n_chars", F.length("text").cast("int"))
-                .drop("__rep"))
-        docs.repartition(32).write.mode("overwrite").parquet(path)
+        dedup_inflate_only(spark, mult, out_dir)
 
     n_docs = spark.read.parquet(path).count()
     queries = ["doc_exact_dedup", "doc_ngram_jaccard", "doc_minhash_lsh",
                "doc_dedup_clusters", "doc_text_stats", "corpus_split_profile",
-               "doc_substring_dedup"]
+               "doc_substring_dedup", "dsir_select", "doc_decontamination"]
     times: dict[str, float] = {}
     for name in queries:             # pass 1: warm code
         QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
@@ -221,7 +208,114 @@ def dedup_smoke(mult: int) -> int:
     return 0
 
 
+def bpe_smoke(mult: int) -> int:
+    """BPE word-frequency-stage scaling (r4 VERDICT item 5): the ONE
+    corpus-wide shuffle of the tokenizer trainer is the word-frequency
+    aggregate; everything after it operates on the vocabulary-sized table.
+    Inflate with token-salted replicas (suffixed tokens → replica-unique
+    words, so the vocabulary grows ~linearly — the adversarial direction
+    for a vocabulary-keyed aggregate) and report the stage's wall time and
+    output (vocabulary) size vs corpus size."""
+    from data_engineering_etl_pipeline_spark.extensions.bpe import (
+        word_frequencies)
+    from data_engineering_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bpe-smoke")
+    out_dir = f"/tmp/etl_spark_scale_smoke/docs_x{mult}"
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        # reuse dedup_smoke's token-salted inflation
+        dedup_inflate_only(spark, mult, out_dir)
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    n_docs = docs.count()
+    wf = word_frequencies(docs)
+    wf.write.format("noop").mode("overwrite").save()   # warm
+    t0 = time.time()
+    wf.write.format("noop").mode("overwrite").save()
+    dt = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "bpe_wordfreq_smoke", "multiplier": mult,
+        "documents": n_docs, "vocab_rows": wf.count(),
+        "value": dt, "unit": "sec",
+    }))
+    return 0
+
+
+def dedup_inflate_only(spark, mult: int, out_dir: str) -> None:
+    """Token-salted document inflation shared by dedup/bpe smokes."""
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    rep = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(mult - 1).cast("long"))
+    ).alias("__rep")
+    docs = load_table(spark, SRC, "documents").select("*", rep)
+    salted = F.concat_ws(" ", F.transform(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda t: F.concat(t, F.lit("_"), F.col("__rep"))))
+    docs = (docs
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * KEY_SHIFT)
+            .withColumn("text", F.when(F.col("__rep") == 0, F.col("text"))
+                        .otherwise(salted))
+            .withColumn("n_chars", F.length("text").cast("int"))
+            .drop("__rep"))
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+
+
+def ta_hot_smoke(mult: int, hot_frac_inv: int = 10) -> int:
+    """Hot-entity stress for the TA kernel (r4 VERDICT item 5): inflate
+    lineitem ``mult``× and remap ~1/``hot_frac_inv`` of ALL rows to ONE
+    suppkey, then run the full recurrence kernel. The chunked
+    ``mapInPandas`` form (ta.py run_partition) holds O(one Arrow batch +
+    hottest entity) rows per task — this smoke drives the hottest-entity
+    term to ~10% of the whole fact table and must still complete in
+    near-flat wall time (the hot entity is ONE sequential recurrence; the
+    other 31 cores keep the rest)."""
+    from data_engineering_etl_pipeline_spark.io import load_table
+    from data_engineering_etl_pipeline_spark.session import get_spark
+    from data_engineering_etl_pipeline_spark.ta import ta_features
+
+    spark = get_spark("ta-hot-smoke")
+    rep = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(mult - 1).cast("long"))
+    ).alias("__rep")
+    li = (load_table(spark, SRC, "lineitem")
+          .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                  "l_extendedprice", rep)
+          .withColumn("l_orderkey",
+                      F.col("l_orderkey") + F.col("__rep") * KEY_SHIFT)
+          .drop("__rep"))
+    hot = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                 F.lit(hot_frac_inv)) == 0
+    li = li.withColumn("l_suppkey",
+                       F.when(hot, F.lit(1)).otherwise(F.col("l_suppkey")))
+    li = li.persist()
+    n_rows = li.count()
+    n_hot = li.filter("l_suppkey = 1").count()
+
+    def run() -> float:
+        t0 = time.time()
+        ta_features(li, entity_col="l_suppkey",
+                    order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+                    close="l_extendedprice").write.format("noop").mode(
+                        "overwrite").save()
+        return round(time.time() - t0, 3)
+
+    run()                                   # warm
+    dt = run()
+    li.unpersist()
+    print(json.dumps({
+        "metric": "ta_hot_entity_smoke", "multiplier": mult,
+        "rows": n_rows, "hot_entity_rows": n_hot,
+        "value": dt, "unit": "sec",
+    }))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
+        return bpe_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    if len(sys.argv) > 1 and sys.argv[1] == "--ta-hot":
+        return ta_hot_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         return skew_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     if len(sys.argv) > 1 and sys.argv[1] == "--dedup":

@@ -108,8 +108,11 @@ def test_ta_vectorized_equals_per_asset_twin(spark):
     got = (ta_features(df, "k", ["i"], "close", "high", "low")
            .toPandas().sort_values(["k", "i"]).reset_index(drop=True))
     pdf = pd.DataFrame(rows, columns=["k", "i", "close", "high", "low"])
-    want = (pdf.groupby("k", group_keys=False)
-            .apply(lambda g: _ta_one_asset(g, ["i"], "close", "high", "low"))
+    # explicit per-group loop instead of GroupBy.apply: pandas is flipping
+    # apply's include_groups default, which would silently drop the group
+    # column from the twin (r4 VERDICT item 8)
+    want = (pd.concat([_ta_one_asset(g, ["i"], "close", "high", "low")
+                       for _, g in pdf.groupby("k")])
             .sort_values(["k", "i"]).reset_index(drop=True))
     for c in got.columns:
         g, w = got[c], want[c]

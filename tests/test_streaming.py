@@ -315,6 +315,80 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert got.count() > 0
 
 
+def test_stream_stream_interval_join_drops_late_right_rows(spark, tmp_path):
+    """State expiry on the stream-stream join itself (r4 VERDICT item 7):
+    a right-side straggler arriving after BOTH watermarks + the interval
+    bound have passed produces NO pair — the buffered left row has been
+    evicted and the late input is watermark-dropped — while an on-time
+    click in the same window did pair. This is the join's scale contract:
+    without it, left state would grow forever."""
+    import datetime
+
+    from data_engineering_etl_pipeline_spark.streaming import (
+        interval_join_stream)
+
+    def d(h, m=0):
+        return datetime.datetime(2024, 3, 1, h, m)
+
+    s_schema = "event_id long, user_id long, s_ts timestamp"
+    c_schema = "user_id long, c_ts timestamp, value double"
+    s_batches = [
+        [(100, 1, d(10))],          # the signup under test
+        [(101, 999, d(15))],        # advances the left watermark
+    ]
+    c_batches = [
+        [(1, d(10, 30), 5.0)],      # on-time click -> pairs with signup 100
+        [(999, d(15), 1.0)],        # advances the right watermark
+        # filler batch: joins run BEFORE state eviction within a batch, so
+        # the eviction driven by the 14:30 watermark lands at this batch's
+        # end — one batch of separation between wm-advance and straggler
+        [(998, d(15, 10), 1.0)],    # keyless filler — pairs with nothing
+        [(1, d(10, 20), 99.0)],     # straggler: in-window but past both wms
+    ]
+
+    def stage_dir(name, batches, schema):
+        stage = tmp_path / name
+        stage.mkdir()
+        for i, rows in enumerate(batches):
+            out = str(tmp_path / f"{name}_p{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+            src = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+            dst = os.path.join(str(stage), f"{i:02d}.parquet")
+            os.rename(os.path.join(out, src), dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+
+    s = stage_dir("signups", s_batches, s_schema)
+    c = stage_dir("clicks", c_batches, c_schema)
+    joined = interval_join_stream(s, c, key="user_id", left_ts="s_ts",
+                                  right_ts="c_ts", window_seconds=3600,
+                                  watermark="30 minutes")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ss_join_late_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for op in p.get("stateOperators", []))
+    q.stop()
+    pairs = [(r.event_id, r.user_id, r.c_ts, r.value) for r in
+             spark.table("ss_join_late_test").collect()]
+    # exactly the on-time pair; the straggler (value 99.0, in the signup's
+    # window but behind the watermark) never appears
+    assert pairs == [(100, 1, d(10, 30), 5.0)], pairs
+    assert dropped >= 1  # the straggler was counted as watermark-dropped
+
+    # batch twin over the union keeps the straggler — the drop is a
+    # streaming-state decision, not a semantic one
+    sb = spark.read.parquet(str(tmp_path / "signups"))
+    cb = spark.read.parquet(str(tmp_path / "clicks"))
+    batch = interval_join_stream(sb, cb, key="user_id", left_ts="s_ts",
+                                 right_ts="c_ts", window_seconds=3600)
+    assert batch.count() == 2
+
+
 def test_cleaning_family_streams_map_only(spark, tmp_path):
     """The corpus-cleaning operators (C4 + Gopher + PII scrub) are pure
     map-only column expressions, so they run UNCHANGED on a streaming
