@@ -584,6 +584,8 @@ def doc_tfidf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse norms of the quantized vectors, and the sparse pairwise dot —
     so both the vectorizer and the near-dup machinery are hash-checked
     end-to-end."""
+    from pyspark import StorageLevel
+
     from ..extensions.corpus import hashed_tfidf_vectors
     from ..extensions.similarity import cosine_near_dup_pairs
 
@@ -591,7 +593,15 @@ def doc_tfidf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = docs.unionByName(
         docs.filter(F.col("doc_id") % 7 == 0)
         .withColumn("doc_id", F.col("doc_id") + 1000000))
-    vecs = hashed_tfidf_vectors(doubled, id_col="doc_id", dim=64)
+    # Persisted (docs-sized: dim floats per doc): the near-dup machinery
+    # references the vector relation THREE times across separate actions
+    # (the GEMM build-side collect, then both verify join legs) — uncached,
+    # the tokenize+hash+Arrow-vectorize pass runs per reference (measured
+    # 1.8× end-to-end at sf0.1). Exchange reuse cannot help across actions,
+    # so this is the persist-not-replan case — same caller-release
+    # contract as ngram_jaccard_pairs.
+    vecs = hashed_tfidf_vectors(doubled, id_col="doc_id", dim=64).persist(
+        StorageLevel.MEMORY_AND_DISK)
     return cosine_near_dup_pairs(vecs, threshold=0.9, id_col="doc_id",
                                  vec_col="embedding", dim=64)
 
