@@ -147,6 +147,16 @@ def test_near_dup_stats_pruned_by_candidate_semi_join(spark, name):
     assert "LeftSemi" in p, f"{name} lost the candidate-id stats prune:\n{p}"
 
 
+def test_tfidf_near_dup_no_quadratic_join_operator(spark):
+    """The TF-IDF→near-dup bridge must never plan a quadratic join: the
+    all-pairs work lives in the BLAS GEMM candidate generator (bounded like
+    a broadcast-join build side), and the exact re-score joins the
+    candidate list back on plain id equi-joins."""
+    p = plan_of(spark, "doc_tfidf_near_dup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_interval_join_plan_equi_join_on_bins(spark):
     """The interval join must be an EQUI join on (key, bin) — never a range
     join (BroadcastNestedLoop/Cartesian), whose intermediate is quadratic

@@ -256,3 +256,40 @@ def test_duplicate_window_spans_matches_brute_force(spark, token_docs, width):
         cov = sum(b - a + 1 for a, b in spans)
         want[i] = (len(spans), cov, round(cov / len(toks), 6))
     assert got == want
+
+
+# Small alphabet so random corpora hit real duplicates AND same-length
+# distinct texts (which the weak fingerprint forces through the
+# collision-resolving phase-2 pass).
+_texts_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=6), min_size=1, max_size=30)
+
+
+@SET
+@given(texts=_texts_strategy, weak=st.booleans())
+def test_exact_dedup_two_phase_equals_text_groupby(spark, texts, weak):
+    """The two-phase fingerprint plan (r5) must be bit-identical to a plain
+    groupBy on raw text — for both the default xxhash64+length fingerprint
+    and a deliberately colliding weak one (length only), which routes many
+    distinct texts through the phase-2 exact resolver."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        exact_dedup_groups, exact_dedup_keep_first)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = [F.length("text").alias("__fp")] if weak else None
+
+    got = sorted((r["keep_id"], r["n_copies"]) for r in
+                 exact_dedup_groups(df, "doc_id", "text",
+                                    fingerprint=fp).collect())
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    grp = pdf.groupby("text")["doc_id"].agg(["min", "count"])
+    want = sorted((int(r["min"]), int(r["count"]))
+                  for _, r in grp.iterrows() if r["count"] > 1)
+    assert got == want
+
+    kept = sorted(r["doc_id"] for r in
+                  exact_dedup_keep_first(df, "doc_id", "text",
+                                         fingerprint=fp).collect())
+    want_kept = sorted(int(v) for v in pdf.groupby("text")["doc_id"].min())
+    assert kept == want_kept
