@@ -50,7 +50,6 @@ BENCH_QUERIES = [
     "ccnet_perplexity_mix",
     "dsir_select",
     "pack_sequences",
-    "prep_training_corpus",
     "doc_tfidf_near_dup",
     "embedding_topk_exact",
     "embedding_near_dup",
@@ -62,6 +61,10 @@ BENCH_QUERIES = [
     "hml_lag_compliance",
     "sql_nation_revenue",
     "market_history_pipeline",
+    # the end-to-end composition runs LAST: its eager connected-components
+    # stage (localCheckpoint snapshots + per-round jobs) pressures the JVM
+    # enough to inflate whatever query follows it by ~2x at sf0.1
+    "prep_training_corpus",
 ]
 
 

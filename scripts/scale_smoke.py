@@ -311,7 +311,44 @@ def ta_hot_smoke(mult: int, hot_frac_inv: int = 10) -> int:
     return 0
 
 
+def prep_smoke(mult: int) -> int:
+    """End-to-end composition scaling: run the full prep_training_corpus
+    registry row against a token-salted inflated documents table. Every
+    stage's scaling is individually pinned by the other smokes; this one
+    checks the COMPOSITION (shared persists, the eager components stage,
+    the packing windows) stays sublinear too."""
+    from data_engineering_etl_pipeline_spark.queries import QUERIES
+    from data_engineering_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("prep-smoke")
+    out_dir = f"/tmp/etl_spark_scale_smoke/docs_x{mult}"
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        dedup_inflate_only(spark, mult, out_dir)
+    n_docs = spark.read.parquet(
+        os.path.join(out_dir, "documents.parquet")).count()
+
+    def run() -> float:
+        t0 = time.time()
+        QUERIES["prep_training_corpus"](spark, out_dir).write.format(
+            "noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return round(time.time() - t0, 3)
+
+    run()                                   # warm
+    dt = run()
+    n_out = QUERIES["prep_training_corpus"](spark, out_dir).count()
+    spark.catalog.clearCache()
+    print(json.dumps({
+        "metric": "prep_pipeline_smoke", "multiplier": mult,
+        "documents": n_docs, "output_rows": n_out,
+        "value": dt, "unit": "sec",
+    }))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--prep":
+        return prep_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
         return bpe_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     if len(sys.argv) > 1 and sys.argv[1] == "--ta-hot":
