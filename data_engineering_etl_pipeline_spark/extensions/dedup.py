@@ -54,6 +54,17 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
 
     ``fingerprint`` (list of Columns, default xxhash64+length) is
     injectable so tests can force the collision path with a weak hash.
+
+    Cost honesty: phase 2's semi-join broadcasts the candidate-fingerprint
+    list when it fits (AQE converts at runtime); past broadcast size the
+    join falls back to shuffling the candidate docs on the 12-byte
+    fingerprint keys with text as payload — still strictly cheaper than
+    the naive plan (whose shuffle both moves text AND sorts/hashes it as
+    the grouping key) and still restricted to duplicated docs. If even
+    that is too much, widen the fingerprint (e.g. add md5) until the
+    simultaneous-collision probability (~2^-192 per pair) certifies groups
+    without any text movement — the trade every published exact-dedup
+    pipeline makes.
     """
     fp = fingerprint if fingerprint is not None else _default_fingerprint(text_col)
     slim = docs.select(F.col(id_col), *fp)
@@ -93,6 +104,11 @@ def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
     """
     fp = fingerprint if fingerprint is not None else _default_fingerprint(text_col)
     fp_names = docs.select(*fp).columns  # resolved aliases, no execution
+    clash = set(fp_names) & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"exact_dedup_keep_first: fingerprint aliases {sorted(clash)} "
+            "collide with input columns — alias them uniquely")
     base = docs.select("*", *fp)
     cand_fp = (base.select(F.col(id_col), *[F.col(n) for n in fp_names])
                .groupBy(*fp_names)

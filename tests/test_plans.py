@@ -204,6 +204,35 @@ def test_substring_dedup_single_window_exchange(spark):
         "reused; both consumers re-ran the explode+fingerprint map")
 
 
+def test_minhash_signature_build_runs_once(spark):
+    """r5 minhash design contract: the banding self-join's two sides are
+    the SAME signature-build subtree, and the plan intentionally carries
+    no persist and no explicit repartition (both measured net costs,
+    scripts/minhash_variants.py) — so correctness of the cost model rests
+    on Spark reusing the exchange at runtime. Pin it empirically: at least
+    one stage of the job must be skipped (its shuffle output replayed from
+    the reused exchange), proving the corpus shingle pass + signature
+    aggregation executed once, not per join side."""
+    sc = spark.sparkContext
+    group = "minhash-exchange-reuse-contract"
+    sc.setJobGroup(group, "exchange-reuse pin")
+    try:
+        QUERIES["doc_minhash_lsh"](spark, SF_DIR).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    st = sc.statusTracker()
+    stages = set()
+    for j in st.getJobIdsForGroup(group):
+        ji = st.getJobInfo(j)
+        if ji:
+            stages.update(ji.stageIds)
+    infos = [st.getStageInfo(s) for s in stages]
+    skipped = [si for si in infos if si and si.numCompletedTasks == 0]
+    assert skipped, (
+        "no stage was skipped — the banding self-join re-ran the signature "
+        "build per side; restore a persist or a shared exchange")
+
+
 @pytest.mark.parametrize("name", ["doc_pii_scrub", "doc_c4_line_filter",
                                   "doc_chunking"])
 def test_map_only_cleaners_have_zero_shuffles(spark, name):
