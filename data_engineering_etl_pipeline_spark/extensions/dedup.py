@@ -31,6 +31,24 @@ def _default_fingerprint(text_col: str) -> list:
             F.length(F.col(text_col)).alias("__fplen")]
 
 
+def _nullsafe_join(left: DataFrame, right: DataFrame, names: list[str],
+                   how: str) -> DataFrame:
+    """Join on ``names`` with NULL-SAFE equality (``<=>``): a NULL text has
+    a NULL length fingerprint, and SQL group semantics put all NULLs in ONE
+    group — a plain equi-join would null-reject those rows and silently
+    drop the NULL-text duplicate group. EqualNullSafe still plans as hash
+    join keys (no nested loop). Right-side key columns are renamed with a
+    ``__r_`` prefix; callers drop them (semi joins carry none)."""
+    r = right
+    for n in names:
+        r = r.withColumnRenamed(n, "__r_" + n)
+    cond = None
+    for n in names:
+        c = F.col(n).eqNullSafe(F.col("__r_" + n))
+        cond = c if cond is None else (cond & c)
+    return left.join(r, cond, how)
+
+
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        fingerprint=None) -> DataFrame:
@@ -76,10 +94,11 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
                .filter(F.col("__n") > 1)
                .select(*fp_names))
     # Phase 2: exact-equality resolution over candidate rows only. The
-    # semi-join keys on the fingerprint (no text); only the surviving
+    # semi-join keys on the fingerprint (no text, null-safe so the
+    # NULL-text group keeps SQL group semantics); only the surviving
     # candidate rows carry text into the final (tiny) exchange.
-    cand = (docs.select(F.col(id_col), F.col(text_col), *fp)
-            .join(cand_fp, fp_names, "left_semi"))
+    cand = _nullsafe_join(docs.select(F.col(id_col), F.col(text_col), *fp),
+                          cand_fp, fp_names, "left_semi")
     return (
         cand.groupBy(F.col(text_col))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -116,7 +135,8 @@ def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
                .filter(F.col("__n") > 1)
                .select(*fp_names)
                .withColumn("__dup_cand", F.lit(True)))
-    flagged = base.join(cand_fp, fp_names, "left")
+    flagged = _nullsafe_join(base, cand_fp, fp_names, "left").drop(
+        *["__r_" + n for n in fp_names])
     unique = (flagged.filter(F.col("__dup_cand").isNull())
               .drop("__dup_cand", *fp_names))
     # Candidate rows: min-id per exact text. Partitioning by the

@@ -446,25 +446,26 @@ def test_exact_dedup_collision_path(spark):
         [(1, "aaaa"), (2, "aaaa"),      # dup group A (len 4)
          (3, "bbbb"), (4, "bbbb"), (5, "bbbb"),  # dup group B (len 4!)
          (6, "unique doc"),             # singleton
-         (7, "solo"), (8, "also")],     # len-4 singletons colliding w/ A+B
+         (7, "solo"), (8, "also"),      # len-4 singletons colliding w/ A+B
+         (9, None), (10, None)],        # NULL texts: ONE group (SQL GROUP BY)
         "doc_id long, text string")
     weak = [F.length("text").alias("__fp")]
     got = sorted((r["keep_id"], r["n_copies"]) for r in
                  exact_dedup_groups(docs, "doc_id", "text",
                                     fingerprint=weak).collect())
-    assert got == [(1, 2), (3, 3)], got
+    assert got == [(1, 2), (3, 3), (9, 2)], got
     # default (strong) fingerprint agrees
     got2 = sorted((r["keep_id"], r["n_copies"]) for r in
                   exact_dedup_groups(docs, "doc_id", "text").collect())
-    assert got2 == [(1, 2), (3, 3)], got2
+    assert got2 == [(1, 2), (3, 3), (9, 2)], got2
     # keep-first form: keeper rows of both groups + all singletons survive
     kept = sorted(r["doc_id"] for r in
                   exact_dedup_keep_first(docs, "doc_id", "text",
                                          fingerprint=weak).collect())
-    assert kept == [1, 3, 6, 7, 8], kept
+    assert kept == [1, 3, 6, 7, 8, 9], kept
     kept2 = sorted(r["doc_id"] for r in
                    exact_dedup_keep_first(docs, "doc_id", "text").collect())
-    assert kept2 == [1, 3, 6, 7, 8], kept2
+    assert kept2 == [1, 3, 6, 7, 8, 9], kept2
 
 
 def test_dedup_clusters_nonconvergence_raises(spark):

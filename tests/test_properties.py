@@ -260,9 +260,11 @@ def test_duplicate_window_spans_matches_brute_force(spark, token_docs, width):
 
 # Small alphabet so random corpora hit real duplicates AND same-length
 # distinct texts (which the weak fingerprint forces through the
-# collision-resolving phase-2 pass).
+# collision-resolving phase-2 pass); None mixed in because SQL GROUP BY
+# semantics put all NULL texts in ONE group (null-safe phase-2 join).
 _texts_strategy = st.lists(
-    st.text(alphabet="ab ", min_size=0, max_size=6), min_size=1, max_size=30)
+    st.one_of(st.none(), st.text(alphabet="ab ", min_size=0, max_size=6)),
+    min_size=1, max_size=30)
 
 
 @SET
@@ -283,7 +285,8 @@ def test_exact_dedup_two_phase_equals_text_groupby(spark, texts, weak):
                  exact_dedup_groups(df, "doc_id", "text",
                                     fingerprint=fp).collect())
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
-    grp = pdf.groupby("text")["doc_id"].agg(["min", "count"])
+    # dropna=False: SQL GROUP BY groups NULLs together, pandas drops them
+    grp = pdf.groupby("text", dropna=False)["doc_id"].agg(["min", "count"])
     want = sorted((int(r["min"]), int(r["count"]))
                   for _, r in grp.iterrows() if r["count"] > 1)
     assert got == want
@@ -291,5 +294,6 @@ def test_exact_dedup_two_phase_equals_text_groupby(spark, texts, weak):
     kept = sorted(r["doc_id"] for r in
                   exact_dedup_keep_first(df, "doc_id", "text",
                                          fingerprint=fp).collect())
-    want_kept = sorted(int(v) for v in pdf.groupby("text")["doc_id"].min())
+    want_kept = sorted(
+        int(v) for v in pdf.groupby("text", dropna=False)["doc_id"].min())
     assert kept == want_kept
