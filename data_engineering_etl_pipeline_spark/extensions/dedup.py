@@ -150,6 +150,52 @@ def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
     return unique.unionByName(keepers)
 
 
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """One fingerprint row per DISTINCT text in ``docs``: ``(__fp, __fplen,
+    keep_id)`` with keep_id = min id. This is the persistable dedup INDEX —
+    store it (parquet, bucketed by ``__fp`` for co-located incremental
+    joins) so tomorrow's ingest dedups against the whole historical corpus
+    without rescanning it."""
+    return (docs.select(F.col(id_col), *_default_fingerprint(text_col))
+            .groupBy("__fp", "__fplen")
+            .agg(F.min(id_col).alias("keep_id")))
+
+
+def incremental_exact_dedup(new_docs: DataFrame, index: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup — the operational form at 100 TB, where the
+    corpus is ingested continuously and each batch must dedup against
+    EVERYTHING seen so far without touching it: returns
+    ``(fresh_docs, updated_index)`` where ``fresh_docs`` are the new
+    batch's rows whose text was neither in the historical ``index``
+    (from :func:`doc_fingerprints`) nor duplicated within the batch, and
+    ``updated_index`` is the union index to persist for the next batch.
+
+    Plan shape: the batch is deduplicated within itself first
+    (:func:`exact_dedup_keep_first`, fingerprint-keyed), then anti-joined
+    against the index on the fingerprint columns (null-safe) — the
+    historical corpus participates only through its KB-per-million-docs
+    fingerprint index, and with both sides bucketed by ``__fp`` the join
+    is co-located (no index shuffle per batch). Collision caveat: the
+    index stores fingerprints only, so an across-batch 64-bit+length
+    collision (≈2^-64 per colliding pair) maps to a false drop — the
+    documented trade of every persisted-index dedup; widen the fingerprint
+    (md5) where that matters.
+    """
+    batch = exact_dedup_keep_first(new_docs, id_col, text_col)
+    with_fp = batch.select("*", *_default_fingerprint(text_col))
+    fresh = _nullsafe_join(
+        with_fp, index.select("__fp", "__fplen"), ["__fp", "__fplen"],
+        "left_anti")
+    fresh_index = (fresh.groupBy("__fp", "__fplen")
+                   .agg(F.min(id_col).alias("keep_id")))
+    updated = index.select("__fp", "__fplen", "keep_id").unionByName(
+        fresh_index)
+    return fresh.drop("__fp", "__fplen"), updated
+
+
 def tokenized_docs(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """``(id, __toks)`` projection: one regex split per row. The near-dup

@@ -108,6 +108,35 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def write_training_shards(df: DataFrame, path: str, shard_col: str = "shard",
+                          max_rows_per_file: int | None = None,
+                          mode: str = "overwrite") -> DataFrame:
+    """Training-shard sink: write ``df`` partitioned by ``shard_col`` (the
+    deterministic hash shard that ``corpus.pack_sequences`` assigns), one
+    directory per shard, and return a shard MANIFEST DataFrame
+    ``(shard, n_rows, n_tokens)`` computed in the same job's lineage — the
+    sidecar a training loader reads to plan epoch mixing without listing
+    or scanning the shards.
+
+    Scale shape: ``partitionBy(shard_col)`` keeps the write map-only when
+    the upstream already clusters by shard (pack_sequences' window has
+    just sorted within shards, so it does); ``max_rows_per_file`` maps to
+    ``maxRecordsPerFile``, bounding file sizes WITHOUT a repartition —
+    the writer rolls files, no extra exchange. The manifest agg is one
+    map-side-combinable groupBy on the (small) shard key space."""
+    writer = df.write.mode(mode)
+    if max_rows_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
+    writer.partitionBy(shard_col).parquet(path)
+    agg = [F.count(F.lit(1)).alias("n_rows")]
+    if "n_tokens" in df.columns:
+        agg.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    manifest = df.groupBy(shard_col).agg(*agg)
+    manifest.coalesce(1).write.mode(mode).parquet(
+        path.rstrip("/") + "_manifest")
+    return manifest
+
+
 def snapshot_exists(spark: SparkSession, root: str, date_str: str,
                     partition_col: str = "snapshot_date") -> bool:
     """S10 idempotency probe: is today's partition already materialized?

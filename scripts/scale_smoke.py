@@ -175,7 +175,6 @@ def dedup_smoke(mult: int) -> int:
     token-salted replicas keep each original near-dup pair appearing once
     per replica with its original jaccard, i.e. pairs scale exactly
     linearly, like a real corpus growing."""
-    from data_engineering_etl_pipeline_spark.io import load_table
     from data_engineering_etl_pipeline_spark.queries import QUERIES
     from data_engineering_etl_pipeline_spark.session import get_spark
 

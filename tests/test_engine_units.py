@@ -557,3 +557,68 @@ def test_event_loader_requires_utc_session(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert load_table(spark, SF_DIR, "events").count() > 0
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    """Operational dedup: batch 2 must drop texts already fingerprinted by
+    batch 1 (via the persisted index alone, never the historical rows),
+    dedup within itself, pass genuinely fresh docs, and extend the index
+    so a batch-3 replay of ANY seen text is dropped."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        doc_fingerprints, incremental_exact_dedup)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string")
+    index = doc_fingerprints(b1)
+    assert index.count() == 3
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"),          # seen in batch 1 -> dropped via index
+         (11, "gamma"), (12, "gamma"),  # in-batch dup -> keep min id only
+         (13, None),             # NULL text seen in batch 1 -> dropped
+         (14, "delta")],         # fresh
+        "doc_id long, text string")
+    fresh, index2 = incremental_exact_dedup(b2, index)
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [11, 14]
+    assert index2.count() == 5   # alpha, beta, NULL, gamma, delta
+
+    b3 = spark.createDataFrame(
+        [(20, "gamma"), (21, "delta"), (22, "epsilon")],
+        "doc_id long, text string")
+    fresh3, index3 = incremental_exact_dedup(b3, index2)
+    assert sorted(r["doc_id"] for r in fresh3.collect()) == [22]
+    assert index3.count() == 6
+    # the index never stores text
+    assert set(index3.columns) == {"__fp", "__fplen", "keep_id"}
+
+
+def test_write_training_shards_manifest_and_layout(spark, tmp_path):
+    """The shard sink writes one directory per shard, bounds file sizes via
+    maxRecordsPerFile without a repartition, and the manifest's per-shard
+    row/token counts equal the written data exactly."""
+    import os
+
+    from data_engineering_etl_pipeline_spark.io import write_training_shards
+
+    rows = [(i, i % 3, 10 + i % 7) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, shard int, n_tokens long")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, out, max_rows_per_file=10)
+    got = {r["shard"]: (r["n_rows"], r["n_tokens"])
+           for r in manifest.collect()}
+    want = {}
+    for _, s, t in rows:
+        n, tk = want.get(s, (0, 0))
+        want[s] = (n + 1, tk + t)
+    assert got == want
+    # layout: one directory per shard, files rolled at <=10 rows
+    for s in (0, 1, 2):
+        d = os.path.join(out, f"shard={s}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) >= 3   # 30 rows / 10 per file
+        assert spark.read.parquet(d).count() == 30
+    # manifest readable from the sidecar path
+    side = spark.read.parquet(out + "_manifest")
+    assert side.count() == 3
