@@ -623,14 +623,22 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # practice, cf. GraphX/ML): executor loss during the loop fails the
         # job instead of recomputing lineage — acceptable for a short
         # post-pair-generation step.
+        # LAZY checkpoint + count: the convergence count is the action that
+        # materializes the snapshot, so each round makes ONE pass over the
+        # label relation instead of two (eager-checkpoint pass + count
+        # pass) — at 100 TB that is one full shuffle job saved per round.
+        # (Locally the loop's wall time is dominated by AQE's
+        # job-per-query-stage scheduling — ~28 jobs for a 2-round run —
+        # so the saving shows at data scale, not on toy graphs.)
         stepped = (adopted.join(hop, adopted["__l1"] == hop["__jn"], "left")
                    .select(F.col("node"), F.col("__old"),
                            F.least(F.col("__l1"),
                                    F.coalesce(F.col("__jl"), F.col("__l1")))
-                           .alias("label")).localCheckpoint(eager=True))
+                           .alias("label")).localCheckpoint(eager=False))
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
-        # stepped is materialized (eager + the count above): the previous
-        # round's snapshot is now unreferenced — free its blocks.
+        # stepped is materialized (the count above triggers the lazy
+        # checkpoint): the previous round's snapshot is now unreferenced —
+        # free its blocks.
         _release_local_checkpoint(snap)
         snap = stepped
         labels = stepped.select("node", "label")
