@@ -421,3 +421,65 @@ def test_cleaning_family_streams_map_only(spark, tmp_path):
     cols = [c for c in want.columns]
     assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
     assert got.count() == 200
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Operational ingest dedup: micro-batches arrive as files; foreachBatch
+    runs incremental_exact_dedup against a parquet-persisted fingerprint
+    index, so every batch dedups against EVERYTHING seen so far (including
+    earlier batches of the same stream) at index-join cost. The surviving
+    rows must equal a batch keep-first dedup of the whole union, and the
+    index must never store document text."""
+    import os
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        doc_fingerprints, exact_dedup_keep_first, incremental_exact_dedup)
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "alpha"), (4, "gamma"), (5, "gamma")],   # 3 dups 1; 5 dups 4
+        [(6, "beta"), (7, "delta"), (8, None)],       # 6 dups 2
+        [(9, None), (10, "epsilon")],                 # 9 dups 8 (NULL text)
+    ]
+    stage = tmp_path / "src"
+    stage.mkdir()
+    for i, rows in enumerate(batches):
+        out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        src = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        dst = os.path.join(str(stage), f"{i:02d}.parquet")
+        os.rename(os.path.join(out, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    index_dir = str(tmp_path / "fp_index")
+    out_dir = str(tmp_path / "deduped")
+    # seed an empty index so every batch follows the same read-join-write path
+    doc_fingerprints(spark.createDataFrame([], schema)).write.parquet(index_dir)
+
+    def sink(batch_df, batch_id):
+        index = batch_df.sparkSession.read.parquet(index_dir)
+        fresh, updated = incremental_exact_dedup(batch_df, index)
+        fresh.write.mode("append").parquet(out_dir)
+        # two-phase index swap: write-new-then-replace keeps the read path
+        # consistent (a real deployment would version by batch_id)
+        updated.write.mode("overwrite").parquet(index_dir + "_next")
+        batch_df.sparkSession.read.parquet(index_dir + "_next") \
+            .write.mode("overwrite").parquet(index_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    q.stop()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    union = spark.read.parquet(str(stage))
+    want = sorted(r["doc_id"] for r in
+                  exact_dedup_keep_first(union).collect())
+    assert got == want == [1, 2, 4, 7, 8, 10]
+    # the persisted index carries fingerprints only, never text
+    assert set(spark.read.parquet(index_dir).columns) == {
+        "__fp", "__fplen", "keep_id"}
