@@ -527,14 +527,60 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     return df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
 
 
+def _assign_and_encode_residual(df: DataFrame, centroids: list[list[float]],
+                                codebooks: list[list[list[float]]],
+                                id_col: str, vec_col: str,
+                                dim: int) -> DataFrame:
+    """Fused coarse assignment + RESIDUAL PQ encoding in ONE Arrow pass:
+    ``(id, cid, codes)`` where ``codes`` quantize ``unit(v) −
+    centroid[cid]`` — the Faiss IVFPQ residual layout. Map-only (both the
+    centroid matmul and the per-subspace codebook matmuls close over
+    KB-scale numpy constants); null and zero-norm vectors get NULL
+    cid/codes, matching ``pq_encode``'s convention."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    n_sub = len(mats)
+    sub = dim // n_sub
+
+    @F.pandas_udf("struct<cid:int, codes:array<int>>")
+    def enc(emb: pd.Series) -> pd.DataFrame:
+        vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in emb]
+        valid = [i for i, v in enumerate(vals)
+                 if v is not None and v.shape == (dim,)
+                 and np.linalg.norm(v) > 0]
+        cid_out: list = [None] * len(vals)
+        codes_out: list = [None] * len(vals)
+        if valid:
+            m = np.vstack([vals[i] for i in valid])
+            m = m / np.linalg.norm(m, axis=1)[:, None]
+            cids = np.argmax(m @ cmat.T, axis=1)
+            res = m - cmat[cids]
+            codes = np.empty((len(m), n_sub), dtype=np.int32)
+            for j, cb in enumerate(mats):
+                xs = res[:, j * sub:(j + 1) * sub]
+                d = xs @ cb.T - 0.5 * (cb * cb).sum(axis=1)[None, :]
+                codes[:, j] = np.argmax(d, axis=1)
+            for row_i, i in enumerate(valid):
+                cid_out[i] = int(cids[row_i])
+                codes_out[i] = codes[row_i]
+        return pd.DataFrame({"cid": cid_out, "codes": codes_out})
+
+    return (df.select(F.col(id_col), enc(F.col(vec_col)).alias("__e"))
+            .select(F.col(id_col), F.col("__e.cid").alias("cid"),
+                    F.col("__e.codes").alias("codes")))
+
+
 def _query_luts(queries: DataFrame, codebooks: list[list[list[float]]],
                 query_id_col: str, vec_col: str,
                 dim: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-query ADC lookup tables: ``luts[q][j][code] = q̂_subⱼ ·
-    codewordⱼ`` — one (n_queries × n_codes) matmul per subspace, shared by
-    both ADC scorers. Null and zero-norm queries are EXCLUDED (no cosine
-    direction): the exact paths surface them as NULL cosine that sorts
-    last; the PQ paths simply emit no rows for them."""
+    """Per-query ADC lookup tables: ``(q_ids, luts, qm)`` with
+    ``luts[q][j][code] = q̂_subⱼ · codewordⱼ`` — one (n_queries × n_codes)
+    matmul per subspace, shared by both ADC scorers — plus the unit query
+    matrix ``qm`` (the residual IVF-PQ path needs ``q̂ · centroid`` terms).
+    Null and zero-norm queries are EXCLUDED (no cosine direction): the
+    exact paths surface them as NULL cosine that sorts last; the PQ paths
+    simply emit no rows for them."""
     mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
     n_sub = len(mats)
     sub = dim // n_sub
@@ -544,13 +590,14 @@ def _query_luts(queries: DataFrame, codebooks: list[list[list[float]]],
              if r["vq"] is not None and r["iq"] is not None]
     if not qrows:
         n_codes = max((len(b) for b in codebooks), default=0)
-        return np.asarray([], dtype=np.int64), np.zeros((0, n_sub, n_codes))
+        return (np.asarray([], dtype=np.int64),
+                np.zeros((0, n_sub, n_codes)), np.zeros((0, dim)))
     q_ids = np.asarray([int(r[0]) for r in qrows])
     qm = (np.asarray([list(r["vq"]) for r in qrows], dtype=np.float64)
           * np.asarray([float(r["iq"]) for r in qrows])[:, None])
     luts = np.stack([qm[:, j * sub:(j + 1) * sub] @ mats[j].T
                      for j in range(n_sub)], axis=1)
-    return q_ids, luts
+    return q_ids, luts, qm
 
 
 def pq_adc_topk(base_codes: DataFrame, queries: DataFrame,
@@ -573,7 +620,8 @@ def pq_adc_topk(base_codes: DataFrame, queries: DataFrame,
     ``_query_luts``).
     """
     n_sub = len(codebooks)
-    q_ids, luts = _query_luts(queries, codebooks, query_id_col, vec_col, dim)
+    q_ids, luts, _ = _query_luts(queries, codebooks, query_id_col, vec_col,
+                                 dim)
 
     out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
 
@@ -610,40 +658,63 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
                       query_id_col: str = "query_id", n_centroids: int = 16,
                       nprobe: int = 4, n_subspaces: int = 8,
                       n_codes: int = 16, seed: int = 42,
+                      residual: bool = False,
                       dim: int = VECTOR_DIM) -> DataFrame:
     """IVF-PQ approximate top-k — the Faiss IVFPQ composition, the standard
     billion-scale ANN layout: the coarse IVF quantizer routes each vector
     to an inverted list (scan fraction ≈ nprobe/n_centroids), and PQ/ADC
     scores the candidates in the compressed domain (8 code bytes per
-    vector, table lookups instead of float dot products). This variant
-    quantizes unit vectors directly (no residual encoding — the simpler
-    published form); both stages reuse the standalone IVF and PQ
-    machinery, so their individual contracts (map-only assignment/encoding,
-    equi-join candidates, null/zero-vector exclusion) carry over unchanged
-    — and both fits train from ONE shared corpus sample (not two sampling
-    passes).
+    vector, table lookups instead of float dot products). Both stages reuse
+    the standalone IVF and PQ machinery, so their individual contracts
+    (map-only assignment/encoding, equi-join candidates, null/zero-vector
+    exclusion) carry over unchanged — and both fits train from ONE shared
+    corpus sample (not two sampling passes).
+
+    ``residual=True`` is the full Jégou et al. 2011 §IV / Faiss layout: PQ
+    quantizes each vector's RESIDUAL to its coarse centroid (``unit(v) −
+    c``), whose variance is far below the raw unit vectors' — so the same
+    code budget reconstructs more accurately and recall rises. Scoring
+    stays ADC: ``q·v = q·c + q·r ≈ q·c_cid + Σⱼ LUT[j][codeⱼ]`` — the
+    LUTs are unchanged (residual codebooks are global, not per-list) plus
+    one per-candidate ``q̂·centroid`` lookup from a (queries × centroids)
+    table; assignment and residual encoding fuse into ONE map-only Arrow
+    pass (``_assign_and_encode_residual``). ``residual=False`` keeps the
+    simpler raw-unit-vector quantization (the r4 form, unit-pinned).
     """
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
     x = _sample_unit_matrix(base, vec_col, seed, 100_000, dim)
     centroids = _fit_ivf_from_matrix(x, n_centroids, seed, max_iter=8)
-    books = _fit_pq_from_matrix(x, n_subspaces, n_codes, seed, 8, dim)
-    codes = pq_encode(base, books, id_col, vec_col, dim)
-    b_assign = _nearest_centroids(base.select(id_col, vec_col), id_col,
-                                  vec_col, centroids, nprobe=1)
+    if residual:
+        cmat = np.asarray(centroids, dtype=np.float64)
+        x_assign = np.argmax(x @ cmat.T, axis=1)
+        books = _fit_pq_from_matrix(x - cmat[x_assign], n_subspaces,
+                                    n_codes, seed, 8, dim)
+        coded = _assign_and_encode_residual(base, centroids, books,
+                                            id_col, vec_col, dim)
+        b_assign = coded.select(id_col, "cid")
+    else:
+        books = _fit_pq_from_matrix(x, n_subspaces, n_codes, seed, 8, dim)
+        coded = pq_encode(base, books, id_col, vec_col, dim)
+        b_assign = _nearest_centroids(base.select(id_col, vec_col), id_col,
+                                      vec_col, centroids, nprobe=1)
     q_probe = _nearest_centroids(queries.select(query_id_col, vec_col),
                                  query_id_col, vec_col, centroids,
                                  nprobe=nprobe)
     cands = (b_assign.join(F.broadcast(q_probe), "cid")
-             .select(id_col, query_id_col)
+             .select(id_col, query_id_col, "cid")
              .filter(F.col(id_col) != F.col(query_id_col)))
 
     n_sub = len(books)
-    q_ids, luts = _query_luts(queries, books, query_id_col, vec_col, dim)
+    q_ids, luts, qm = _query_luts(queries, books, query_id_col, vec_col, dim)
     q_index = {int(q): i for i, q in enumerate(q_ids)}
+    # (queries × centroids) dot table for the residual form's q·c term
+    qc = (qm @ np.asarray(centroids, dtype=np.float64).T
+          if residual and len(qm) else None)
 
     @F.pandas_udf("double")
-    def adc(qids: pd.Series, code_arrs: pd.Series) -> pd.Series:
+    def adc(qids: pd.Series, code_arrs: pd.Series,
+            cids: pd.Series) -> pd.Series:
         if not len(qids):
             return pd.Series([], dtype="float64")
         qi = np.asarray([q_index[int(q)] for q in qids])
@@ -651,17 +722,20 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
         s = np.zeros(len(qi))
         for j in range(n_sub):
             s += luts[qi, j, codes_m[:, j]]
+        if qc is not None:
+            s += qc[qi, cids.to_numpy(dtype=np.int64)]
         return pd.Series(s)
 
     valid_q = [int(q) for q in q_ids]
     if not valid_q:  # every query null/zero-norm → empty result, same schema
         cands = cands.filter(F.lit(False))
         valid_q = [-1]
+    join_cols = [id_col, "cid"] if residual else [id_col]
     scored = (cands.filter(F.col(query_id_col).isin(valid_q))
-              .join(codes, id_col)
+              .join(coded, join_cols)
               .filter(F.col("codes").isNotNull())
               .withColumn("adc_score", adc(F.col(query_id_col),
-                                           F.col("codes"))))
+                                           F.col("codes"), F.col("cid"))))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_score").desc(), F.col(id_col))
     return (scored.withColumn("__rn", F.row_number().over(w))

@@ -266,3 +266,44 @@ def test_semantic_dedup_clustered_finds_planted_copies(spark):
     # planted pairs).
     assert {m for m, _ in got} <= {m for m, _ in truth}, (
         "false positive survived the exact-verify tail")
+
+
+def test_ivfpq_residual_beats_plain_on_clustered(spark):
+    """Residual IVF-PQ (the full Jégou/Faiss layout: PQ over unit(v) −
+    coarse_centroid, ADC = q·c + Σ LUT) must beat raw-unit-vector PQ when
+    the corpus is CLUSTERED — the regime real embedding corpora live in,
+    where the coarse quantizer explains most variance and the residuals
+    are small. Full probe (nprobe = n_centroids) isolates the PQ
+    reconstruction error from list-miss error. On isotropic random
+    vectors the two are statistically indistinguishable (nothing for the
+    centroids to explain) — measured, and why THIS test plants cluster
+    structure. Everything is seeded, so the recalls are deterministic."""
+    import numpy as np
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_topk, ivfpq_cosine_topk)
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = [(i, [float(x) for x in centers[i % 16] + 0.25 * rng.normal(size=64)])
+            for i in range(800)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (emb.filter(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    truth: dict = {}
+    for r in cosine_topk(emb, q, k=K).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(residual: bool) -> float:
+        got = ivfpq_cosine_topk(emb, q, k=K, n_centroids=16, nprobe=16,
+                                n_subspaces=8, n_codes=16, residual=residual)
+        byq: dict = {}
+        for r in got.collect():
+            byq.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return (sum(len(t & byq.get(qid, set())) for qid, t in truth.items())
+                / sum(len(t) for t in truth.values()))
+
+    plain, res = recall(False), recall(True)
+    assert res > plain, (plain, res)   # measured 0.22 vs 0.32
+    assert res >= 0.28, res
