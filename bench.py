@@ -61,9 +61,14 @@ BENCH_QUERIES = [
     "hml_lag_compliance",
     "sql_nation_revenue",
     "market_history_pipeline",
-    # the end-to-end composition runs LAST: its eager connected-components
-    # stage (localCheckpoint snapshots + per-round jobs) pressures the JVM
-    # enough to inflate whatever query follows it by ~2x at sf0.1
+]
+
+# Measured in a separate phase AFTER every pass of the main set: the
+# composition's eager connected-components stage (localCheckpoint blocks
+# that clearCache cannot free + GC pressure) inflates whatever query runs
+# next by ~2x at sf0.1 — interleaving it would bias the FOLLOWING query's
+# all three samples, which min-of-3 cannot remove.
+TAIL_QUERIES = [
     "prep_training_corpus",
 ]
 
@@ -95,16 +100,20 @@ def main() -> int:
     # against another's (or its own earlier pass's) persisted
     # intermediates — warm code, cold data.
     skip_warmup = os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP") == "1"
-    if not skip_warmup:
-        for name in BENCH_QUERIES:
-            run_one(name)
-            spark.catalog.clearCache()
     times: dict[str, float] = {}
-    for _ in range(1 if skip_warmup else 3):
-        for name in BENCH_QUERIES:
-            t = run_one(name)
-            times[name] = min(times.get(name, t), t)
-            spark.catalog.clearCache()
+    # phase 1: the main set; phase 2: the tail set (see TAIL_QUERIES) —
+    # each phase gets its own warmup + min-of-3 so the tail's JVM
+    # side-effects never touch a main-set sample.
+    for phase in (BENCH_QUERIES, TAIL_QUERIES):
+        if not skip_warmup:
+            for name in phase:
+                run_one(name)
+                spark.catalog.clearCache()
+        for _ in range(1 if skip_warmup else 3):
+            for name in phase:
+                t = run_one(name)
+                times[name] = min(times.get(name, t), t)
+                spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -87,6 +87,11 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     fp = fingerprint if fingerprint is not None else _default_fingerprint(text_col)
     slim = docs.select(F.col(id_col), *fp)
     fp_names = slim.columns[1:]  # resolved aliases, no execution
+    clash = set(fp_names) & {id_col, text_col}
+    if clash:
+        raise ValueError(
+            f"exact_dedup_groups: fingerprint aliases {sorted(clash)} "
+            "collide with the id/text columns — alias them uniquely")
     # Phase 1: fingerprint groups with >1 member — the only corpus-wide
     # exchange, keyed on the fingerprint columns alone.
     cand_fp = (slim.groupBy(*fp_names)

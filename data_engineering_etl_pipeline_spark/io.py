@@ -122,17 +122,24 @@ def write_training_shards(df: DataFrame, path: str, shard_col: str = "shard",
     the upstream already clusters by shard (pack_sequences' window has
     just sorted within shards, so it does); ``max_rows_per_file`` maps to
     ``maxRecordsPerFile``, bounding file sizes WITHOUT a repartition —
-    the writer rolls files, no extra exchange. The manifest agg is one
-    map-side-combinable groupBy on the (small) shard key space."""
+    the writer rolls files, no extra exchange. The manifest aggregates the
+    WRITTEN parquet back (one map-side-combinable groupBy over a cheap
+    columnar scan), never ``df``'s lineage: re-running the upstream
+    pipeline a second time would double job cost and could diverge from
+    the files if any stage is nondeterministic. It is always OVERWRITTEN
+    from the full directory, so ``mode='append'`` ingests accumulate data
+    while the sidecar stays one-row-per-shard and equal to what is on
+    disk."""
     writer = df.write.mode(mode)
     if max_rows_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
     writer.partitionBy(shard_col).parquet(path)
+    written = df.sparkSession.read.parquet(path)
     agg = [F.count(F.lit(1)).alias("n_rows")]
-    if "n_tokens" in df.columns:
+    if "n_tokens" in written.columns:
         agg.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
-    manifest = df.groupBy(shard_col).agg(*agg)
-    manifest.coalesce(1).write.mode(mode).parquet(
+    manifest = written.groupBy(shard_col).agg(*agg)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
         path.rstrip("/") + "_manifest")
     return manifest
 

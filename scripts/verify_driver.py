@@ -103,6 +103,12 @@ def main() -> int:
             print(f"[{name}] FAIL spark error: {exc}")
             ok = False
             continue
+        finally:
+            # several rows persist docs-sized relations under a
+            # caller-release contract (ngram/minhash token projections, the
+            # tfidf vector relation, prep's cleaned corpus) — holding all of
+            # them across a 50-query session accumulates executor storage
+            spark.catalog.clearCache()
         dt = time.time() - t0
         if name not in oracles:
             print(f"[{name}] rows-only: {len(sdf)} rows, "

@@ -622,3 +622,14 @@ def test_write_training_shards_manifest_and_layout(spark, tmp_path):
     # manifest readable from the sidecar path
     side = spark.read.parquet(out + "_manifest")
     assert side.count() == 3
+    # append ingest: data accumulates, but the manifest is always REBUILT
+    # from the written directory — one row per shard, totals across both
+    # batches (a per-batch append manifest would hold partial counts)
+    more = spark.createDataFrame([(100, 0, 5), (101, 1, 6)],
+                                 "doc_id long, shard int, n_tokens long")
+    m2 = {r["shard"]: (r["n_rows"], r["n_tokens"]) for r in
+          write_training_shards(more, out, mode="append").collect()}
+    assert m2[0] == (31, want[0][1] + 5)
+    assert m2[1] == (31, want[1][1] + 6)
+    assert m2[2] == want[2]
+    assert spark.read.parquet(out + "_manifest").count() == 3

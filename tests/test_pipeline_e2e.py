@@ -131,7 +131,8 @@ def test_bench_and_smoke_names_exist_in_registry():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import bench
-    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    missing = [n for n in bench.BENCH_QUERIES + bench.TAIL_QUERIES
+               if n not in QUERIES]
     assert not missing, f"bench.py references unknown queries: {missing}"
 
     src = open(os.path.join(root, "scripts", "scale_smoke.py")).read()
