@@ -452,6 +452,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     rate ≈ (1−s^r)^b for true similarity s. At 100 TB only the candidate
     pairs (a tiny fraction) ever pay the verification join.
     """
+    if bands <= 0 or num_perm % bands:
+        # rows = num_perm // bands silently hitting 0 would make every band
+        # hash a per-band CONSTANT — the equi-join degenerates to a full
+        # n² cross product; a non-dividing bands count silently discards
+        # permutations and changes the documented (1−s^r)^b recall.
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must divide num_perm="
+            f"{num_perm} exactly (rows per band = num_perm/bands)")
     rows = num_perm // bands
     # The signature build is the ONLY corpus-wide shingle pass; the exact
     # verification below re-derives shingles from the candidate docs alone,
@@ -498,6 +506,33 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return _verify_pairs(tok, id_col, n, candidates, threshold)
 
 
+def _simhash_from_votes(votes: DataFrame, docs: DataFrame,
+                        id_col: str) -> DataFrame:
+    """Shared sign→bit OR-fold + token-less-doc restore of both SimHash
+    variants (xxhash64 and the md5-portable oracle twin): one copy so a
+    tie-breaking or restore change cannot silently desynchronize the
+    twins (r5 review finding). ``votes`` carries ``v_0..v_63`` per doc.
+
+    Each bit term is INDEPENDENT and OR-chained linearly — folding ``sim``
+    into both branches of a when() would duplicate the subtree per bit
+    (exponential expression size, analyzer OOM). Token-less (null-text)
+    docs vanish at the upstream explode; the left join restores them with
+    simhash=0 (the all-negative-votes fingerprint of the original
+    formulation)."""
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    sim = F.lit(0).cast("long")
+    for i, m in enumerate(masks):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v_{i}") > 0, F.lit(m)).otherwise(F.lit(0).cast("long")))
+    sig = votes.select(F.col(id_col), sim.alias("simhash"))
+    return (
+        docs.select(id_col)
+        .join(sig, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )
+
+
 def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """SimHash-64 over an ENGINE-PORTABLE token hash: md5 exists bit-for-bit
@@ -507,10 +542,9 @@ def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
     Token hash bits: hex digit j of md5(token) (j = 0..15 → 64 bits), bit
     ``i`` = bit ``3 − i%4`` of digit ``i//4``. Same vote aggregate shape as
     ``simhash64`` (one map-side-combinable hash aggregate, 64 codegen'd
-    sums); md5 is ~3× the cost of xxhash64 per token, so the xxhash64
-    variant remains the 100 TB default and this one is the verification
-    twin."""
-    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    sums) and the SAME shared sign/OR-fold tail (``_simhash_from_votes``);
+    md5 is ~3× the cost of xxhash64 per token, so the xxhash64 variant
+    remains the 100 TB default and this one is the verification twin."""
     tok = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")))
@@ -529,17 +563,7 @@ def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
             1).otherwise(-1)).alias(f"v_{i}")
         for i in range(64)
     ])
-    sim = F.lit(0).cast("long")
-    for i, m in enumerate(masks):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"v_{i}") > 0, F.lit(m)).otherwise(F.lit(0).cast("long")))
-    sig = votes.select(F.col(id_col), sim.alias("simhash"))
-    return (
-        docs.select(id_col)
-        .join(sig, id_col, "left")
-        .select(F.col(id_col),
-                F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
-    )
+    return _simhash_from_votes(votes, docs, id_col)
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -686,22 +710,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         .alias(f"v_{i}")
         for i, m in enumerate(masks)
     ])
-    # Each bit term is INDEPENDENT and OR-chained linearly — folding `sim`
-    # into both branches of a when() would duplicate the subtree per bit
-    # (exponential expression size, analyzer OOM).
-    sim = F.lit(0).cast("long")
-    for i, m in enumerate(masks):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"v_{i}") > 0, F.lit(m)).otherwise(F.lit(0).cast("long")))
-    sig = votes.select(F.col(id_col), sim.alias("simhash"))
-    # Token-less docs vanish at the explode; restore them with simhash=0
-    # (the all-negative-votes fingerprint of the original formulation).
-    return (
-        docs.select(id_col)
-        .join(sig, id_col, "left")
-        .select(F.col(id_col),
-                F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
-    )
+    return _simhash_from_votes(votes, docs, id_col)
 
 
 def duplicate_window_spans(docs: DataFrame, id_col: str = "doc_id",

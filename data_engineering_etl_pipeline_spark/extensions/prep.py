@@ -32,10 +32,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cleaning import c4_stats, gopher_keep
-from .corpus import flag_contaminated, pack_sequences
+from .corpus import _portable_hv, flag_contaminated, pack_sequences
 from .dedup import dedup_clusters, exact_dedup_keep_first, ngram_jaccard_pairs
 from .pii import scrub_pii
-from .text_stats import quality_score
+from .text_stats import quality_score, token_count_regex
 
 
 def prepare_training_corpus(docs: DataFrame,
@@ -51,7 +51,10 @@ def prepare_training_corpus(docs: DataFrame,
                             n_shards: int = 64) -> DataFrame:
     """Run the full preparation pipeline; returns the packed training set:
     ``(id, text, split, n_tokens, shard, pack_id)`` where ``text`` is the
-    cleaned+scrubbed form and ``split`` ∈ {train, val} by content hash.
+    cleaned+scrubbed form, ``split`` ∈ {train, val} by content hash, and
+    ``n_tokens`` is populated for EVERY row (val loaders budget by it
+    too); ``shard``/``pack_id`` are NULL on val rows — packing applies to
+    the training split only.
 
     ``benchmark`` (optional) is a DataFrame with a ``text`` column of
     evaluation documents to decontaminate against (13-gram overlap).
@@ -64,8 +67,10 @@ def prepare_training_corpus(docs: DataFrame,
     rules run on C4-cleaned text, where every surviving line already ends
     in terminal punctuation — so the bullet/ellipsis line rules are
     vacuous and Gopher effectively reduces to its word-count / word-length
-    / symbol / alpha / stop-word rules."""
-    if apply_gopher and gopher_first:
+    / symbol / alpha / stop-word rules. ``gopher_first=True`` IMPLIES the
+    filter is on (passing it alone would otherwise be a silent no-op)."""
+    if gopher_first:
+        apply_gopher = True
         docs = docs.filter(gopher_keep(text_col))
 
     # 1. C4 line-level clean: drop failing pages, keep the cleaned text.
@@ -117,16 +122,23 @@ def prepare_training_corpus(docs: DataFrame,
         kept = kept.filter(gopher_keep(text_col))
 
     # 7. Deterministic content-hash split (train_frac of the 32-bit hash
-    #    space → train). Same portable-md5 convention as stratified_sample:
-    #    rerun-, repartition-, and engine-stable; no RNG state.
-    hv = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+    #    space → train). THE SAME portable-md5 helper as stratified_sample /
+    #    pack_sequences (not a re-implementation — one hash convention,
+    #    r5 review finding): rerun-, repartition-, and engine-stable; no
+    #    RNG state.
+    hv = _portable_hv(F.col(text_col))
     split = F.when(hv < F.lit(float(1 << 32)) * train_frac, "train").otherwise("val")
-    labeled = kept.withColumn("split", split)
+    # n_tokens is a per-doc map expression — compute it for EVERY row (the
+    # documented output contract; a val loader budgets by it too), and let
+    # packing reuse it via tokens_col instead of re-splitting.
+    labeled = (kept.withColumn("split", split)
+               .withColumn("n_tokens", token_count_regex(text_col)))
 
     # 8. Token-budget packing of the train split only (val ships unpacked
-    #    rows with pack_id null via the left join).
+    #    rows with shard/pack_id null via the left join).
     packs = pack_sequences(labeled.filter(F.col("split") == "train"),
                            budget=pack_budget, n_shards=n_shards,
-                           id_col=id_col, text_col=text_col)
-    return (labeled.join(packs.select(id_col, "n_tokens", "shard", "pack_id"),
+                           id_col=id_col, text_col=text_col,
+                           tokens_col="n_tokens")
+    return (labeled.join(packs.select(id_col, "shard", "pack_id"),
                          id_col, "left"))

@@ -147,7 +147,11 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
             "hyperplane_lsh_buckets) so candidates come from an equi-join "
             "instead; the exact verification tail is identical. (Raise "
             "spark.sql.graft.blasBroadcastRows to override.)")
-    build = v.toPandas()
+    # collect ONLY the scoring columns: with_vec_inv keeps every source
+    # column, and an un-projected collect would haul raw embeddings plus
+    # arbitrary payloads (text!) to the driver, making the row-count budget
+    # guard wildly underestimate bytes (r5 review finding)
+    build = v.select(id_col, "v", "i").toPandas()
     ids = build[id_col].to_numpy()
     mat = np.vstack([
         np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
@@ -172,8 +176,11 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
                                         & (a_ids[:, None] < b_ids[None, :]))
             yield pd.DataFrame({"id_a": a_ids[rows_i], "id_b": b_ids[cols_j]})
 
+    # pair schema follows the actual id type — a hardcoded 'long' would
+    # crash string-keyed corpora (same r4 finding as _cluster_blas_pairs)
+    id_type = v.schema[id_col].dataType.simpleString()
     return v.select(id_col, "v", "i").mapInPandas(
-        score, schema="id_a long, id_b long")
+        score, schema=f"id_a {id_type}, id_b {id_type}")
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -362,6 +369,13 @@ def _sample_unit_matrix(base: DataFrame, vec_col: str, seed: int,
     if len(x):
         x = x[np.isfinite(x).all(axis=1)
               & (np.linalg.norm(x, axis=1) > 0.5)]
+    if not len(x):
+        # an empty training matrix would crash np.argmax deep inside the
+        # k-means loop with an obscure shape error (r5 review finding) —
+        # fail at the boundary with the actual cause instead
+        raise ValueError(
+            "no trainable vectors: the corpus sample is empty or every "
+            "sampled vector is NULL/zero-norm — codebooks cannot be fit")
     return x
 
 
@@ -590,9 +604,12 @@ def _query_luts(queries: DataFrame, codebooks: list[list[list[float]]],
              if r["vq"] is not None and r["iq"] is not None]
     if not qrows:
         n_codes = max((len(b) for b in codebooks), default=0)
-        return (np.asarray([], dtype=np.int64),
+        return (np.asarray([], dtype=object),
                 np.zeros((0, n_sub, n_codes)), np.zeros((0, dim)))
-    q_ids = np.asarray([int(r[0]) for r in qrows])
+    # raw id values (object dtype): int-keyed corpora hash-match numpy
+    # int64s against python ints, and string/other key types pass through
+    # untouched instead of crashing int() (r5 review finding)
+    q_ids = np.asarray([r[0] for r in qrows], dtype=object)
     qm = (np.asarray([list(r["vq"]) for r in qrows], dtype=np.float64)
           * np.asarray([float(r["iq"]) for r in qrows])[:, None])
     luts = np.stack([qm[:, j * sub:(j + 1) * sub] @ mats[j].T
@@ -623,7 +640,12 @@ def pq_adc_topk(base_codes: DataFrame, queries: DataFrame,
     q_ids, luts, _ = _query_luts(queries, codebooks, query_id_col, vec_col,
                                  dim)
 
-    out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
+    # id types follow the inputs — hardcoded 'long' would crash
+    # string-keyed corpora (r5 review finding, same class as
+    # _cluster_blas_pairs' r4 fix)
+    id_type = base_codes.schema[id_col].dataType.simpleString()
+    q_type = queries.schema[query_id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {q_type}, {id_col} {id_type}, adc_score double"
 
     def score(batches):
         for pdf in batches:
@@ -707,7 +729,7 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
 
     n_sub = len(books)
     q_ids, luts, qm = _query_luts(queries, books, query_id_col, vec_col, dim)
-    q_index = {int(q): i for i, q in enumerate(q_ids)}
+    q_index = {q: i for i, q in enumerate(q_ids)}  # raw ids (see _query_luts)
     # (queries × centroids) dot table for the residual form's q·c term
     qc = (qm @ np.asarray(centroids, dtype=np.float64).T
           if residual and len(qm) else None)
@@ -717,7 +739,7 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
             cids: pd.Series) -> pd.Series:
         if not len(qids):
             return pd.Series([], dtype="float64")
-        qi = np.asarray([q_index[int(q)] for q in qids])
+        qi = np.asarray([q_index[q] for q in qids])
         codes_m = np.vstack(code_arrs.to_numpy())
         s = np.zeros(len(qi))
         for j in range(n_sub):
@@ -726,10 +748,10 @@ def ivfpq_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
             s += qc[qi, cids.to_numpy(dtype=np.int64)]
         return pd.Series(s)
 
-    valid_q = [int(q) for q in q_ids]
+    valid_q = list(q_ids)
     if not valid_q:  # every query null/zero-norm → empty result, same schema
         cands = cands.filter(F.lit(False))
-        valid_q = [-1]
+        valid_q = [None]
     join_cols = [id_col, "cid"] if residual else [id_col]
     scored = (cands.filter(F.col(query_id_col).isin(valid_q))
               .join(coded, join_cols)
