@@ -39,6 +39,17 @@ the cleaner streams through a 100 TB scan at scan speed, like
 ``extensions/pii.py``. Every builder has a DuckDB SQL twin (same rule, same
 regex, RE2-compatible) so oracles can verify kept-line sets and the cleaned
 text bit-for-bit.
+
+Cross-engine caveats (documented, not papered over): lines split on
+``\\r?\\n`` in BOTH engines, so CRLF pages clean identically (r5 review —
+Java's non-multiline ``$`` matches before a trailing ``\\r`` while RE2's
+does not, so un-normalized lines diverged on the terminal-punctuation and
+ellipsis rules). Two residual divergences on pathological input: Java's
+``\\s`` includes vertical tab (0x0B) where RE2's does not, and Java's ``$``
+treats U+0085/U+2028/U+2029 (and a lone final ``\\r``) as line
+terminators where RE2 does not — text containing those yields
+engine-different word/line counts; the bit-for-bit guarantee covers text
+whose whitespace is spaces/tabs/newlines/CRLF.
 """
 
 from __future__ import annotations
@@ -79,11 +90,11 @@ def _line_keep_sql(var: str = "l") -> str:
 
 def c4_kept_lines(text: str | Column) -> Column:
     """Array of the lines of ``text`` that survive the line rules."""
-    return F.filter(F.split(_col(text), "\n"), _line_keep)
+    return F.filter(F.split(_col(text), r"\r?\n"), _line_keep)
 
 
 def c4_kept_lines_sql(expr: str) -> str:
-    return (f"list_filter(string_split({expr}, chr(10)), "
+    return (f"list_filter(string_split_regex({expr}, '\\r?\\n'), "
             f"l -> {_line_keep_sql('l')})")
 
 
@@ -109,7 +120,7 @@ def c4_stats(text: str | Column,
     keep = ((n_sent >= C4_MIN_SENTENCES)
             & ~has_lorem & ~has_brace & ~blocked)
     return [
-        F.size(F.split(t, "\n")).cast("int").alias("n_lines"),
+        F.size(F.split(t, r"\r?\n")).cast("int").alias("n_lines"),
         F.size(kept).cast("int").alias("n_kept"),
         cleaned.alias("cleaned"),
         n_sent.cast("int").alias("n_sentences"),
@@ -134,7 +145,7 @@ def c4_stats_sql(expr: str, blocklist: list[str] | None = None) -> list[str]:
          for w in (blocklist or [])]
     ) or "FALSE"
     return [
-        f"CAST(len(string_split({expr}, chr(10))) AS INT) AS n_lines",
+        f"CAST(len(string_split_regex({expr}, '\\r?\\n')) AS INT) AS n_lines",
         f"CAST(len({kept}) AS INT) AS n_kept",
         f"{cleaned} AS cleaned",
         f"CAST({n_sent} AS INT) AS n_sentences",
@@ -182,7 +193,7 @@ def gopher_stats(text: str | Column) -> list[Column]:
     # mint a phantom word (49-word doc + '\n' passing the 50-word floor)
     # and a phantom line diluting the bullet/ellipsis fractions
     words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
-    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    lines = F.filter(F.split(t, r"\r?\n"), lambda l: F.trim(l) != "")
     n_words = F.size(words)
     n_lines = F.size(lines)
     nw = n_words.cast("double")
@@ -248,7 +259,7 @@ def gopher_stats_sql(expr: str) -> list[str]:
     ``expr`` — identical rules, identical column names."""
     w = (f"list_filter(string_split_regex(trim({expr}), '\\s+'), "
          f"x -> x <> '')")
-    ln = (f"list_filter(string_split({expr}, chr(10)), "
+    ln = (f"list_filter(string_split_regex({expr}, '\\r?\\n'), "
           f"l -> trim(l) <> '')")
     n_words = f"len({w})"
     n_lines = f"len({ln})"

@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 from .text_stats import token_count_regex
 
 
+def _words(text_col: str) -> F.Column:
+    """Lowercased whitespace tokens with boundary empties removed — the
+    corpus-family tokenizer. ``trim()`` strips only ASCII spaces, so a doc
+    ending in a newline/tab otherwise mints phantom ``''`` tokens (r5
+    review finding: inflated BM25 doc lengths, phantom LM bigrams, and
+    polluted DSIR/TF-IDF buckets — while cleaning.py and bpe.py already
+    filtered them; one convention now)."""
+    return F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "")
+
+
 def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
                 id_col: str = "doc_id", text_col: str = "text",
                 k1: float = 1.2, b: float = 0.75) -> DataFrame:
@@ -48,7 +59,7 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
     is one tokenize scan, and a 10-term query shuffles 10 terms' postings,
     not the corpus.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _words(text_col)
     base = docs.select(F.col(id_col), toks.alias("__t"))
     lens = base.select(F.col(id_col), F.size("__t").alias("__dl"))
     # corpus-level scalars: one tiny agg, joined back as a broadcast row
@@ -90,7 +101,7 @@ def lm_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
     aggregates, data-sized scoring join — the unavoidable cost of a
     corpus-trained LM). No Python anywhere.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _words(text_col)
     big = docs.select(
         F.col(id_col),
         F.explode(F.zip_with(
@@ -130,8 +141,16 @@ def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
     over the docs-sized score relation (a 1-row broadcast); at 100 TB swap
     ``percentile`` for ``approx_percentile`` (t-digest, map-side
     combinable) — same plan, bounded error, the same documented trade as
-    the corpus length profile."""
-    lw = lm_cross_entropy(docs, id_col, text_col, k)
+    the corpus length profile. The score relation is PERSISTED (docs-sized:
+    id + two numbers) — it feeds both the cutoff aggregate and the output,
+    and uncached the whole corpus-trained LM (bigram explode + vocabulary
+    aggs + data-sized scoring join, the family's most expensive job) would
+    execute twice (r5 review finding). Same caller-release contract as
+    ngram_jaccard_pairs."""
+    from pyspark import StorageLevel
+
+    lw = lm_cross_entropy(docs, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK)
     cuts = lw.agg(F.percentile("xent", F.array(
         F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))).alias("__c"))
     bucket = (F.when(F.col("xent").isNull(), F.lit(None).cast("string"))
@@ -200,6 +219,11 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 1024,
     tokens) at the default 1024 shards sits ~5 orders of magnitude under
     the bound.
     """
+    if budget <= 0 or n_shards <= 0:
+        # fail at call time with the cause — budget=0 otherwise raises
+        # DIVIDE_BY_ZERO deep inside the job under ANSI mode (or silently
+        # nulls pack_id without it), n_shards=0 likewise via pmod
+        raise ValueError("need budget > 0 and n_shards > 0")
     n_tok = (F.col(tokens_col) if tokens_col
              else token_count_regex(text_col)).alias("n_tokens")
     if portable_shard:
@@ -236,7 +260,7 @@ def hashed_ngram_buckets(text_col: str, buckets: int,
     feature map of Xie et al. 2023 (DSIR, arXiv:2302.03169 §3). Map-only
     array expression; portable md5 so a DuckDB twin reproduces the exact
     bucket ids."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _words(text_col)
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
                          lambda a, b: F.concat_ws(" ", a, b))
@@ -373,13 +397,20 @@ def hashed_tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
 
     base = docs.select(F.col(id_col),
                        hashed_ngram_buckets(text_col, dim, salt).alias("__b"))
-    n_docs = base.filter(F.col("__b").isNotNull()).count()
-    dfreq = (base.select(F.explode(F.array_distinct("__b")).alias("__k"))
+    # ONE corpus pass fits the whole idf table: a sentinel bucket (-1)
+    # prepended to every non-null bucket array makes n_docs just another
+    # row of the (≤ dim+1)-row document-frequency table, instead of a
+    # second eager count() scan (r5 review finding).
+    dfreq = (base.filter(F.col("__b").isNotNull())
+             .select(F.explode(F.concat(
+                 F.array(F.lit(-1)), F.array_distinct("__b"))).alias("__k"))
              .groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
-             .collect())  # <= dim rows — KB-scale, the codebook pattern
+             .collect())
+    counts = {r["__k"]: r["__df"] for r in dfreq}
+    n_docs = counts.pop(-1, 0)
     idf = np.ones(dim, dtype=np.float64)
-    for r in dfreq:
-        idf[r["__k"]] = np.log((1.0 + n_docs) / (1.0 + r["__df"])) + 1.0
+    for k_, df_ in counts.items():
+        idf[k_] = np.log((1.0 + n_docs) / (1.0 + df_)) + 1.0
 
     @pandas_udf("array<float>")
     def vectorize(buckets: pd.Series) -> pd.Series:
@@ -448,13 +479,16 @@ def chunk_documents(docs: DataFrame, window: int = 512, stride: int = 384,
     Every token lands in ≥1 chunk: starts are ``1 + k·stride`` for
     ``k = 0 .. ⌈(n_tok − window)/stride⌉`` (the last window is short when
     the tail is), and a doc shorter than one window yields exactly one
-    chunk. Map-only: split + sequence + explode + slice, fan-out bounded
-    by ⌈n_tok/stride⌉ — no shuffle, streams through a 100 TB scan. The
-    construction is SQL-expressible, so DuckDB oracles can verify it
-    bit-for-bit.
+    chunk. NULL-text docs yield ZERO chunks — matching SQL NULL
+    propagation in the DuckDB twin (the r5 review found the posexplode of
+    a NULL-derived sequence minted a phantom full-window chunk). Map-only:
+    split + sequence + explode + slice, fan-out bounded by ⌈n_tok/stride⌉
+    — no shuffle, streams through a 100 TB scan. The construction is
+    SQL-expressible, so DuckDB oracles can verify it bit-for-bit.
     """
     if stride <= 0 or window <= 0 or stride > window:
         raise ValueError("need 0 < stride <= window")
+    docs = docs.filter(F.col(text_col).isNotNull())
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_tok = F.size(toks)
     overflow = F.greatest(n_tok - window, F.lit(0))

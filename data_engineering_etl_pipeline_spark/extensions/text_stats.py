@@ -35,10 +35,15 @@ def token_count_regex(text: str | Column, pattern: str = TOKEN_PATTERN) -> Colum
 
 
 def punct_ratio(text: str | Column) -> Column:
-    """Fraction of non-space characters that are punctuation/symbols."""
+    """Fraction of non-space characters that are punctuation/symbols.
+    Unicode-aware (``\\p{L}\\p{N}`` — Java and RE2 agree on these classes,
+    verified cross-engine): the former ASCII class counted every é/中/я as
+    punctuation, collapsing quality_score to ~0 for non-English text and
+    silently dropping whole languages at prep's quality floor (r5 review
+    finding)."""
     t = F.col(text) if isinstance(text, str) else text
     nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    punct = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", ""))
     return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
 
 
@@ -73,13 +78,15 @@ def predict_lang(toks: Column) -> Column:
 def quality_score(text: str | Column) -> Column:
     """Composite quality heuristic in [0,1]: length score × (1 − punct ratio)
     × alpha-token fraction. Mirrors the 'length/punct/stopword ratio' style
-    filters used in public LLM-data pipelines (C4/Gopher rules)."""
+    filters used in public LLM-data pipelines (C4/Gopher rules).
+    Alpha = any Unicode letter (``\\p{L}``, cross-engine-identical), so
+    non-Latin prose scores on its merits (r5 review finding)."""
     t = F.col(text) if isinstance(text, str) else text
     toks = tokens(t)
     n_tok = F.size(toks)
     alpha_frac = F.when(
         n_tok > 0,
-        F.size(F.filter(toks, lambda x: x.rlike(r"^[A-Za-z]+$"))) / n_tok,
+        F.size(F.filter(toks, lambda x: x.rlike(r"^\p{L}+$"))) / n_tok,
     ).otherwise(F.lit(0.0))
     len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     return F.round(len_score * (1 - punct_ratio(t)) * alpha_frac, 6)
@@ -159,27 +166,40 @@ def rolling_fingerprint_udf(text: str | Column, mod: int = 1_000_000_007,
     def poly(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue  # null/empty → 0, same as the fold
-            cp = np.frombuffer(t.encode("utf-32-le"),
-                               dtype=np.uint32).astype(np.int64)
-            powers = _pow_table(base, mod, len(cp))
-            out[i] = int((cp * powers[len(cp) - 1::-1] % mod).sum() % mod)
-        return pd.Series(out, dtype="int64")
+        out = []
+        for t in texts:
+            if t is None:
+                # NULL → NULL, matching the expression fold and the SQL
+                # twin's natural NULL propagation (r5 review finding: the
+                # old NULL→0 here made NULL docs collide with empty docs
+                # and diverge from the documented-equivalent forms)
+                out.append(None)
+            elif not t:
+                out.append(0)  # empty → 0, same as the fold
+            else:
+                cp = np.frombuffer(t.encode("utf-32-le"),
+                                   dtype=np.uint32).astype(np.int64)
+                powers = _pow_table(base, mod, len(cp))
+                out.append(int((cp * powers[len(cp) - 1::-1] % mod).sum()
+                               % mod))
+        return pd.Series(out, dtype="Int64")
 
     t = F.col(text) if isinstance(text, str) else text
     return poly(t)
 
 
 def duplicate_line_fraction(text: str | Column) -> Column:
-    """Fraction of a doc's lines that are repeats of an earlier line — the
-    Gopher/MassiveText within-document repetition filter (docs dominated by
-    repeated lines are boilerplate/spam). Pure array expressions: 1 −
-    distinct/total over the newline split; single-line docs score 0.0."""
+    """Fraction of a doc's NON-EMPTY lines that are repeats of an earlier
+    line — the Gopher/MassiveText within-document repetition filter (docs
+    dominated by repeated lines are boilerplate/spam). Empty lines are
+    excluded BEFORE the ratio: blank paragraph separators are structure,
+    not repetition, and counting them scored ordinary 10-paragraph prose
+    at ~0.42 — past the Gopher 0.3 threshold (r5 review finding; the
+    cleaning.py Gopher twin already filtered them). Pure array
+    expressions: 1 − distinct/total over the filtered newline split;
+    single-line and all-blank docs score 0.0."""
     t = F.col(text) if isinstance(text, str) else text
-    lines = F.split(t, r"\n")
+    lines = F.filter(F.split(t, r"\n"), lambda x: x != "")
     n = F.size(lines)
     return F.when(n > 0,
                   1.0 - F.size(F.array_distinct(lines)) / n

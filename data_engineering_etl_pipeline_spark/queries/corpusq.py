@@ -33,7 +33,7 @@ _MD5_32 = """list_sum(list_transform(range(0, 8), i ->
     "bm25_scores",
     oracle="""
     WITH base AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
       FROM documents
     ),
     stats AS (
@@ -79,7 +79,7 @@ _LM_CTE = """
     WITH big AS (
       SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
       FROM (SELECT doc_id,
-                   string_split_regex(lower(trim(text)), '\\s+') AS t
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
             FROM documents),
            LATERAL (SELECT unnest(range(1, len(t))) AS i)
     ),
@@ -142,7 +142,7 @@ def ccnet_perplexity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id, lang,
-             string_split_regex(lower(trim(text)), '\\s+') AS t
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
       FROM documents
     ), featarr AS (
       SELECT doc_id, lang,
@@ -294,7 +294,7 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunking",
     oracle="""
     WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
-               FROM documents),
+               FROM documents WHERE text IS NOT NULL),
     s AS (
       SELECT doc_id, tk,
              (CASE WHEN len(tk) > 64 THEN len(tk) - 64 ELSE 0 END + 47) // 48

@@ -212,7 +212,7 @@ _LANG_SCORE_SQL = "\n".join(
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t, text,
-             string_split(text, chr(10)) AS ln
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS ln
       FROM documents
     ), scored AS (
       SELECT *, list_transform(t, x -> lower(x)) AS lt FROM toks
@@ -234,10 +234,11 @@ _LANG_SCORE_SQL = "\n".join(
                 AS BIGINT) AS n_tokens_bpe,
            ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
                  / len(t), 4) AS avg_token_len,
-           CAST(list_reduce(
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
                   list_transform(range(1, length(text) + 1), i -> ascii(text[i])),
                   (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
-                AS BIGINT) AS fingerprint,
+                END AS BIGINT) AS fingerprint,
            CASE WHEN greatest(de_n, en_n, es_n, fr_n, zh_n) = 0 THEN 'und'
                 WHEN de_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'de'
                 WHEN en_n = greatest(de_n, en_n, es_n, fr_n, zh_n) THEN 'en'
@@ -247,11 +248,11 @@ _LANG_SCORE_SQL = "\n".join(
            ROUND(
              least(length(text) / 500.0, 1.0)
              * (1 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
-                         THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                         THEN CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
                               / length(regexp_replace(text, '\\s+', '', 'g'))
                          ELSE 0.0 END)
              * CASE WHEN len(t) > 0
-                    THEN CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS DOUBLE)
+                    THEN CAST(len(list_filter(t, x -> regexp_matches(x, '^\\p{{L}}+$'))) AS DOUBLE)
                          / len(t)
                     ELSE 0.0 END, 6) AS quality,
            ROUND(CASE WHEN len(ln) > 0
@@ -530,7 +531,7 @@ _MD5_32 = """list_sum(list_transform(range(0, 8), i ->
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
     ), base AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
       FROM doubled WHERE text IS NOT NULL
     ), featarr AS (
       SELECT doc_id,

@@ -7,6 +7,7 @@ rule-boundary word counts, per-rule Gopher violations)."""
 from __future__ import annotations
 
 import duckdb
+import pandas as pd
 
 from data_engineering_etl_pipeline_spark.extensions.cleaning import (
     GOPHER_MIN_WORDS, c4_stats, c4_stats_sql, gopher_stats, gopher_stats_sql)
@@ -169,3 +170,39 @@ def test_c4_sql_twin_matches_spark(spark):
            .sort_values("doc_id").reset_index(drop=True))
     for c in sdf.columns:
         assert list(sdf[c]) == list(odf[c].astype(sdf[c].dtype)), c
+
+
+def test_c4_and_gopher_crlf_pages_match_unix_and_sql_twin(spark):
+    """CRLF pages must clean identically to their \\n twins AND match the
+    DuckDB twin bit-for-bit (r5 review: Java's non-multiline $ matches
+    before a trailing \\r while RE2's does not — lines are now split on
+    \\r?\\n in both engines, so the terminal-punctuation and ellipsis
+    rules see \\r-free lines)."""
+    unix = ("This is a fine first sentence with words.\n"
+            "short.\n"
+            "Another line with plenty of words to keep here.\n"
+            "And one more full sentence to close it out now.")
+    pages = [(0, unix), (1, unix.replace("\n", "\r\n"))]
+
+    sdf = (spark.createDataFrame(pages, "doc_id long, text string")
+           .select("doc_id", *c4_stats("text"), *gopher_stats("text"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    # CRLF page == unix page on every metric incl. the cleaned text
+    for c in sdf.columns:
+        if c == "doc_id":
+            continue
+        a, b = sdf[c].iloc[0], sdf[c].iloc[1]
+        assert (a == b) or (pd.isna(a) and pd.isna(b)), (c, a, b)
+    assert sdf["n_kept"].iloc[0] == 3          # the 'short.' line drops
+    assert "\r" not in sdf["cleaned"].iloc[1]  # output normalized to \n
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", pages)
+    cols = ",\n".join(c4_stats_sql("text") + gopher_stats_sql("text"))
+    odf = (con.execute(f"SELECT doc_id, {cols} FROM pages").df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in sdf.columns:
+        g, w = sdf[c], odf[c].astype(sdf[c].dtype)
+        eq = (g == w) | (g.isna() & w.isna())
+        assert bool(eq.all()), (c, list(g), list(w))

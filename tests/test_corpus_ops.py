@@ -16,7 +16,7 @@ QUERY = ["the", "data", "quality", "model"]
 
 _BM25_SQL = """
 WITH base AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
   FROM documents
 ),
 stats AS (
@@ -133,7 +133,7 @@ _LM_SQL = """
 WITH big AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
   FROM (SELECT doc_id,
-               string_split_regex(lower(trim(text)), '\\s+') AS t
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
         FROM documents),
        LATERAL (SELECT unnest(range(1, len(t))) AS i)
 ),
@@ -441,7 +441,7 @@ def _dsir_sql(k: int | None = None) -> str:
     base = """
 WITH base AS (
   SELECT doc_id, lang,
-         string_split_regex(lower(trim(text)), '\\s+') AS t
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
   FROM documents
 ), featarr AS (
   SELECT doc_id, lang,
@@ -529,9 +529,11 @@ def _ref_tfidf(texts: dict[int, str], dim: int, salt: str = "tfidf-v1"):
     import numpy as np
 
     def buckets(text):
-        # re.split mirrors Spark's split(trim(lower(text)), '\s+'): an
-        # empty text yields the single empty token, not an empty list
-        toks = re.split(r"\s+", text.strip().lower())
+        # mirrors corpus._words: whitespace split with boundary empties
+        # removed (r5 — an empty/whitespace-only text yields NO features
+        # and therefore a zero vector)
+        toks = [x for x in re.split(r"\s+", text.strip().lower())
+                if x != ""]
         grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         return [int(hashlib.md5(f"{g}|{salt}".encode()).hexdigest()[:8], 16)
                 % dim for g in grams]

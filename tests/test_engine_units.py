@@ -532,15 +532,17 @@ def test_rolling_fingerprint_udf_matches_fold_and_expression(spark):
             .collect()}
 
     def fold(t):
+        if t is None:
+            return None  # NULL → NULL in all three forms (r5 review fix:
+            # the UDF used to map NULL to 0, colliding with empty docs)
         h = 0
-        for ch in (t or ""):
+        for ch in t:
             h = (h * 31 + ord(ch)) % 1_000_000_007
         return h
 
     for i, t in rows:
-        assert got[i] == fold(t)
-        if t is not None:  # expression form follows SQL null semantics
-            assert expr[i] == fold(t)
+        assert got[i] == fold(t), (i, t)
+        assert expr[i] == fold(t), (i, t)
 
 
 def test_event_loader_requires_utc_session(spark):
