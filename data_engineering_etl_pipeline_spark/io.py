@@ -79,17 +79,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "true")
     try:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+    return df
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an events frame's ``ts`` to session-zoned TIMESTAMP,
+    whatever the parquet physical type delivered (nanos-as-long → micros
+    truncation, ntz → cast). ONE implementation shared by the batch loader
+    and the streaming source (r5 review finding: the copy in
+    streaming.stream_events could silently diverge from the batch oracle's
+    normalization)."""
+    ts_type = dict(df.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        df = df.withColumn(ts_col,
+                           F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 
@@ -144,6 +156,21 @@ def write_training_shards(df: DataFrame, path: str, shard_col: str = "shard",
     return manifest
 
 
+_PARTITION_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {
+    chr(c) for c in range(0x20)} | {chr(0x7F)}
+
+
+def _escape_partition_value(value: str) -> str:
+    """Spark's ``escapePathName`` for partition directory names: characters
+    outside the safe set become ``%XX``. Without this, an existence probe
+    for e.g. a timestamp value ('2024-01-02 00:00:00') checks the unescaped
+    path while the writer created 'snapshot_date=2024-01-02 00%3A00%3A00' —
+    the probe always misses and the idempotent sink rewrites every run
+    (r5 review finding)."""
+    return "".join(f"%{ord(ch):02X}" if ch in _PARTITION_ESCAPE_CHARS else ch
+                   for ch in value)
+
+
 def snapshot_exists(spark: SparkSession, root: str, date_str: str,
                     partition_col: str = "snapshot_date") -> bool:
     """S10 idempotency probe: is today's partition already materialized?
@@ -151,10 +178,12 @@ def snapshot_exists(spark: SparkSession, root: str, date_str: str,
     Mirrors the reference's existence check before writing the daily
     derivatives snapshot (reference: derivatives_snapshot_etl.py:48-56), but
     as a partition-directory check so it works on any Hadoop filesystem.
+    The partition value is escaped exactly as Spark's writer escapes it.
     """
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
-    path = jvm.org.apache.hadoop.fs.Path(f"{root}/{partition_col}={date_str}")
+    escaped = _escape_partition_value(date_str)
+    path = jvm.org.apache.hadoop.fs.Path(f"{root}/{partition_col}={escaped}")
     fs = path.getFileSystem(jsc.hadoopConfiguration())
     return bool(fs.exists(path))
 
@@ -176,8 +205,17 @@ def write_daily_snapshot(df: DataFrame, root: str, date_col: str = "snapshot_dat
         if not missing:
             return False
         df = df.filter(F.col(date_col).cast("string").isin(missing))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(date_col).parquet(root)
+    # save/restore: leaking dynamic mode session-wide would silently turn
+    # every LATER partitioned mode='overwrite' write into a partial
+    # overwrite that leaves stale partitions on disk (r5 review finding;
+    # same conf hygiene as load_table's nanosAsLong handling)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(date_col).parquet(root)
+    finally:
+        spark.conf.set(key, prev) if prev else spark.conf.unset(key)
     return True
 
 
@@ -263,6 +301,15 @@ class TwoTierCache:
         elif isinstance(data, Mapping):
             import json
 
+            # A type-switching set must not leave a stale shadow: drop the
+            # session-tier entry AND any parquet of the same name — get()
+            # probes parquet before json, so an old DataFrame value would
+            # otherwise keep winning (r5 review finding: 'get returns what
+            # was last set' is the write-through contract).
+            self.invalidate(name)
+            pq_fs, pq_jpath = _hadoop_fs(self.spark, pq_path)
+            if pq_fs.exists(pq_jpath):
+                pq_fs.delete(pq_jpath, True)
             fs, jpath = _hadoop_fs(self.spark, js_path)
             out = fs.create(jpath, True)
             try:

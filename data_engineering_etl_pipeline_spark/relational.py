@@ -44,7 +44,14 @@ def map_join(df: DataFrame, dim: DataFrame, key: str, value_col: str,
              out_col: str, default_col: str | None = None) -> DataFrame:
     """J5 as a broadcast join: left-join a small dim ``(key, value_col)`` and
     coalesce with a fallback column — the distributed form of
-    ``col.map(d).fillna(col)``."""
+    ``col.map(d).fillna(col)``.
+
+    PRECONDITION: ``dim`` keys must be unique (a dict's keys are by
+    construction — callers build dims from mapping literals via
+    ``records_to_df``). A duplicate-keyed dim would fan out fact rows,
+    which a dict lookup can never do; this function does not pay a
+    validation job to check it (r5 review note — dedupe upstream if the
+    dim comes from an appendable source)."""
     dim = F.broadcast(dim.select(F.col(key), F.col(value_col).alias("__mapped")))
     out = df.join(dim, on=key, how="left")
     fallback = F.col(default_col) if default_col else F.lit(None)

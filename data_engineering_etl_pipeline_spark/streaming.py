@@ -82,12 +82,14 @@ def stream_events(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stage)
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    # shared normalization with io.load_table — batch is the streaming
+    # oracle, so the two must use literally the same code. (The nanosAsLong
+    # conf set above is deliberately NOT restored here, unlike the batch
+    # loader: a streaming source resolves the physical type per micro-batch
+    # for the life of the query, so an early restore would break it.)
+    from .io import normalize_event_ts
+
+    return normalize_event_ts(df)
 
 
 def windowed_agg(df: DataFrame, ts_col: str, window_len: str,
@@ -130,13 +132,21 @@ def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
     shape that survives an unbounded stream. Dedup by content: pass
     ``fingerprint_col`` naming an expression-derived column (e.g.
     ``xxhash64(text)``) so the state store carries 8-byte keys, never
-    document bodies. On a batch frame this degrades to plain
-    ``dropDuplicates`` (same keys), so batch output is the streaming
-    oracle for replay-free inputs.
+    document bodies. On a batch frame this degrades to a DETERMINISTIC
+    keep-first: the earliest-``ts_col`` row per key (row_number, ties by
+    the remaining columns) — plain ``dropDuplicates`` keeps an ARBITRARY
+    row, which is no oracle at all when re-delivered duplicates carry
+    differing non-key columns (r5 review finding); the streaming path
+    keeps the first ARRIVAL, and event-time order is the faithful batch
+    analog of arrival order for a replayed log.
     """
     keys = list(key_cols) + ([fingerprint_col] if fingerprint_col else [])
     if not df.isStreaming:
-        return df.dropDuplicates(keys)
+        order = [F.col(ts_col).asc()] + [
+            F.col(c).asc() for c in df.columns if c != ts_col and c not in keys]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
     return (df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
 

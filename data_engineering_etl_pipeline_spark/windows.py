@@ -39,9 +39,13 @@ def w_cross(date_cols: Sequence[str] | str) -> WindowSpec:
 
 def pct_change(col: str, periods: int, w: WindowSpec) -> Column:
     """W3 positional percent change over k rows (reference:
-    feature_calculation_functions.py:30-34; k ∈ {1,3,7,14,30})."""
+    feature_calculation_functions.py:30-34; k ∈ {1,3,7,14,30}).
+    ``try_divide``: a zero previous value yields NULL instead of raising
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode (r5 review finding —
+    the pandas reference yields inf, which the reference then nulls via
+    its replace-inf convention, so NULL is the faithful port)."""
     prev = F.lag(F.col(col), periods).over(w)
-    return F.col(col) / prev - 1
+    return F.try_divide(F.col(col), prev) - 1
 
 
 def rolling_mean(col: str, n: int, w: WindowSpec, min_periods: int | None = None) -> Column:
@@ -73,8 +77,11 @@ def rolling_zscore(col: str, n: int, w: WindowSpec) -> Column:
 
 def dominance_share(col: str, w: WindowSpec) -> Column:
     """W8 share of per-date total (reference:
-    feature_calculation_functions.py:123-124): ``x / sum(x) over (date)``."""
-    return F.col(col) / F.sum(F.col(col)).over(w)
+    feature_calculation_functions.py:123-124): ``x / sum(x) over (date)``.
+    ``try_divide``: an all-zero date yields NULL shares instead of raising
+    under ANSI mode (r5 review finding; same inf→null convention as
+    pct_change)."""
+    return F.try_divide(F.col(col), F.sum(F.col(col)).over(w))
 
 
 def rank_desc(col: str, w_keys: Sequence[str] | str, method: str = "first",
@@ -123,12 +130,16 @@ def long_short_factor(df: DataFrame, date_col: str, score_col: str, ret_col: str
     """A10 daily long-short (HML-style) factor.
 
     Per date: mean ``ret_col`` of the top ``frac`` by ``score_col`` minus the
-    bottom ``frac``; dates with < ``min_group`` rows yield null (reference:
-    test_data_integrity.py:117-123). Implemented as percent_rank + two
-    conditional averages — one shuffle, no per-group Python.
+    bottom ``frac``; dates with < ``min_group`` scored rows yield null
+    (reference: test_data_integrity.py:117-123). Implemented as
+    percent_rank + two conditional averages — one shuffle, no per-group
+    Python. NULL-score rows are dropped before ranking (r5 review
+    finding): Spark's ascending sort puts nulls FIRST, which would seat
+    them in the bottom bucket and push real low scores out — while the
+    pandas reference's nsmallest/nlargest excludes NaN entirely.
     """
     pr = percent_rank_asc(score_col, date_col)
-    tagged = df.withColumn("__pr", pr)
+    tagged = df.filter(F.col(score_col).isNotNull()).withColumn("__pr", pr)
     return (
         tagged.groupBy(date_col)
         .agg(

@@ -86,3 +86,20 @@ def test_no_promote_mode_stays_lazy(spark):
         got = cache.get("t")
         assert got.storageLevel == StorageLevel.NONE
         assert got.count() == 3
+
+
+def test_cache_type_switching_set_honors_last_write(spark, tmp_path):
+    """set(name, df) then set(name, dict): get must return the dict — the
+    session tier is invalidated and the stale parquet shadow deleted
+    (get probes parquet before json; r5 review finding)."""
+    from data_engineering_etl_pipeline_spark.io import TwoTierCache
+
+    cache = TwoTierCache(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    cache.set("thing", df)
+    assert cache.get("thing").count() == 1
+    cache.set("thing", {"mode": "json-now"})
+    assert cache.get("thing") == {"mode": "json-now"}
+    # a fresh instance (no session tier) agrees — the parquet is gone
+    assert TwoTierCache(spark, str(tmp_path / "lake")).get("thing") == {
+        "mode": "json-now"}

@@ -635,3 +635,33 @@ def test_write_training_shards_manifest_and_layout(spark, tmp_path):
     assert m2[1] == (31, want[1][1] + 6)
     assert m2[2] == want[2]
     assert spark.read.parquet(out + "_manifest").count() == 3
+
+
+def test_daily_snapshot_restores_partition_overwrite_mode(spark, tmp_path):
+    """write_daily_snapshot must not leak partitionOverwriteMode=dynamic
+    into the session: a later full partitioned overwrite would silently
+    keep stale partitions (r5 review finding)."""
+    from data_engineering_etl_pipeline_spark.io import write_daily_snapshot
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    df = spark.createDataFrame([("2024-02-01", 1.0)],
+                               "snapshot_date string, v double")
+    assert write_daily_snapshot(df, str(tmp_path / "snap")) is True
+    assert spark.conf.get(key, None) == before
+
+
+def test_snapshot_exists_escapes_partition_values(spark, tmp_path):
+    """Partition values with characters Spark escapes in directory names
+    (e.g. ':' in a timestamp) must still be found by the idempotency
+    probe — otherwise every rerun rewrites (r5 review finding)."""
+    from data_engineering_etl_pipeline_spark.io import (snapshot_exists,
+                                                       write_daily_snapshot)
+
+    root = str(tmp_path / "snap2")
+    df = spark.createDataFrame([("2024-02-01 00:00:00", 1.0)],
+                               "snapshot_date string, v double")
+    assert write_daily_snapshot(df, root) is True
+    assert snapshot_exists(spark, root, "2024-02-01 00:00:00")
+    # and the sink's own rerun check now no-ops
+    assert write_daily_snapshot(df, root) is False
