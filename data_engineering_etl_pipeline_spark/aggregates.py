@@ -108,11 +108,14 @@ def violation_loss(df: DataFrame, violation: Column) -> DataFrame:
     """A6 boolean-sum + loss fraction (reference: data_quality_gate.py:57,101-106)
     as a single-pass aggregate: total rows, violating rows, loss percent.
     NULL predicate values (null inputs to a comparison) count as
-    non-violations — pandas parity, where NaN comparisons are False."""
+    non-violations — pandas parity, where NaN comparisons are False.
+    Empty input yields loss_pct 0.0 (coalesced), the same decision
+    apply_gate makes — not NULL."""
     violation = F.coalesce(violation, F.lit(False))
+    bad = F.coalesce(F.sum(violation.cast("long")), F.lit(0))
+    loss = F.coalesce(F.try_divide(100.0 * bad, F.count(F.lit(1))), F.lit(0.0))
     return df.agg(
         F.count(F.lit(1)).alias("total_rows"),
-        F.sum(violation.cast("long")).alias("violation_rows"),
-        F.round(100.0 * F.sum(violation.cast("long")) / F.count(F.lit(1)), 6)
-         .alias("loss_pct"),
+        bad.alias("violation_rows"),
+        F.round(loss, 6).alias("loss_pct"),
     )

@@ -374,8 +374,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # Scale-safe: the DF cap has already removed hot shingles BEFORE this
     # exchange, so per-task postings stay bounded (the r3-rejected design
     # co-located UNCAPPED postings; this one does not).
-    n_parts = int(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"))
+    from ..session import shuffle_partitions
+    n_parts = shuffle_partitions(docs.sparkSession)
     part = index.repartition(n_parts, "shingle")
     a = part.select(F.col(id_col).alias("id_a"), "shingle")
     b = part.select(F.col(id_col).alias("id_b"), "shingle")
@@ -757,8 +757,8 @@ def duplicate_window_spans(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("whash", F.md5(F.concat_ws(
             " ", F.slice(F.col("__toks"), F.col("start"), w))))
         .drop("__toks"))
-    n_parts = int(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"))
+    from ..session import shuffle_partitions
+    n_parts = shuffle_partitions(docs.sparkSession)
     wins_part = wins.repartition(n_parts, "whash")
     dup_hashes = (wins_part.groupBy("whash")
                   .agg(F.count(F.lit(1)).alias("__c"))

@@ -114,23 +114,19 @@ def decode_image(blob: bytes) -> tuple[int, int, float]:
     return w, h, float(int(px.sum(dtype=np.int64))) / px.size
 
 
-def decode_audio(blob: bytes) -> tuple[int, float]:
-    """Decode one raw u8 PCM payload → (n_samples, mean_sample)."""
+def decode_audio(blob: bytes) -> tuple[int, float | None]:
+    """Decode one raw u8 PCM payload → (n_samples, mean_sample); an empty
+    payload yields (0, None) instead of dividing by zero."""
     s = np.frombuffer(bytes(blob), dtype=np.uint8)
+    if not s.size:
+        return 0, None
     return s.size, float(int(s.sum(dtype=np.int64))) / s.size
 
 
-def decode_video(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode one Y4M (YUV4MPEG2) payload → (width, height, frames) with
-    ``frames`` a uint8 array of shape (n_frames, 3·w·h).
-
-    Real parse for the uncompressed Y4M container (text header with
-    W/H/C tags, then ``FRAME``-delimited raw planes); compressed video
-    (MP4/H.264/VP9) needs ffmpeg — not in this container — so any other
-    magic raises the honest NotImplementedError seam, same contract as
-    ``decode_image``. Only the C444 colorspace (full-resolution planes) is
-    parsed; subsampled layouts extend the plane-size arithmetic.
-    """
+def _y4m_header(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a Y4M container's header → (w, h, frame_size, payload_bytes).
+    Shared by the full decode and the frame sampler. Raises the honest
+    NotImplementedError seam for non-Y4M magic / unsupported colorspaces."""
     b = bytes(blob)
     if not b.startswith(b"YUV4MPEG2"):
         raise NotImplementedError(
@@ -151,19 +147,42 @@ def decode_video(blob: bytes) -> tuple[int, int, np.ndarray]:
     if colorspace != "C444":
         raise NotImplementedError(
             f"Y4M colorspace {colorspace} not supported (C444 only)")
-    frame_size = 3 * w * h
-    frames = []
+    return w, h, 3 * w * h, rest
+
+
+def _y4m_frame_offsets(rest: bytes, frame_size: int):
+    """Yield (frame_idx, payload_start) for each FRAME marker — an index
+    walk only, no pixel bytes materialized."""
     pos = 0
+    f = 0
     while pos < len(rest):
         nl = rest.index(b"\n", pos)
         if rest[pos:pos + 5] != b"FRAME":
             raise ValueError("Y4M frame marker missing")
         start = nl + 1
+        yield f, start
+        pos = start + frame_size
+        f += 1
+
+
+def decode_video(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode one Y4M (YUV4MPEG2) payload → (width, height, frames) with
+    ``frames`` a uint8 array of shape (n_frames, 3·w·h).
+
+    Real parse for the uncompressed Y4M container (text header with
+    W/H/C tags, then ``FRAME``-delimited raw planes); compressed video
+    (MP4/H.264/VP9) needs ffmpeg — not in this container — so any other
+    magic raises the honest NotImplementedError seam, same contract as
+    ``decode_image``. Only the C444 colorspace (full-resolution planes) is
+    parsed; subsampled layouts extend the plane-size arithmetic.
+    """
+    w, h, frame_size, rest = _y4m_header(blob)
+    frames = []
+    for _, start in _y4m_frame_offsets(rest, frame_size):
         px = np.frombuffer(rest[start:start + frame_size], dtype=np.uint8)
         if px.size != frame_size:
             raise ValueError(f"Y4M frame payload {px.size} != {frame_size}")
         frames.append(px)
-        pos = start + frame_size
     return w, h, np.stack(frames) if frames else np.empty((0, frame_size),
                                                           dtype=np.uint8)
 
@@ -186,16 +205,28 @@ def extract_features(media: DataFrame) -> DataFrame:
             for kind, blob in zip(pdf["kind"], pdf["content"]):
                 w = h = ns = mv = None
                 ok = True
-                if kind == "image":
-                    w, h, mv = decode_image(blob)
-                elif kind == "audio":
-                    ns, mv = decode_audio(blob)
-                elif kind == "video":
-                    w, h, frames = decode_video(blob)
-                    ns = int(frames.size)
-                    mv = (float(int(frames.sum(dtype=np.int64))) / frames.size
-                          if frames.size else None)
-                else:
+                # Per-row robustness (r5 review finding): one corrupt blob
+                # must flag ITS row (decode_ok=False, NULL metrics), not
+                # kill the whole stage after task retries — that is what
+                # the decode_ok column is FOR. NotImplementedError is NOT
+                # caught: the unsupported-codec seam is a documented
+                # boundary the caller must route around, not bad data.
+                try:
+                    if kind == "image":
+                        w, h, mv = decode_image(blob)
+                    elif kind == "audio":
+                        ns, mv = decode_audio(blob)
+                    elif kind == "video":
+                        w, h, frames = decode_video(blob)
+                        ns = int(frames.size)
+                        mv = (float(int(frames.sum(dtype=np.int64)))
+                              / frames.size if frames.size else None)
+                    else:
+                        ok = False
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    w = h = ns = mv = None
                     ok = False
                 out["width"].append(w)
                 out["height"].append(h)
@@ -233,9 +264,13 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     One ``mapInPandas`` pass over the video rows only (the kind filter
     prunes image/audio blobs before any Python); each task holds one Arrow
     batch of blobs and emits bounded fan-out (⌈n_frames/every_n⌉ rows per
-    video). A real ffmpeg sampler replaces ``decode_video`` here; the
-    Spark-side shape — filter → mapInPandas → explode-like output — is the
-    production one."""
+    video). Sampled frames are SLICED at their container offsets — an
+    index walk over the FRAME markers plus one ``frombuffer`` per sampled
+    frame — so the (every_n−1)/every_n unsampled frames are never
+    materialized (r5 review finding: the old full decode-then-discard held
+    every frame in memory). A real ffmpeg seek-based sampler replaces this
+    here; the Spark-side shape — filter → mapInPandas → explode-like
+    output — is the production one."""
     videos = media.filter(F.col("kind") == "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -244,13 +279,19 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             idxs: list[int] = []
             means: list[float] = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                _, _, frames = decode_video(blob)
-                for f in range(0, frames.shape[0], every_n):
+                _, _, frame_size, rest = _y4m_header(blob)
+                for f, start in _y4m_frame_offsets(rest, frame_size):
+                    if f % every_n:
+                        continue
+                    px = np.frombuffer(rest[start:start + frame_size],
+                                       dtype=np.uint8)
+                    if px.size != frame_size:
+                        raise ValueError(
+                            f"Y4M frame payload {px.size} != {frame_size}")
                     ids.append(mid)
                     idxs.append(f)
                     means.append(
-                        float(int(frames[f].sum(dtype=np.int64)))
-                        / frames[f].size)
+                        float(int(px.sum(dtype=np.int64))) / px.size)
             yield pd.DataFrame({
                 "media_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int32"),

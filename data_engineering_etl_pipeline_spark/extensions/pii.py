@@ -10,11 +10,15 @@ zero shuffle, zero Python — so it streams through a 100 TB scan at scan
 speed. The patterns are deliberately RE2-compatible (no backreferences, no
 lookarounds) so a DuckDB twin verifies counts AND masked text bit-for-bit.
 
-Pattern ordering matters: masking runs in the declared order and each
-placeholder (``<EMAIL>`` etc.) can never create a later match. IPv4 is
-masked before phone so dotted octets are never half-eaten by the phone
-pattern; both engines apply the identical order, so the output is
-engine-portable by construction.
+Pattern ordering matters: masking runs in the declared order (IPv4 before
+phone so dotted octets are never half-eaten by the phone pattern), and
+both engines apply the identical order, so the output is engine-portable
+by construction. One honest caveat (r5 review): a placeholder's boundary
+characters CAN occasionally mint a later match that the raw text lacked —
+e.g. ``foo@bar.com123-45-6789`` masks to ``<EMAIL><SSN>`` because ``>``
+creates the word boundary the SSN pattern needed, while ``pii_counts`` on
+the raw text reports ``n_ssn=0``. Counts describe the RAW text; the mask
+is (deliberately) the greedier side — both engines agree on both.
 """
 
 from __future__ import annotations
@@ -22,13 +26,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# (name, regex, placeholder) — masking applies in THIS order.
+# (name, regex, placeholder) — masking applies in THIS order. All patterns
+# RE2-safe (no backreferences/lookarounds). Card covers separated AND
+# contiguous 16-digit PANs; phone covers dashed/dotted, spaced, and
+# (area)-parenthesized forms (r5 review finding: the contiguous PAN — the
+# most common dump form — previously passed through unmasked).
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b|\b\d{16}\b", "<CARD>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("phone",
+     r"\(\d{3}\)[ -]?\d{3}[-. ]\d{4}|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+     "<PHONE>"),
 ]
 
 

@@ -71,14 +71,12 @@ def apply_gate(df: DataFrame,
 def gate_report(df: DataFrame, violation: Column,
                 max_loss_pct: float = DEFAULT_MAX_LOSS_PCT) -> DataFrame:
     """Single-row gate summary (total/violations/loss%/would-trip) as a
-    DataFrame — the queryable form of the breaker decision. NULL predicate
-    values count as non-violations (same normalization as apply_gate)."""
-    violation = F.coalesce(violation, F.lit(False))
-    return df.agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.sum(violation.cast("long")).alias("violation_rows"),
-        F.round(100.0 * F.sum(violation.cast("long")) / F.count(F.lit(1)), 6)
-         .alias("loss_pct"),
-        (100.0 * F.sum(violation.cast("long")) / F.count(F.lit(1)) > max_loss_pct)
-        .alias("breaker_tripped"),
-    )
+    DataFrame — the queryable form of the breaker decision, built ON TOP of
+    ``aggregates.violation_loss`` rather than re-implementing its trio (r5
+    review finding: two verbatim copies had to receive the NULL-predicate
+    fix twice). Empty input reports loss 0.0 / tripped false, agreeing with
+    apply_gate's decision."""
+    from .aggregates import violation_loss
+
+    return violation_loss(df, violation).withColumn(
+        "breaker_tripped", F.col("loss_pct") > max_loss_pct)

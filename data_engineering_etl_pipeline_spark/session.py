@@ -51,3 +51,18 @@ def get_spark(app_name: str = "data_engineering_etl_pipeline_spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the 'auto'
+    value AQE-managed platforms set (r5 review finding: ``int('auto')``
+    crashed at plan-build time) — falls back to the cluster's default
+    parallelism, then ``default``."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", str(default))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return default

@@ -151,7 +151,11 @@ def fetch_history_distributed(spark: SparkSession, coins: Sequence[str],
 
     chunks = chunk_table(spark, coins, start_day, n_days, chunk_days)
     n_parts = parallelism or max(1, min(64, len(coins)))
-    chunks = chunks.repartition(n_parts, "coin_id")
+    # partition on the FULL (coin, chunk) key: keying on coin_id alone
+    # collapses a one-coin/long-history fetch into one serial task — the
+    # unit of parallelism is the API page/chunk, not the coin (r5 review
+    # finding)
+    chunks = chunks.repartition(n_parts, "coin_id", "from_day")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -168,7 +172,12 @@ def with_retry(fetcher: Callable, retries: int = 3, backoff_s: float = 65.0,
                sleeper: Callable[[float], None] = time.sleep) -> Callable:
     """S11 retry/backoff wrapper (reference: universe_generation_pipeline.py:
     53-76 — 3 retries, 65 s sleep on HTTP 429). Driver/executor-side connector
-    concern, engine-agnostic; ``sleeper`` injectable for tests."""
+    concern, engine-agnostic; ``sleeper`` injectable for tests.
+    ``retries`` counts TOTAL attempts and must be >= 1 — retries=0 would
+    otherwise run zero attempts and raise a bare TypeError from ``raise
+    None`` (r5 review finding)."""
+    if retries < 1:
+        raise ValueError("with_retry: retries counts total attempts, need >= 1")
     limited = is_rate_limited or (lambda e: "429" in str(e))
 
     def wrapped(*args, **kwargs):

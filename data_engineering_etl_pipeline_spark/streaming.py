@@ -350,9 +350,10 @@ def streaming_macd(df: DataFrame, entity_col: str, ts_col: str,
         pdf["macd_signal"] = signal
         yield pdf[[entity_col, ts_col, close_col, "macd", "macd_signal"]]
 
-    n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    from .session import shuffle_partitions
+    n_parts = shuffle_partitions(df.sparkSession)
     return (df.select(entity_col, ts_col, close_col)
-            .repartition(int(n_parts), entity_col)
+            .repartition(n_parts, entity_col)
             .mapInPandas(run_partition, out_schema))
 
 

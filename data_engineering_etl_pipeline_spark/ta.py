@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 
 
 def _wilder_ema(s: pd.Series, n: int) -> pd.Series:
-    """Wilder smoothing = EMA with alpha=1/n, seeded by the first-n SMA."""
+    """Wilder-alpha smoothing: EMA with alpha=1/n via pandas
+    ``ewm(adjust=False)``, which seeds from the FIRST VALUE — NOT the
+    first-n SMA seed that Wilder's book / TA-Lib use (r5 review: the old
+    docstring claimed SMA seeding). The two recurrences converge
+    exponentially (identical steady state; values differ most in the bars
+    right after warm-up). The ewm form is this repo's pinned convention:
+    the DuckDB recursive-CTE oracle, the streaming-state MACD twin, and
+    the per-asset reference fold all implement exactly it, so every check
+    is internally consistent — swap in an SMA seed here only together
+    with all three twins if TA-Lib bit-parity is ever required."""
     return s.ewm(alpha=1.0 / n, min_periods=n, adjust=False).mean()
 
 
@@ -158,21 +167,30 @@ def ta_features(df: DataFrame, entity_col: str, order_cols: list[str],
         # form made `spark.sql.execution.arrow.maxRecordsPerBatch` a no-op
         # and spilled on hot entities). A single entity bigger than memory
         # is the inherent floor of sequential per-entity recurrences.
-        buf = None
+        # The carry is a LIST of chunks, concatenated once at flush time:
+        # re-concatenating a growing buffer every batch copies O(k²) bytes
+        # for an entity spanning k batches — the exact skew case this
+        # chunker exists for (r5 review finding). _ta_partition groups by
+        # entity internally, so a flush containing the tail entity's
+        # earlier chunks plus new complete entities is still correct.
+        bufs: list[pd.DataFrame] = []
         for pdf in batches:
-            if buf is not None:
-                pdf = pd.concat([buf, pdf], ignore_index=True)
             tail_mask = pdf[entity_col] == pdf[entity_col].iloc[-1]
             head = pdf[~tail_mask]
-            buf = pdf[tail_mask]
             if len(head):
-                yield _ta_partition(head, entity_col, list(order_cols),
+                full = (pd.concat(bufs + [head], ignore_index=True)
+                        if bufs else head)
+                bufs = []
+                yield _ta_partition(full, entity_col, list(order_cols),
                                     close, high, low)[out_cols]
-        if buf is not None and len(buf):
-            yield _ta_partition(buf, entity_col, list(order_cols),
+            bufs.append(pdf[tail_mask])
+        if bufs:
+            yield _ta_partition(pd.concat(bufs, ignore_index=True),
+                                entity_col, list(order_cols),
                                 close, high, low)[out_cols]
 
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    from .session import shuffle_partitions
+    n_parts = shuffle_partitions(df.sparkSession)
     # The entity/order sort runs in Spark's (spillable) sorter, not pandas:
     # the kernel's own sort_values would materialize the whole partition —
     # the memory profile this chunked form exists to avoid.

@@ -665,3 +665,33 @@ def test_snapshot_exists_escapes_partition_values(spark, tmp_path):
     assert snapshot_exists(spark, root, "2024-02-01 00:00:00")
     # and the sink's own rerun check now no-ops
     assert write_daily_snapshot(df, root) is False
+
+
+def test_media_corrupt_blob_flags_row_not_job(spark):
+    """One corrupt blob must flag ITS row (decode_ok=False, NULL metrics)
+    instead of killing the stage — that is what decode_ok is for (r5
+    review). The unsupported-codec seam still raises: it is a documented
+    boundary, not bad data."""
+    from data_engineering_etl_pipeline_spark.extensions.multimodal import (
+        MEDIA_SCHEMA, _ppm_bytes, extract_features)
+
+    rows = [
+        (0, "image", bytearray(_ppm_bytes(0, 4, 4)), 4, 4, None, None),
+        (1, "image", bytearray(b"P6\n4 4\n255\nshort"), 4, 4, None, None),
+        (2, "audio", bytearray(b""), None, None, 16000, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert got[0]["decode_ok"] and got[0]["mean_val"] is not None
+    assert got[1]["decode_ok"] is False and got[1]["mean_val"] is None
+    # empty audio: decodes to 0 samples with NULL mean, ok stays True
+    assert got[2]["decode_ok"] and got[2]["n_samples"] == 0
+    assert got[2]["mean_val"] is None
+
+    # the codec seam still raises loudly
+    import pytest as _pytest
+
+    jpeg = [(3, "image", bytearray(b"\xff\xd8\xff rest"), 2, 2, None, None)]
+    bad = spark.createDataFrame(jpeg, schema=MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="NotImplementedError|PPM"):
+        extract_features(bad).collect()

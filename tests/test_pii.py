@@ -84,3 +84,38 @@ def test_pii_plan_is_pure_codegen(spark):
     p = _plan(out)
     assert "Python" not in p and "ArrowEval" not in p, p
     assert "Exchange" not in p, p
+
+
+def test_pii_contiguous_card_and_phone_forms(spark):
+    """r5 review recall fixes: contiguous 16-digit PANs (the most common
+    dump form), spaced phones, and (area)-parenthesized phones are counted
+    AND masked — and both engines agree via the shared pattern table."""
+    import duckdb
+
+    from data_engineering_etl_pipeline_spark.extensions.pii import (
+        pii_counts, pii_counts_sql, scrub_pii, scrub_pii_sql)
+
+    rows = [
+        (0, "pan 4111111111111111 done"),
+        (1, "call (555) 123-4567 or 555 123 4567 now"),
+        (2, "spaced card 4111 1111 1111 1111 mixed 4111-1111 1111-1111"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in df.select(
+        "id", *pii_counts("text"), scrub_pii("text").alias("s")).collect()}
+    assert got[0]["n_card"] == 1 and "<CARD>" in got[0]["s"]
+    assert "4111111111111111" not in got[0]["s"]
+    assert got[1]["n_phone"] == 2 and got[1]["s"].count("<PHONE>") == 2
+    assert got[2]["n_card"] == 2 and got[2]["s"].count("<CARD>") == 2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cols = ", ".join(pii_counts_sql("text"))
+    odf = con.execute(
+        f"SELECT id, {cols}, {scrub_pii_sql('text')} AS s FROM t").df()
+    for _, r in odf.iterrows():
+        g = got[int(r["id"])]
+        assert g["s"] == r["s"]
+        for k in ("n_email", "n_card", "n_ssn", "n_ipv4", "n_phone"):
+            assert int(g[k]) == int(r[k]), (r["id"], k)
