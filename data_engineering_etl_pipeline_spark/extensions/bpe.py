@@ -35,9 +35,10 @@ _VOCAB_ROW_BUDGET = 5_000_000
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``(word, freq)`` over the corpus — the one distributed step of BPE
     training. Map-side partial agg makes the exchange vocabulary-sized."""
+    from .text_stats import tokens
+
     return (
-        docs.select(F.explode(
-            F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     )

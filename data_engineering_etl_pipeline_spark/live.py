@@ -40,9 +40,21 @@ def live_world(spark: SparkSession, coins: Sequence[str], n_days: int = 30,
     universe member's full history canonically aggregated. Lazy end to end.
     """
     kwargs = {"fetcher": fetcher} if fetcher is not None else {}
+    # PERSIST the fetched fact: it feeds four plan branches (latest-day agg
+    # twice, the universe build, the members semi-join), and Spark does not
+    # dedupe common subtrees — uncached, one action re-invokes the fetcher
+    # ~4x (4x API traffic with a real rate-limited HTTP fetcher), and a
+    # new day arriving between re-executions could stamp the snapshot with
+    # a different day than the one that picked the universe — a torn world
+    # (r5 review finding). Same caller-release contract as
+    # ngram_jaccard_pairs; refresh_world_snapshot releases it after the
+    # write.
+    from pyspark import StorageLevel
+
     fact = canonicalize(
         fetch_history_distributed(spark, list(coins), n_days=n_days, **kwargs),
-        "coin_id", dict(canonical_map or {}), out_col="canonical_id")
+        "coin_id", dict(canonical_map or {}), out_col="canonical_id").persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     latest = fact.agg(F.max("day").alias("day"))
     today = (fact.join(F.broadcast(latest), "day")
@@ -82,4 +94,7 @@ def refresh_world_snapshot(spark: SparkSession, out_root: str,
     world = live_world(spark, coins, n_days, top_n, canonical_map, fetcher)
     write_daily_snapshot(world, out_root, date_col="snapshot_date",
                          skip_if_exists=False)
+    # the fetched fact persisted inside live_world stays cached under the
+    # repo-wide caller-release contract (unpersist/clearCache when done —
+    # a blanket clearCache here would wipe caches the caller owns)
     return world

@@ -80,7 +80,8 @@ def backfill_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(o.old_o_totalprice, 6) AS old_price,
            ROUND(n.o_totalprice, 6) AS new_price
     FROM old_v o JOIN orders n USING (o_orderkey)
-    WHERE ABS(o.old_o_totalprice - n.o_totalprice) > 1e-9
+    WHERE (o.old_o_totalprice IS NULL) <> (n.o_totalprice IS NULL)
+       OR ABS(o.old_o_totalprice - n.o_totalprice) > 1e-9
     """,
 )
 def repaint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,7 +47,14 @@ def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
         raise ValueError(
             f"salted_join supports {allowed}; {how!r} would duplicate "
             f"unmatched replicated-side rows once per salt")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    # Salt = row hash MIXED with a per-row physical id: hash alone gives
+    # every byte-identical duplicate row (the classic empty-string/NULL-id
+    # skew) the SAME salt, spreading nothing (r5 review finding). The
+    # monotonic id is nondeterministic across retries, which is safe HERE:
+    # the salt only routes rows to partitions — any value joins correctly.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns],
+                             F.monotonically_increasing_id()),
+                  F.lit(n_salts))
     big_s = big.withColumn("__salt", salt)
     small_s = skewed_small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -87,7 +94,14 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     # fails with LOCATION_ALREADY_EXISTS
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    stale = os.path.join(warehouse.removeprefix("file:"), table)
+    # normalize the identifier the way the catalog does: lower-case, and
+    # db-qualified names live under <warehouse>/<db>.db/<table> (the raw
+    # string missed both, so the stale dir survived and saveAsTable failed
+    # with the very error this guard exists to prevent — r5 review finding)
+    parts = table.lower().split(".")
+    rel = (os.path.join(f"{parts[0]}.db", parts[1]) if len(parts) == 2
+           else parts[0])
+    stale = os.path.join(warehouse.removeprefix("file:"), rel)
     if os.path.isdir(stale):
         shutil.rmtree(stale, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)

@@ -22,6 +22,16 @@ def register_star_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+#: last-registered sf_dir per Spark application — registration is
+#: memoized (ten driver-side schema reads per call otherwise) but
+#: re-runs whenever the TARGET sf_dir changes, so views never go stale
+#: across scale factors in one session (r5 review finding).
+_REGISTERED: dict[str, str] = {}
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    register_star_views(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    if _REGISTERED.get(app) != sf_dir:
+        register_star_views(spark, sf_dir)
+        _REGISTERED[app] = sf_dir
     return spark.sql(sql)

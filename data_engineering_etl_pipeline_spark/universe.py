@@ -56,19 +56,33 @@ def universe_to_json(universe: DataFrame, path: str, id_col: str,
     rows = (universe.groupBy(month_col)
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
             .collect())
-    mapping = {r[0].strftime("%Y-%m-%d"): list(r[1]) for r in rows}
+    if any(r[0] is None for r in rows):
+        # a NULL month (e.g. NULL fact dates surviving trunc) would crash
+        # strftime mid-write after truncating the output file — fail BEFORE
+        # opening it, with the actual cause (r5 review finding)
+        raise ValueError(
+            "universe_to_json: NULL month group in the universe — "
+            "filter NULL dates upstream")
+    mapping = {
+        (m.strftime("%Y-%m-%d") if hasattr(m, "strftime") else str(m)):
+        list(ids) for m, ids in ((r[0], r[1]) for r in rows)}
     with open(path, "w") as f:
         json.dump(mapping, f, indent=2, sort_keys=True)
 
 
 def universe_from_json(spark, path: str, id_col: str,
-                       month_col: str = "month") -> DataFrame:
+                       month_col: str = "month",
+                       id_type: str = "string") -> DataFrame:
     """S3 inverse: ``{month: [ids]}`` JSON → (month, id) table, the shape the
-    PIT join consumes (historical_data_etl.py:111-132)."""
+    PIT join consumes (historical_data_etl.py:111-132). ``id_type`` must
+    match the fact table\'s id column type (e.g. ``'bigint'`` for the
+    flagship o_custkey universe): the former hardcoded string schema
+    crashed on integer-id JSON and, coerced, would silently change the
+    PIT join\'s key type (r5 review finding)."""
     import json
 
     with open(path) as f:
         mapping = json.load(f)
     rows = [(m, i) for m, ids in mapping.items() for i in ids]
-    df = spark.createDataFrame(rows, f"{month_col} string, {id_col} string")
+    df = spark.createDataFrame(rows, f"{month_col} string, {id_col} {id_type}")
     return df.withColumn(month_col, F.to_date(F.col(month_col)))

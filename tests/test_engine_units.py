@@ -695,3 +695,35 @@ def test_media_corrupt_blob_flags_row_not_job(spark):
     bad = spark.createDataFrame(jpeg, schema=MEDIA_SCHEMA)
     with _pytest.raises(Exception, match="NotImplementedError|PPM"):
         extract_features(bad).collect()
+
+
+def test_repaint_check_flags_null_repaints(spark):
+    """A repaint TO or FROM NULL must surface as a violation — the naive
+    abs-diff predicate evaluated NULL and silently passed the worst kind
+    of repaint (r5 review); null↔null stays unchanged."""
+    from data_engineering_etl_pipeline_spark.audits import repaint_check
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0), (4, None)], "k long, v double")
+    new = spark.createDataFrame(
+        [(1, None), (2, 7.0), (3, 5.0), (4, None)], "k long, v double")
+    got = sorted(r["k"] for r in
+                 repaint_check(old, new, ["k"], ["v"]).collect())
+    assert got == [1, 2], got
+    with pytest.raises(ValueError, match="value_cols"):
+        repaint_check(old, new, ["k"], [])
+
+
+def test_ohlc_audit_flags_null_prices(spark):
+    """The AUDIT flavor flags rows missing any critical price (a fact row
+    with no close is itself an integrity violation); the quality GATE's
+    predicate keeps its documented null=non-violation convention."""
+    from data_engineering_etl_pipeline_spark.audits import ohlc_violations
+
+    df = spark.createDataFrame(
+        [(5.0, 4.0, 6.0),      # fine
+         (9.0, 4.0, 6.0),      # out of band
+         (None, 4.0, 6.0),     # null close -> violation
+         (5.0, None, 6.0)],    # null low -> violation
+        "close double, low double, high double")
+    assert ohlc_violations(df).count() == 3
