@@ -37,7 +37,10 @@ def customer_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey",
         F.round(pct_change("o_totalprice", 1, w), 6).alias("ret_1"),
         F.round(pct_change("o_totalprice", 3, w), 6).alias("ret_3"),
-        F.round(F.lead("o_totalprice", 1).over(w) / F.col("o_totalprice") - 1, 6)
+        # try_divide (r5 convention, like pct_change): a zero price yields
+        # NULL instead of raising under ANSI, matching DuckDB's x/0 → NULL
+        F.round(F.try_divide(F.lead("o_totalprice", 1).over(w),
+                             F.col("o_totalprice")) - 1, 6)
          .alias("fwd_ret_1"),
     )
 

@@ -106,9 +106,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 2) AS l_quantity,
            ROUND(AVG(l_extendedprice), 4) AS l_extendedprice,
            ROUND(MIN(l_discount), 4) AS l_discount,
-           MAX(CASE WHEN ord = cnt THEN l_returnflag END) AS l_returnflag,
-           MAX(CASE WHEN ord = 1 THEN l_shipdate END) AS l_shipdate
-    FROM (SELECT *, COUNT(*) OVER (PARTITION BY l_suppkey) AS cnt FROM ordkey)
+           -- skip-NULL last/first, mirroring agg_dict (r5 review: the old
+           -- positional ord=cnt/ord=1 pick would return NULL where the
+           -- engine returns the last/first NON-NULL value — latent
+           -- divergence on any future fixture with NULL cells). max_by
+           -- ignores rows whose ORDER expression is NULL, so gating the
+           -- order on the value's non-nullness implements the skip.
+           max_by(l_returnflag,
+                  CASE WHEN l_returnflag IS NOT NULL THEN ord END)
+             AS l_returnflag,
+           min_by(l_shipdate,
+                  CASE WHEN l_shipdate IS NOT NULL THEN ord END)
+             AS l_shipdate
+    FROM ordkey
     GROUP BY l_suppkey
     """,
 )

@@ -95,7 +95,10 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                             '^-?[0-9]+$')
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS null_k
     FROM events GROUP BY 1
     """,
@@ -114,12 +117,18 @@ def event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a typed field extracted from the JSON payload and aggregated in the
     same pass."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    ks = F.get_json_object("props", "$.k")
+    # regex-guarded cast (r5 review): a plain .cast('long') THROWS under
+    # Spark 4's default ANSI mode on any non-integral k (DuckDB would
+    # round it instead) — both engines now treat non-integral k as NULL in
+    # the sum, and null_k counts EXTRACTION failures (missing/invalid
+    # JSON), the oracle's semantic, not cast failures.
+    k = F.when(ks.rlike(r"^-?[0-9]+$"), ks.cast("long"))
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
         F.sum(k).alias("sum_k"),
-        F.count(F.when(k.isNull(), 1)).alias("null_k"),
+        F.count(F.when(ks.isNull(), 1)).alias("null_k"),
     )
 
 
@@ -173,10 +182,17 @@ def user_value_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-batch state continuity is pinned in tests/test_streaming.py."""
     from ..streaming import streaming_macd
 
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    uniq = (ev.groupBy("user_id", "ts").count().filter("count = 1")
-            .select("user_id", "ts"))
-    ev = ev.join(uniq, ["user_id", "ts"]).select("user_id", "ts", "value")
+    # (user, ts)-unique restriction as ONE window count over the same
+    # user_id clustering the MACD kernel needs — the old groupBy + self-
+    # join shuffled the full events table twice (r5 review finding); the
+    # oracle's own COUNT(*) OVER formulation mirrors this shape.
+    w = Window.partitionBy("user_id", "ts")
+    ev = (ev.withColumn("__c", F.count(F.lit(1)).over(w))
+          .filter(F.col("__c") == 1)
+          .select("user_id", "ts", "value"))
     out = streaming_macd(ev, "user_id", "ts", "value")
     return out.select(
         "user_id", "ts",
@@ -208,7 +224,12 @@ def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     no built-in for. Implemented as the union + sort + last(ignorenulls)
     carry-forward plan (`relational.asof_join`): ONE shuffle of |L|+|R|
     rows, no range join, no per-key pair explosion — the 100 TB shape.
-    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    Oracle: DuckDB's native ASOF LEFT JOIN. ``duplicates='resolve_max'``
+    (r5 review): two view rows sharing (user, ts) would otherwise make the
+    carried value NONDETERMINISTIC run-to-run — the fixture currently has
+    none, so this is hash-neutral, and if a regeneration introduces one,
+    our side stays deterministic (DuckDB's ASOF picks arbitrarily on dup
+    right keys — the residual cross-engine caveat lives there, not here)."""
     from ..relational import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -219,7 +240,7 @@ def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id", "ts", F.col("value").alias("last_view_value")))
     return asof_join(purchases, views, key="user_id", left_time="ts",
                      right_time="ts", value_cols=["last_view_value"],
-                     suffix="")
+                     suffix="", duplicates="resolve_max")
 
 
 @register(

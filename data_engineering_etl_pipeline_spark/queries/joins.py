@@ -33,9 +33,14 @@ from . import register
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J4/J5 multi-join chain: big fact ⋈ broadcast dims, revenue rollup.
 
-    Plan check: customer/nation/region all under the broadcast threshold →
-    three BroadcastHashJoins, one shuffle for the final agg (reference's
-    chained left-merges, pipeline_helpers.py:364-369, minus the Python)."""
+    Broadcast hints only on the CONSTANT-size dims (nation=25, region=5
+    rows at any SF). customer scales linearly with SF, so it gets NO
+    unconditional hint (r5 review: a forced broadcast would OOM past the
+    8 GB broadcast limit at real scale) — Catalyst/AQE auto-broadcasts it
+    while it fits the threshold, which it does at every test SF, so the
+    plan pin (three BroadcastHashJoins, one agg shuffle) still holds
+    (reference's chained left-merges, pipeline_helpers.py:364-369, minus
+    the Python)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -43,7 +48,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))

@@ -47,9 +47,14 @@ def market_history_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = canonicalize(fact, "coin_id", CANONICAL_MAP,
                         out_col="canonical_id")
 
-    # monthly top-N canonical ids by mean market cap (universe build, A3+W1+O3)
+    # monthly top-N canonical ids by mean market cap (universe build,
+    # A3+W1+O3). A canonical's daily cap is its MAX member listing, not the
+    # SUM: btc/btc_alt are duplicate listings of ONE asset, so summing
+    # would double-weight dual-listed coins in the ranking (r5 review) —
+    # the same max-member convention canonical_aggregate applies one stage
+    # later via priority_col.
     canon_daily = (fact.groupBy("canonical_id", "day")
-                   .agg(F.sum("market_cap").alias("mcap")))
+                   .agg(F.max("market_cap").alias("mcap")))
     universe = (monthly_top_n(canon_daily, "day", "canonical_id", "mcap",
                               n=UNIVERSE_N)
                 .select(F.col("month"),

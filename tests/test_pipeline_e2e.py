@@ -50,9 +50,10 @@ def test_pipeline_shape_and_membership(result):
 def test_pipeline_cells_match_python_oracle(result):
     world = _pandas_world()
 
-    # oracle universe: monthly top-N canonical ids by avg of daily summed mcap
+    # oracle universe: monthly top-N canonical ids by avg of daily MAX-member
+    # mcap (duplicate listings of one asset must not double-weight it — r5)
     daily = (world.groupby(["canonical_id", "day"], as_index=False)
-             .agg(mcap=("market_cap", "sum")))
+             .agg(mcap=("market_cap", "max")))
     daily["month"] = daily["day"].map(lambda d: d.replace(day=1))
     monthly = (daily.groupby(["month", "canonical_id"], as_index=False)
                .agg(agg_value=("mcap", "mean")))

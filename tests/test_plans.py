@@ -125,15 +125,34 @@ def test_monthly_top_customers_two_shuffles(spark):
 
 
 def test_asof_join_plan_is_joinless_single_shuffle(spark):
-    """The as-of join must compile to union + ONE sort-exchange + window —
-    NO join operator at all (the naive key-join-then-filter plan is
-    quadratic on hot keys; this shape is skew-immune by construction)."""
+    """The as-of join must compile to union + sort-exchange + window — NO
+    join operator at all (the naive key-join-then-filter plan is quadratic
+    on hot keys; this shape is skew-immune by construction). The registry
+    row runs duplicates='resolve_max' (r5: deterministic under duplicate
+    right keys), whose right-side dedup pre-aggregate is the ONE extra,
+    partial-aggregatable exchange beyond the library's single sort — the
+    bare duplicates='allow' library form stays single-shuffle, asserted
+    separately below."""
     p = plan_of(spark, "purchase_last_view_asof")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "BroadcastHashJoin" not in p
-    assert shuffles(p) == 1, f"asof grew extra shuffles:\n{p}"
+    assert shuffles(p) == 2, f"asof grew extra shuffles:\n{p}"
+
+    from data_engineering_etl_pipeline_spark.io import load_table
+    from data_engineering_etl_pipeline_spark.relational import asof_join
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    p2 = plan_text(asof_join(
+        ev.filter(F.col("event_type") == "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "view")
+          .select("user_id", "ts", F.col("value").alias("v")),
+        key="user_id", left_time="ts", right_time="ts",
+        value_cols=["v"], suffix=""))
+    assert shuffles(p2) == 1, f"library asof grew extra shuffles:\n{p2}"
 
 
 @pytest.mark.parametrize("name", ["doc_ngram_jaccard", "doc_minhash_lsh"])
