@@ -5,14 +5,14 @@ schema: the reference's per-asset panel features re-keyed to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..aggregates import canonical_aggregate
 from ..io import load_table
 from ..windows import (dominance_share, long_short_factor, pct_change,
-                       rolling_mean, rolling_std, rolling_zscore, w_cross,
-                       w_entity)
+                       rank_desc_average, rolling_mean, rolling_std,
+                       rolling_zscore, w_cross, w_entity)
 from . import register
 
 
@@ -100,16 +100,12 @@ def daily_share_and_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     share one sort-exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     wd = w_cross("l_shipdate")
-    wr = Window.partitionBy("l_shipdate").orderBy(
-        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
-    ties_w = Window.partitionBy("l_shipdate", "l_extendedprice")
-    return (
-        li.withColumn("__rn", F.row_number().over(wr))
-        .select(
-            F.to_date("l_shipdate").alias("d"), "l_orderkey", "l_linenumber",
-            F.round(dominance_share("l_extendedprice", wd), 6).alias("price_share"),
-            F.round(F.avg("__rn").over(ties_w), 1).alias("price_rank"),
-        )
+    ranked = rank_desc_average(li, "l_extendedprice", "l_shipdate",
+                               ["l_orderkey", "l_linenumber"])
+    return ranked.select(
+        F.to_date("l_shipdate").alias("d"), "l_orderkey", "l_linenumber",
+        F.round(dominance_share("l_extendedprice", wd), 6).alias("price_share"),
+        F.round("__rank_avg", 1).alias("price_rank"),
     )
 
 

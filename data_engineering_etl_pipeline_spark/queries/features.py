@@ -27,11 +27,12 @@ windows run on the (much smaller) per-(entity, day) panel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..windows import dominance_share, pct_change, w_cross, w_entity
+from ..windows import (dominance_share, pct_change, rank_desc_average,
+                       w_cross, w_entity)
 from . import register
 
 _FEATURE_MATRIX_SQL = """
@@ -170,17 +171,15 @@ def supplier_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     wc = w_cross("ship_date")
-    rank_w = Window.partitionBy("ship_date").orderBy(F.desc("mcap"), "suppkey")
-    # pandas rank(method='average') exactly: min-rank + (ties-1)/2 — the
-    # reference's mcap_rank_daily semantics (create_market_structure_factors
-    # :115-118), closing the W2 'average-rank deviation' note. Computed as
-    # the mean row_number within the (date, mcap) tie group — identical
-    # value (mean of consecutive integers), but the tie window's required
-    # (ship_date, mcap) clustering is a PREFIX of the row_number sort, so
-    # the whole cross family shares one sort instead of two.
-    ties_w = Window.partitionBy("ship_date", "mcap")
-    ranked = feat.withColumn("mcap_rank", F.row_number().over(rank_w))
-    mcap_rank_avg = F.avg("mcap_rank").over(ties_w)
+    # pandas rank(method='average') exactly — the reference's
+    # mcap_rank_daily semantics (create_market_structure_factors:115-118),
+    # via the shared windows.rank_desc_average helper (r5: one home for
+    # the tie-window-is-a-prefix-of-the-sort invariant); rn_out also keeps
+    # the deterministic row_number as mcap_rank.
+    ranked = rank_desc_average(feat, "mcap", "ship_date", ["suppkey"],
+                               out_col="__mcap_rank_avg",
+                               rn_out="mcap_rank")
+    mcap_rank_avg = F.col("__mcap_rank_avg")
     return ranked.select(
         "suppkey", "ship_date",
         F.round("close", 4).alias("close"),

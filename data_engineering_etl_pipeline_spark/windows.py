@@ -116,6 +116,30 @@ def top_k_per_group(df: DataFrame, keys: Sequence[str], order_col: str, k: int,
     return df.withColumn(rank_col, rn).filter(F.col(rank_col) <= k)
 
 
+def rank_desc_average(df: DataFrame, col: str, keys: Sequence[str] | str,
+                      tiebreak: Sequence[str],
+                      out_col: str = "__rank_avg",
+                      rn_out: str | None = None) -> DataFrame:
+    """W2 descending rank with EXACT pandas ``rank(method='average')``
+    semantics: min-rank + (ties−1)/2, computed as the mean ``row_number``
+    inside each (keys, col) tie group. ONE implementation for the idiom
+    (r5 review: daily_share_and_rank and supplier_feature_matrix each
+    hand-rolled it, cross-referencing each other).
+
+    The invariant this helper holds in one place: the tie window's
+    (keys, col) clustering is a PREFIX of the row_number sort
+    (keys, col desc, tiebreak), so both windows share one sort-exchange —
+    a per-window sort would double the family's exchanges."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    order_w = Window.partitionBy(*ks).orderBy(
+        F.col(col).desc(), *[F.col(c) for c in tiebreak])
+    ties_w = Window.partitionBy(*ks, col)
+    rn = rn_out or "__rda_rn"
+    out = (df.withColumn(rn, F.row_number().over(order_w))
+           .withColumn(out_col, F.avg(rn).over(ties_w)))
+    return out if rn_out else out.drop(rn)
+
+
 def percent_rank_asc(col: str, keys: Sequence[str] | str,
                      tiebreak: Sequence[str] | None = None) -> Column:
     """W13/O4 percent_rank for top-/bottom-fraction selection (reference:
