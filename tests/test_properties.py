@@ -297,3 +297,47 @@ def test_exact_dedup_two_phase_equals_text_groupby(spark, texts, weak):
     want_kept = sorted(
         int(v) for v in pdf.groupby("text", dropna=False)["doc_id"].min())
     assert kept == want_kept
+
+
+# corpora with dense duplicates and NULLs; the split index cuts the corpus
+# into 1-3 ingest batches at arbitrary points
+_incr_strategy = st.tuples(
+    st.lists(st.one_of(st.none(),
+                       st.text(alphabet="xy ", min_size=0, max_size=4)),
+             min_size=1, max_size=24),
+    st.data())
+
+
+@SET
+@given(args=_incr_strategy)
+def test_incremental_dedup_batch_split_invariant(spark, args):
+    """Ingesting a corpus in ANY batch split through
+    incremental_exact_dedup (index threaded batch to batch) must keep
+    exactly the same ids as one-shot exact_dedup_keep_first over the whole
+    corpus — the operational guarantee that re-chunking an ingest stream
+    never changes the deduped corpus. Ids ascend across batches, so
+    keep-first(min id) is split-independent."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        doc_fingerprints, exact_dedup_keep_first, incremental_exact_dedup)
+
+    texts, data = args
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # at most len(rows)-1 distinct interior cut points exist
+    n_cuts = data.draw(st.integers(0, min(2, len(rows) - 1)))
+    cuts = sorted(data.draw(st.sets(st.integers(1, max(1, len(rows) - 1)),
+                                    min_size=n_cuts, max_size=n_cuts)))
+    bounds = [0] + cuts + [len(rows)]
+    schema = "doc_id long, text string"
+
+    index = doc_fingerprints(spark.createDataFrame([], schema))
+    kept: list[int] = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        batch = spark.createDataFrame(rows[lo:hi], schema)
+        fresh, index = incremental_exact_dedup(batch, index)
+        kept.extend(r["doc_id"] for r in fresh.collect())
+
+    want = sorted(r["doc_id"] for r in exact_dedup_keep_first(
+        spark.createDataFrame(rows, schema)).collect())
+    assert sorted(kept) == want
