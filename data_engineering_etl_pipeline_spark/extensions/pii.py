@@ -36,8 +36,12 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b|\b\d{16}\b", "<CARD>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # both alternatives carry the trailing \b: without it the
+    # parenthesized branch masked the first 4 of a longer digit run —
+    # '(555) 123-45678' → '<PHONE>8', leaking a residual digit (r5
+    # advisor finding)
     ("phone",
-     r"\(\d{3}\)[ -]?\d{3}[-. ]\d{4}|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+     r"\(\d{3}\)[ -]?\d{3}[-. ]\d{4}\b|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
      "<PHONE>"),
 ]
 

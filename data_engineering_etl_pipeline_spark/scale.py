@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 
 def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
-                n_salts: int = 16, how: str = "inner") -> DataFrame:
+                n_salts: int = 16, how: str = "inner",
+                row_id_col: str | None = None) -> DataFrame:
     """Equi-join robust to a skewed ``key`` distribution on ``big``.
 
     ``big`` rows get a deterministic salt from their full row hash; the
@@ -40,6 +41,19 @@ def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
     ONLY for join types where unmatched small-side rows don't surface:
     'right'/'outer' would emit each unmatched small-side row once per salt
     replica (n_salts duplicate null-padded rows), so they are rejected.
+
+    The salt must be DETERMINISTIC across task recomputation: a
+    nondeterministic salt (e.g. one mixed with
+    ``monotonically_increasing_id``) re-routes rows on a shuffle-fetch
+    retry, and Spark only rolls back all reducers for stages explicitly
+    marked indeterminate — expression-level nondeterminism can duplicate or
+    drop rows when some reducers consumed the old map output (r5 advisor
+    finding). So the salt is ``xxhash64`` of the full row plus
+    ``spark_partition_id()`` (stable for deterministic sources like file
+    scans). Byte-identical duplicate rows WITHIN one input partition still
+    share a salt — residual skew bounded by per-partition duplicate
+    multiplicity. Callers with a stable unique id column can pass it as
+    ``row_id_col`` to spread even byte-identical payload rows perfectly.
     """
     allowed = ("inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "left_anti", "leftanti")
@@ -47,13 +61,10 @@ def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
         raise ValueError(
             f"salted_join supports {allowed}; {how!r} would duplicate "
             f"unmatched replicated-side rows once per salt")
-    # Salt = row hash MIXED with a per-row physical id: hash alone gives
-    # every byte-identical duplicate row (the classic empty-string/NULL-id
-    # skew) the SAME salt, spreading nothing (r5 review finding). The
-    # monotonic id is nondeterministic across retries, which is safe HERE:
-    # the salt only routes rows to partitions — any value joins correctly.
+    disambiguator = (F.col(row_id_col) if row_id_col is not None
+                     else F.spark_partition_id())
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns],
-                             F.monotonically_increasing_id()),
+                             disambiguator),
                   F.lit(n_salts))
     big_s = big.withColumn("__salt", salt)
     small_s = skewed_small.withColumn(

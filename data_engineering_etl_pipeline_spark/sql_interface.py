@@ -17,21 +17,45 @@ from .io import STAR_TABLES, load_table
 def register_star_views(spark: SparkSession, sf_dir: str,
                         tables=STAR_TABLES) -> None:
     """Create/replace one temp view per star table (idempotent; views are
-    lazy — no data moves until a query runs)."""
+    lazy — no data moves until a query runs). Updates the ``run_sql`` memo
+    so a direct call here cannot leave a later ``run_sql`` trusting views
+    that point at a different scale factor (r5 advisor finding)."""
     for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    # partial registration (tables ⊂ STAR_TABLES) must NOT mark the whole
+    # star fresh — only a full pass earns the memo entry
+    if set(tables) == set(STAR_TABLES):
+        _REGISTERED[id(spark)] = sf_dir
+        _SESSIONS[id(spark)] = spark
+    else:
+        _REGISTERED.pop(id(spark), None)
 
 
-#: last-registered sf_dir per Spark application — registration is
-#: memoized (ten driver-side schema reads per call otherwise) but
-#: re-runs whenever the TARGET sf_dir changes, so views never go stale
-#: across scale factors in one session (r5 review finding).
-_REGISTERED: dict[str, str] = {}
+#: last-registered sf_dir per SparkSession — registration is memoized
+#: (ten driver-side schema reads per call otherwise) but re-runs whenever
+#: the TARGET sf_dir changes, so views never go stale across scale factors
+#: in one session (r5 review finding). Keyed on the SESSION, not the
+#: applicationId: temp views are per-session state, and a sibling from
+#: ``spark.newSession()`` shares the appId but NOT the views (r5 advisor
+#: finding). WeakValueDictionary so dead sessions don't pin memo entries.
+import weakref
+
+_REGISTERED: dict[int, str] = {}
+_SESSIONS: "weakref.WeakValueDictionary[int, SparkSession]" = \
+    weakref.WeakValueDictionary()
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    if _REGISTERED.get(app) != sf_dir:
+    key = id(spark)
+    # id() can be recycled after a session is garbage-collected; the weak
+    # map proves the memo entry still describes THIS session object. A
+    # direct register_star_views() call in between can also repoint views,
+    # so verify a sentinel view actually exists before trusting the memo.
+    fresh = (_REGISTERED.get(key) == sf_dir
+             and _SESSIONS.get(key) is spark
+             and spark.catalog.tableExists("region"))
+    if not fresh:
         register_star_views(spark, sf_dir)
-        _REGISTERED[app] = sf_dir
+        _REGISTERED[key] = sf_dir
+        _SESSIONS[key] = spark
     return spark.sql(sql)

@@ -142,13 +142,33 @@ def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
     """
     keys = list(key_cols) + ([fingerprint_col] if fingerprint_col else [])
     if not df.isStreaming:
-        order = [F.col(ts_col).asc()] + [
-            F.col(c).asc() for c in df.columns if c != ts_col and c not in keys]
-        w = Window.partitionBy(*keys).orderBy(*order)
+        # Tiebreak only over ORDERABLE columns: a map (or a struct holding
+        # one) cannot appear in a sort and would fail the whole frame with
+        # AnalysisException where dropDuplicates worked (r5 advisor
+        # finding). Callers needing a stable tiebreak across such columns
+        # should derive an orderable fingerprint column.
+        tiebreak = [F.col(f.name).asc() for f in df.schema.fields
+                    if f.name != ts_col and f.name not in keys
+                    and _is_orderable(f.dataType)]
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), *tiebreak)
         return (df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1).drop("__rn"))
     return (df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def _is_orderable(dt) -> bool:
+    """True iff a column of this type may appear in ORDER BY / a window
+    sort (mirrors Catalyst's RowOrdering.isOrderable: maps are not
+    orderable, and neither is any type containing one)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def interval_join_stream(left: DataFrame, right: DataFrame, key: str,

@@ -727,3 +727,31 @@ def test_ohlc_audit_flags_null_prices(spark):
          (5.0, None, 6.0)],    # null low -> violation
         "close double, low double, high double")
     assert ohlc_violations(df).count() == 3
+
+
+def test_run_sql_survives_new_session_and_sf_switch(spark):
+    """Temp views are per-SparkSession: a sibling from spark.newSession()
+    shares the applicationId but NOT the views, so an appId-keyed memo
+    skipped registration and queries failed with TABLE_OR_VIEW_NOT_FOUND
+    (r5 advisor finding). Also: a direct register_star_views call between
+    run_sql calls must not leave run_sql trusting stale views."""
+    from data_engineering_etl_pipeline_spark.sql_interface import (
+        register_star_views, run_sql)
+    from .conftest import SF_DIR
+
+    q = "SELECT count(*) AS n FROM region"
+    n1 = run_sql(spark, SF_DIR, q).collect()[0]["n"]
+    sibling = spark.newSession()
+    try:
+        n2 = run_sql(sibling, SF_DIR, q).collect()[0]["n"]
+        assert n1 == n2 == 5
+    finally:
+        # drop the sibling's views so later suite queries never resolve
+        # against a half-configured session by accident
+        for t in ("region",):
+            sibling.catalog.dropTempView(t)
+    # direct registration against another dir updates the memo — run_sql
+    # must re-register rather than silently reuse the repointed views
+    register_star_views(spark, SF_DIR)
+    n3 = run_sql(spark, SF_DIR, q).collect()[0]["n"]
+    assert n3 == n1

@@ -119,3 +119,32 @@ def test_pii_contiguous_card_and_phone_forms(spark):
         assert g["s"] == r["s"]
         for k in ("n_email", "n_card", "n_ssn", "n_ipv4", "n_phone"):
             assert int(g[k]) == int(r[k]), (r["id"], k)
+
+
+def test_pii_phone_does_not_partial_mask_longer_digit_runs(spark):
+    """'(555) 123-45678' is NOT a phone number; without the trailing word
+    boundary the parenthesized branch masked the first 4 of the 5 trailing
+    digits, leaking '<PHONE>8' (r5 advisor finding). Both engines must
+    agree: no match, text unchanged."""
+    import duckdb
+
+    from data_engineering_etl_pipeline_spark.extensions.pii import (
+        pii_counts_sql, scrub_pii_sql)
+
+    rows = [(0, "call (555) 123-45678 now"), (1, "ok (555) 123-4567 end")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in df.select(
+        "id", *pii_counts("text"), scrub_pii("text").alias("s")).collect()}
+    assert got[0]["n_phone"] == 0 and got[0]["s"] == rows[0][1]
+    assert got[1]["n_phone"] == 1 and "<PHONE>" in got[1]["s"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t2 (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t2 VALUES (?, ?)", rows)
+    cols = ", ".join(pii_counts_sql("text"))
+    odf = con.execute(
+        f"SELECT id, {cols}, {scrub_pii_sql('text')} AS s FROM t2").df()
+    for _, r in odf.iterrows():
+        g = got[int(r["id"])]
+        assert g["s"] == r["s"]
+        assert int(g["n_phone"]) == int(r["n_phone"])

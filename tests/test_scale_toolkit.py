@@ -86,3 +86,33 @@ def test_salted_distinct_count_ignores_nulls(spark):
     plain = (df.groupBy("k").agg(F.countDistinct("v").alias("n_distinct_v")))
     salted = salted_distinct_count(df, ["k"], "v", n_salts=4)
     assert _rows(salted, ["k", "n_distinct_v"]) == _rows(plain, ["k", "n_distinct_v"])
+
+
+def test_salted_join_salt_is_deterministic(spark):
+    """The salt must not embed nondeterministic expressions: on a
+    shuffle-fetch retry a recomputed map task would re-salt rows
+    differently, and Spark only rolls back all reducers for stages
+    explicitly marked indeterminate — expression-level nondeterminism can
+    duplicate or drop rows (r5 advisor finding)."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity")
+    supp = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    salted = salted_join(li, supp, "l_suppkey", n_salts=8)
+    plan = salted._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan, plan
+    assert "rand(" not in plan, plan
+
+
+def test_salted_join_row_id_col_variant_equals_plain(spark):
+    """With a caller-supplied stable row id, even byte-identical payload
+    rows spread across salts — and the join still equals the plain one."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    supp = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    plain = li.join(supp, "l_suppkey")
+    salted = salted_join(li, supp, "l_suppkey", n_salts=8,
+                         row_id_col="l_orderkey")
+    cols = ["l_suppkey", "l_orderkey", "l_linenumber", "s_name"]
+    assert _rows(salted, cols) == _rows(plain, cols)

@@ -483,3 +483,26 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     # the persisted index carries fingerprints only, never text
     assert set(spark.read.parquet(index_dir).columns) == {
         "__fp", "__fplen", "keep_id"}
+
+
+def test_dedup_stream_batch_tolerates_unorderable_columns(spark):
+    """A map column (unorderable) must not break the batch keep-first path:
+    the tiebreak is restricted to orderable columns (r5 advisor finding).
+    The keep-first-by-ts semantics survive."""
+    import datetime as dt
+
+    from data_engineering_etl_pipeline_spark.streaming import dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("k1", t0, {"src": "a"}, 1.0),
+        ("k1", t0 + dt.timedelta(minutes=5), {"src": "b"}, 2.0),
+        ("k2", t0 + dt.timedelta(minutes=1), {"src": "c"}, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, meta map<string,string>, v double")
+    out = dedup_stream(df, ["k"], "ts")
+    got = {r["k"]: (r["ts"], r["v"]) for r in out.collect()}
+    assert got["k1"] == (t0, 1.0)
+    assert got["k2"][1] == 3.0
+    assert len(got) == 2
