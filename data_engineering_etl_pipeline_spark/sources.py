@@ -24,8 +24,9 @@ injects a ``requests``-based fetcher wrapped in ``with_retry``.
 
 from __future__ import annotations
 
+import hashlib
+import math
 import time
-import zlib
 from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,23 +48,38 @@ _EPOCH_DAY0 = 19000  # 2022-01-08, arbitrary deterministic origin
 
 
 def _u(coin: str, day: int, field: str) -> float:
-    """Deterministic uniform [0,1) from (coin, day, field) — crc32-based so
-    every process/executor agrees (Python's hash() is salted per-process)."""
-    h = zlib.crc32(f"{coin}|{day}|{field}".encode())
-    return (h & 0xFFFFFFFF) / 2**32
+    """Deterministic uniform [0,1) from (coin, day, field) — md5-based so
+    every process/executor agrees (Python's hash() is salted per-process)
+    AND a SQL engine can reproduce it exactly:
+    ``CAST('0x' || substr(md5(coin||'|'||day||'|'||field),1,8) AS UBIGINT)
+    / 4294967296.0`` is the DuckDB twin (the md5-portable convention the
+    dedup oracles already use). Division by 2^32 is exact in binary."""
+    h = int(hashlib.md5(f"{coin}|{day}|{field}".encode()).hexdigest()[:8], 16)
+    return h / 2**32
+
+
+def _q(x: float, digits: int) -> float:
+    """Quantize DOWN to ``digits`` decimals via floor — unlike ``round``,
+    floor has no engine-specific tie-breaking, so Python, Spark, and DuckDB
+    agree bit-for-bit (the magnitudes here keep x*10^digits < 2^53)."""
+    p = 10.0 ** digits
+    return math.floor(x * p) / p
 
 
 def synthetic_fetch(coin: str, start_day: int, n_days: int) -> list[tuple]:
     """The pluggable fake 'API call': one page of daily market rows for one
     coin. Deterministic in its arguments; shaped like a parsed JSON payload
-    (reference parse at pipeline_helpers.py:208-213)."""
+    (reference parse at pipeline_helpers.py:208-213). Every value is a
+    closed-form md5/floor expression, so the connector-sourced pipeline
+    queries carry full DuckDB value oracles (the fact CTE rebuilds this
+    generator arithmetically in SQL — r5 VERDICT item 5)."""
     import datetime
     out = []
     for d in range(start_day, start_day + n_days):
         base = 10.0 + 990.0 * _u(coin, 0, "base")
-        price = round(base * (0.5 + _u(coin, d, "p")), 6)
-        volume = round(1e6 * _u(coin, d, "v"), 2)
-        mcap = round(price * 1e6 * (1 + _u(coin, d, "m")), 2)
+        price = _q(base * (0.5 + _u(coin, d, "p")), 6)
+        volume = _q(1e6 * _u(coin, d, "v"), 2)
+        mcap = _q(price * 1e6 * (1 + _u(coin, d, "m")), 2)
         out.append((coin, datetime.date.fromordinal(719163 + d), price, volume, mcap))
     return out
 
