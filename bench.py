@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "doc_tfidf_near_dup",
     "embedding_topk_exact",
     "embedding_near_dup",
+    "embedding_lsh_near_dup",
     "supplier_ta_indicators",
     "supplier_feature_matrix",
     "supplier_declarative_agg",

@@ -232,11 +232,19 @@ def _exact_verify_pairs(v: DataFrame, cand: DataFrame, id_col: str,
             .select("id_a", "id_b", F.round("__c", 6).alias("cosine")))
 
 
+def hyperplanes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
+    """The seeded-Gaussian hyperplane matrix — ONE generator shared by the
+    Spark signature expression and the DuckDB oracle builder
+    (queries/vectors.py), so both engines compute sign bits from literally
+    identical plane constants."""
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def _plane_sign_bits(v, seed: int, n_planes: int, dim: int):
     """Signature long: bit i = sign(v·plane_i), planes seeded-Gaussian.
     Scalar-literal multiply-add chains — codegen'd, scale-invariant."""
-    rnd = random.Random(seed)
-    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    planes = hyperplanes(seed, n_planes, dim)
     sig = None
     for i, p in enumerate(planes):
         d = F.get(v, 0) * float(p[0])

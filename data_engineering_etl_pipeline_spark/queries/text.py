@@ -149,49 +149,41 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The xxhash64 `simhash64` (the 100 TB default — cheaper per token) has no
 # DuckDB twin, so its former rows-only registry row was retired (r2 VERDICT
-# budget curation); `doc_simhash_portable` below oracle-checks the identical
-# vote-aggregate construction end-to-end and the xxhash64 variant keeps
-# invariance units in tests/test_engine_units.py.
+# budget curation); the md5-portable twin is oracle-checked end-to-end as
+# the `simhash` column of `doc_text_stats` (r6 consolidation of the former
+# `doc_simhash_portable` row) and the xxhash64 variant keeps invariance
+# units in tests/test_engine_units.py.
 
 
-@register(
-    "doc_simhash_portable",
-    oracle="""
-    WITH toks AS (
+#: md5-portable SimHash-64 CTE chain (tokenize → distinct → hash → 64 bit
+#: votes → sign → OR-fold), joined into the ``doc_text_stats`` oracle since
+#: r6 (registry consolidation — the freed slot registers the bucketed
+#: hyperplane-LSH near-dup row). xxhash64 stays the 100 TB default (cheaper
+#: per token); the fold keeps the full construction driver-verified.
+_SIMHASH_CTE = """
+    stoks AS (
       SELECT doc_id,
              unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
       FROM documents
-    ), h AS (
-      SELECT doc_id, md5(tok) AS m FROM toks
-    ), bits AS (
+    ), sh AS (
+      SELECT doc_id, md5(tok) AS m FROM stoks
+    ), sbits AS (
       SELECT doc_id, i,
              CASE WHEN ((strpos('0123456789abcdef',
                                 substr(m, CAST(1 + (i // 4) AS INT), 1)) - 1)
                         >> CAST(3 - (i % 4) AS INT)) & 1 = 1
                   THEN 1 ELSE -1 END AS vote
-      FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
-    ), votes AS (
-      SELECT doc_id, i, SUM(vote) AS v FROM bits GROUP BY doc_id, i
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    ), svotes AS (
+      SELECT doc_id, i, SUM(vote) AS v FROM sbits GROUP BY doc_id, i
     ), sig AS (
       SELECT doc_id,
              CAST(SUM(CASE WHEN v > 0 THEN
                    CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
                         ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
                  ELSE 0 END) AS BIGINT) AS simhash
-      FROM votes GROUP BY doc_id
-    )
-    SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
-    FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
-    """,
-)
-def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked SimHash-64: the same sign-vote aggregate as
-    ``doc_simhash`` but over md5 token hashes, which DuckDB computes
-    bit-identically — so the full construction (tokenize → distinct → hash →
-    64 bit votes → sign → OR-fold) is verified end-to-end. xxhash64 stays
-    the 100 TB default (cheaper per token); this row proves the operator."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash64_portable(docs, "doc_id", "text")
+      FROM svotes GROUP BY doc_id
+    )"""
 
 
 _LANG_SETS = {
@@ -210,7 +202,8 @@ _LANG_SCORE_SQL = "\n".join(
 @register(
     "doc_text_stats",
     oracle=f"""
-    WITH toks AS (
+    WITH {_SIMHASH_CTE},
+    toks AS (
       SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t, text,
              list_filter(string_split(text, chr(10)), x -> x <> '') AS ln
       FROM documents
@@ -258,8 +251,10 @@ _LANG_SCORE_SQL = "\n".join(
            ROUND(CASE WHEN len(ln) > 0
                       THEN 1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln)
                       ELSE 0.0 END, 6) AS dup_line_frac,
-           ROUND(COALESCE(m.best * 1.0 / m.total, 0.0), 6) AS top_bigram_frac
+           ROUND(COALESCE(m.best * 1.0 / m.total, 0.0), 6) AS top_bigram_frac,
+           CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
     FROM langed LEFT JOIN mode m USING (doc_id)
+    LEFT JOIN sig s USING (doc_id)
     """,
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,19 +273,22 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     former ``doc_lang_id`` row (r2 registry curation) and the quality +
     repetition columns from the former ``doc_quality_score`` row (r4 —
     freed the slot for ``doc_c4_line_filter``): ONE token split feeds all
-    the stats."""
-    docs = load_table(spark, sf_dir, "documents")
+    the stats. Since r6 the row also carries the md5-portable SimHash-64
+    signature (former standalone ``doc_simhash_portable`` row — registry
+    consolidation; same hash-checked construction, now joined on doc_id)."""
+    raw = load_table(spark, sf_dir, "documents")
     # Materialize the token array once per row (see dedup.word_shingles —
     # inlining the split into every consumer re-runs the regex per reference).
-    docs = docs.select("doc_id", "lang", "text", tokens("text").alias("__toks"))
+    docs = raw.select("doc_id", "lang", "text", tokens("text").alias("__toks"))
     t = F.col("__toks")
+    simhash = simhash64_portable(raw, "doc_id", "text")
     # O(len)/doc Arrow form; integer-equal to the oracle's list_reduce
     # recurrence (the pure-expression twin is rolling_fingerprint — O(len²))
     fingerprint = rolling_fingerprint_udf("text")
     avg_len = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0).cast("long"),
         lambda acc, x: acc + x).cast("double") / F.size(t)
-    return docs.select(
+    stats = docs.select(
         "doc_id", "lang",
         F.size(t).cast("long").alias("n_tokens"),
         token_count_regex("text").cast("long").alias("n_tokens_bpe"),
@@ -301,6 +299,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
         F.round(top_ngram_fraction_udf("text", 2), 6).alias("top_bigram_frac"),
     )
+    return stats.join(simhash, "doc_id")
 
 
 @register(

@@ -1,6 +1,8 @@
 """Similarity-search queries over the ``embeddings`` table (SURVEY.md §2.11):
-brute-force cosine top-k (oracle-checked) and the LSH-bucketed approximate
-variant (rows-only — probabilistic recall by design).
+brute-force cosine top-k, exact/semantic near-dup, and — since r6 — the
+bucketed hyperplane-LSH near-dup path, ALL oracle-checked (the LSH oracle
+rebuilds the seeded plane constants and reproduces every signature bit
+exactly, so even the "approximate" path is value-verified at this config).
 """
 
 from __future__ import annotations
@@ -213,3 +215,83 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 7 == 0)
         .withColumn("vec_id", F.col("vec_id") + 1000000))
     return semantic_dedup(doubled, threshold=0.95, n_clusters=1)
+
+
+def _lsh_bucket_oracle(seed: int = 42, n_planes: int = 16, dim: int = 64,
+                       threshold: float = 0.95) -> str:
+    """DuckDB twin of the bucketed hyperplane-LSH near-dup plan, built from
+    the SAME `hyperplanes(seed)` constants the Spark expression embeds.
+
+    Sign-bit parity is exact by construction: both engines evaluate the
+    identical left-associated multiply-add chain (ve[j] * plane literal,
+    accumulated in index order) in IEEE double, so every dot product is
+    bit-equal and every signature bit agrees — no tolerance anywhere."""
+    from ..extensions.similarity import hyperplanes
+
+    planes = hyperplanes(seed, n_planes, dim)
+    dot_cols = ",\n        ".join(
+        "(" + " + ".join(f"ve[{j + 1}]*{planes[i][j]!r}" for j in range(dim))
+        + f") AS d{i}"
+        for i in range(n_planes))
+    sig_expr = " + ".join(
+        f"(CASE WHEN d{i} >= 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_planes))
+    return f"""
+    WITH doubled AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 7 = 0
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM doubled
+    ), dots AS (
+      SELECT vec_id,
+        {dot_cols}
+      FROM v
+    ), sigs AS (
+      SELECT vec_id, {sig_expr} AS sig FROM dots
+    ), n AS (
+      SELECT vec_id, ve,
+             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+                  THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
+      FROM v
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(na.ve, nb.ve) * na.inv * nb.inv, 6) AS cosine
+    FROM cand c
+    JOIN n na ON c.id_a = na.vec_id
+    JOIN n nb ON c.id_b = nb.vec_id
+    WHERE list_dot_product(na.ve, nb.ve) * na.inv * nb.inv >= {threshold}
+    """
+
+
+@register("embedding_lsh_near_dup", oracle=_lsh_bucket_oracle())
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The designated 100 TB similarity path ON the driver record (r5
+    VERDICT item 1): near-dup pairs whose candidate generation is the
+    bucketed hyperplane-LSH equi-join (`hyperplane_lsh_buckets` →
+    `cosine_near_dup_pairs(bucket_signatures=...)`), NOT the
+    broadcast-bounded exact-GEMM path that `embedding_near_dup` exercises.
+    Planted duplicates (every 7th vector re-appended under a shifted id —
+    the shared recipe) share every signature bit with their originals, so
+    their pairs MUST survive; the oracle recomputes signatures from the
+    identical seeded plane constants and applies the same exact-verify
+    tail, so recall of the bucket path is value-checked, not assumed.
+    Plan shape (pinned in tests/test_plans.py): pure expressions + two
+    equi-joins — no Python worker, no driver collect, no cross product."""
+    from ..extensions.similarity import (cosine_near_dup_pairs,
+                                         hyperplane_lsh_buckets)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000))
+    sigs = hyperplane_lsh_buckets(doubled, "vec_id", "embedding",
+                                  n_planes=16, seed=42)
+    return cosine_near_dup_pairs(doubled, threshold=0.95,
+                                 bucket_signatures=sigs)

@@ -265,3 +265,17 @@ def test_map_only_cleaners_have_zero_shuffles(spark, name):
     if name != "doc_chunking":
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
             f"{name} must stay Python-free:\n{p}")
+
+
+def test_lsh_near_dup_plan_is_bucket_join_no_python_no_collect(spark):
+    """The driver row for the 100 TB similarity path must actually RUN the
+    bucketed plan (r5 VERDICT item 1): candidate generation is an equi-join
+    on the signature column — no Python worker anywhere (the exact-GEMM
+    path would show MapInPandas/ArrowEvalPython), no cartesian product,
+    and signatures are computed by codegen'd expressions, so the whole
+    query is joins + projections."""
+    p = plan_of(spark, "embedding_lsh_near_dup")
+    assert "__sig" in p, p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
