@@ -93,12 +93,19 @@ def salted_distinct_count(df: DataFrame, key_cols: Sequence[str],
             .agg(F.sum("__partial").alias(f"n_distinct_{value_col}")))
 
 
-def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+def write_bucketed(df: DataFrame, table: str,
+                   bucket_col: str | Sequence[str],
                    n_buckets: int = 8,
-                   sort_col: str | None = None) -> None:
+                   sort_col: str | Sequence[str] | None = None) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) managed table —
     the write-once pre-shuffle. Joins between tables bucketed the same way
-    on the same key need no exchange (and no sort, if sorted)."""
+    on the same key need no exchange (and no sort, if sorted).
+
+    ``bucket_col`` may be a list: with v1 bucketing the planner exploits
+    the layout only when the join keys EXACTLY cover the bucket columns
+    (a bucket-column subset of the join keys reads back with "Bucketed:
+    false (disabled by query planner)") — so bucket on the full join key
+    set of the recurring join (r6 finding from the fingerprint index)."""
     spark = df.sparkSession
     # a previous session may have left the managed location behind while the
     # (in-memory) catalog forgot the table — clear both, else saveAsTable
@@ -115,9 +122,11 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     stale = os.path.join(warehouse.removeprefix("file:"), rel)
     if os.path.isdir(stale):
         shutil.rmtree(stale, ignore_errors=True)
-    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bcols)
     if sort_col:
-        w = w.sortBy(sort_col)
+        scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        w = w.sortBy(*scols)
     w.format("parquet").saveAsTable(table)
 
 

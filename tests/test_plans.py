@@ -90,9 +90,17 @@ def test_exact_dedup_shuffles_fingerprints_not_text(spark):
     # phase-1 exchange keys on the fingerprint columns
     assert "hashpartitioning(__fp" in p, f"fingerprint exchange missing:\n{p}"
     # phase-2 text agg exists but sits above the candidate semi-join, i.e.
-    # every text-keyed exchange is downstream of a Join on the fingerprint
-    assert "hashpartitioning(text" in p, "phase-2 exact resolver disappeared"
-    assert shuffles(p) <= 4, f"exact dedup grew extra shuffles:\n{p}"
+    # every text-keyed exchange is downstream of a Join on the fingerprint.
+    # EXACTLY one: the batch leg's collision resolver. The incremental legs
+    # (r6) must never add a text-keyed exchange — their within-batch window
+    # partitions by fingerprint-first and the index join keys on
+    # fingerprints alone.
+    assert p.count("hashpartitioning(text") == 1, \
+        "text-keyed exchanges != 1 — raw documents are shuffling as keys"
+    # r6: the row is a 3-leg composition (batch + incr_fresh + index), so
+    # the absolute bound covers all legs; each leg's exchanges carry
+    # fingerprints/ids, never text keys (asserted above)
+    assert shuffles(p) <= 16, f"exact dedup grew extra shuffles:\n{p}"
 
 
 def test_hml_factor_library_plan_single_shuffle(spark):
@@ -279,3 +287,38 @@ def test_lsh_near_dup_plan_is_bucket_join_no_python_no_collect(spark):
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p, p
     assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_incremental_dedup_bucketed_index_join_no_index_exchange(spark):
+    """The daily-ingest contract at 100 TB (r5 VERDICT item 4): with the
+    fingerprint index persisted via write_fingerprint_index (bucketed on
+    BOTH join-key columns), the incremental anti-join reads the index
+    bucket-aligned — 'Bucketed: true' at the scan, NO exchange above it;
+    the only shuffle in the join is the new batch's own rows. Requires the
+    fingerprint to be total (plain equality keys): a null-safe <=> join
+    rewrites keys to coalesce/isnull and the planner disables bucketing."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        _default_fingerprint, doc_fingerprints, read_fingerprint_index,
+        write_fingerprint_index)
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    write_fingerprint_index(doc_fingerprints(docs), "b_fp_index")
+    index = read_fingerprint_index(spark, "b_fp_index")
+    batch = (docs.withColumn("doc_id", F.col("doc_id") + 5000000)
+             .select("*", *_default_fingerprint("text")))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = batch.join(index.select("__fp", "__fplen"),
+                       ["__fp", "__fplen"], "left_anti")
+        p = plan_text(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in p, p
+    # exactly ONE shuffle — the batch side; the index side reads in place
+    # (with the index bucketed AND the batch shuffled, one exchange total
+    # means the index scan feeds the join directly)
+    assert shuffles(p) == 1, p
