@@ -42,8 +42,7 @@ BENCH_QUERIES = [
     "doc_dedup_clusters",
     "doc_text_stats",
     "doc_substring_dedup",
-    "doc_c4_line_filter",
-    "doc_pii_scrub",
+    "doc_cleaning_suite",
     "doc_decontamination",
     "corpus_split_profile",
     "bm25_scores",

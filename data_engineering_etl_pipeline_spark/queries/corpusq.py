@@ -315,3 +315,29 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants unit-tested)."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.chunk_documents(docs, window=64, stride=48)
+
+
+@register(
+    "bpe_word_frequencies",
+    oracle="""
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def bpe_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED surface of BPE tokenizer training on the driver
+    record (r5 VERDICT item 8): `extensions/bpe.word_frequencies` — the
+    only corpus-scale step of the trainer (explode → map-side partial agg
+    → vocabulary-sized exchange). The driver-side merge loop is
+    legitimately not SQL-expressible and stays unit-verified
+    (tests/test_bpe.py: worked Sennrich example, partition invariance,
+    row-budget guard); this row hash-checks the exact (word, freq) table
+    that loop consumes, so the trainer's input contract is value-checked
+    end-to-end."""
+    from ..extensions.bpe import word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    return word_frequencies(docs, "text")

@@ -461,34 +461,9 @@ _C4_PAGE_SQL = """
 """
 
 
-@register(
-    "doc_c4_line_filter",
-    oracle="WITH toks AS (\n  SELECT doc_id,"
-    " string_split_regex(trim(text), '\\s+') AS t FROM documents\n"
-    "), pages AS (\n  SELECT doc_id, " + _C4_PAGE_SQL
-    + " AS __page\n  FROM toks\n)\nSELECT doc_id,\n       "
-    + ",\n       ".join(c4_stats_sql("__page") + gopher_stats_sql("__page"))
-    + "\nFROM pages",
-)
-def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-cleaning suite: the C4 line-level rules (Raffel et al.
-    2020 §2.2) AND the Gopher/MassiveText document-quality rules (Rae et
-    al. 2021 Appendix A1.1), both from extensions/cleaning.py, over one
-    shared page per document. C4: keep lines ending in terminal
-    punctuation with >=5 words and no 'javascript'; drop pages with
-    'lorem ipsum', a curly bracket, or <3 sentences after cleaning —
-    emits line counts, the cleaned text itself (verified bit-for-bit),
-    sentence count, and the page verdict. Gopher: word-count bounds, mean
-    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
-    alphabetic-word fraction, stop-word floor, and the composite
-    ``keep_doc`` verdict — every metric checked per-row. Pure
-    split/filter-lambda/regexp expressions — map-only, zero shuffle, zero
-    Python. Pages are constructed deterministically from each doc's
-    tokens (the synthetic corpus is single-line), so every rule of both
-    sets fires at every scale factor."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", synthetic_page().alias("__page")).select(
-        "doc_id", *c4_stats("__page"), *gopher_stats("__page"))
+# (former standalone `doc_c4_line_filter` registration — merged with the
+# PII row into `doc_cleaning_suite` below, r6 registry consolidation; the
+# freed slot registers `bpe_word_frequencies`.)
 
 
 def synthetic_page() -> F.Column:
@@ -541,22 +516,37 @@ _PII_AUG_SQL = """
 
 
 @register(
-    "doc_pii_scrub",
-    oracle="WITH aug AS (\n  SELECT doc_id, " + _PII_AUG_SQL
-    + " AS __t\n  FROM documents\n)\nSELECT doc_id,\n       "
-    + ",\n       ".join(pii_counts_sql("__t"))
+    "doc_cleaning_suite",
+    oracle="WITH toks AS (\n  SELECT doc_id, text,"
+    " string_split_regex(trim(text), '\\s+') AS t FROM documents\n"
+    "), pages AS (\n  SELECT doc_id, text, " + _C4_PAGE_SQL
+    + " AS __page\n  FROM toks\n), aug AS (\n  SELECT doc_id, __page, "
+    + _PII_AUG_SQL
+    + " AS __t\n  FROM pages\n)\nSELECT doc_id,\n       "
+    + ",\n       ".join(c4_stats_sql("__page") + gopher_stats_sql("__page")
+                        + pii_counts_sql("__t"))
     + ",\n       " + scrub_pii_sql("__t") + " AS scrubbed\nFROM aug",
 )
-def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + masking (extensions/pii.py): per-doc counts of
-    emails / card numbers / SSNs / IPv4s / phone numbers and the scrubbed
-    text with each match replaced by a typed placeholder — the redaction
-    pass of a training-data pipeline. All native regexp expressions
-    (codegen'd, map-only, no shuffle, no Python); the patterns are
-    RE2-compatible by design so the DuckDB oracle recomputes counts AND
-    masked text bit-for-bit. PII is planted deterministically from doc_id
-    (the synthetic corpus has none), so the row has guaranteed work at
-    every scale factor."""
+def doc_cleaning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full map-only document-cleaning suite in ONE projection (r6
+    merge of the former ``doc_c4_line_filter`` + ``doc_pii_scrub`` rows —
+    both were single-scan map-only passes over ``documents``, so the fold
+    is a strict improvement: one scan, still zero shuffle, zero Python,
+    every column of both rows hash-checked).
+
+    C4 line rules (Raffel et al. 2020 §2.2): keep lines ending in
+    terminal punctuation with >=5 words and no 'javascript'; drop pages
+    with 'lorem ipsum', a curly bracket, or <3 sentences after cleaning —
+    emits line counts, the cleaned text itself (bit-for-bit), sentence
+    count, and the page verdict. Gopher/MassiveText document rules (Rae
+    et al. 2021 Appendix A1.1): word-count bounds, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stop-word floor, composite ``keep_doc``. PII redaction
+    (extensions/pii.py): per-doc counts of emails / cards / SSNs / IPv4s /
+    phones and the scrubbed text (RE2-compatible patterns, so DuckDB
+    recomputes counts AND masked text bit-for-bit). Pages and PII are
+    planted deterministically from each doc's tokens/doc_id, so every
+    rule fires at every scale factor."""
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
     aug = F.concat(
@@ -572,9 +562,11 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.lit("")),
         F.when(d % 6 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
     )
-    base = docs.select("doc_id", aug.alias("__t"))
+    base = docs.select("doc_id", synthetic_page().alias("__page"),
+                       aug.alias("__t"))
     return base.select(
-        "doc_id", *pii_counts("__t"), scrub_pii("__t").alias("scrubbed"))
+        "doc_id", *c4_stats("__page"), *gopher_stats("__page"),
+        *pii_counts("__t"), scrub_pii("__t").alias("scrubbed"))
 
 
 # DuckDB twin of the engine's portable 32-bit md5-prefix hash (shared

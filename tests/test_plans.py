@@ -260,8 +260,7 @@ def test_minhash_signature_build_runs_once(spark):
         "build per side; restore a persist or a shared exchange")
 
 
-@pytest.mark.parametrize("name", ["doc_pii_scrub", "doc_c4_line_filter",
-                                  "doc_chunking"])
+@pytest.mark.parametrize("name", ["doc_cleaning_suite", "doc_chunking"])
 def test_map_only_cleaners_have_zero_shuffles(spark, name):
     """The redaction / line-filter / chunking passes are pure per-row
     column expressions — they must compile to ZERO shuffle exchanges (and
