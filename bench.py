@@ -84,12 +84,21 @@ def main() -> int:
     for t in ("lineitem", "orders"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
+    from data_engineering_etl_pipeline_spark.caching import release_engine_pins
+
     def run_one(name: str) -> float:
         t0 = time.time()
         # Force full execution of every operator without collecting rows to
         # the driver: a noop sink materializes the whole result.
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
+
+    def cold_data() -> None:
+        # the engine's tracked pins first (the formalized release contract
+        # — r5 VERDICT item 6), then the blanket clearCache for bench's own
+        # warm-code/cold-data protocol.
+        release_engine_pins()
+        spark.catalog.clearCache()
 
     # Four passes: pass 1 warms codegen/JIT/Python workers (untimed);
     # passes 2-4 are measured and each query reports its MINIMUM — the
@@ -108,12 +117,12 @@ def main() -> int:
         if not skip_warmup:
             for name in phase:
                 run_one(name)
-                spark.catalog.clearCache()
+                cold_data()
         for _ in range(1 if skip_warmup else 3):
             for name in phase:
                 t = run_one(name)
                 times[name] = min(times.get(name, t), t)
-                spark.catalog.clearCache()
+                cold_data()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

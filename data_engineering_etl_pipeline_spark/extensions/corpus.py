@@ -147,10 +147,9 @@ def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
     aggs + data-sized scoring join, the family's most expensive job) would
     execute twice (r5 review finding). Same caller-release contract as
     ngram_jaccard_pairs."""
-    from pyspark import StorageLevel
+    from ..caching import pin
 
-    lw = lm_cross_entropy(docs, id_col, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    lw = pin(lm_cross_entropy(docs, id_col, text_col, k))
     cuts = lw.agg(F.percentile("xent", F.array(
         F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))).alias("__c"))
     bucket = (F.when(F.col("xent").isNull(), F.lit(None).cast("string"))

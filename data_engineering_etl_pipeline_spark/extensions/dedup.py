@@ -17,6 +17,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import pin
+
 # Mersenne prime 2^31-1 for minhash permutations ((a*h+b) mod p): with
 # h, a, b < 2^31 the product stays below 2^62 — no long overflow under
 # Spark's ANSI arithmetic.
@@ -377,9 +379,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Cache lifecycle: this plan persists two intermediates — the docs-sized
     ``tokenized_docs`` projection and the candidate-pair relation. They
     stay persisted after the returned plan materializes (a lazy plan cannot
-    unpersist behind itself); callers in a long-lived session own the
-    release (``spark.catalog.clearCache()`` — bench.py does this between
-    queries — or unpersist after the action).
+    unpersist behind itself); they are registered as ENGINE pins, so a
+    long-lived session releases exactly them with
+    ``caching.release_engine_pins()`` (bench.py does this between queries)
+    or wraps the materialization in ``caching.engine_pin_scope()`` —
+    releasing before the action is safe (recompute), never wrong (r6:
+    formalizes the former clearCache docstring convention).
     """
     # ONE parquet scan + ONE regex split for the whole job: the token
     # projection is persisted (spillable) and feeds the hot-list agg, both
@@ -388,8 +393,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # many-× larger dataset (r2 VERDICT item 7); re-running the cheap
     # explode against cached tokens is the right trade (r3 VERDICT item 2:
     # the uncached-everything form re-scanned and re-split the corpus 3×).
-    tok = tokenized_docs(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    tok = pin(tokenized_docs(docs, id_col, text_col))
     sh = shingles_from_tokens(tok, id_col, n)
     if max_df is None:
         # no DF cap: empty hot list, no counting pass
@@ -501,8 +505,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     # verification below re-derives shingles from the candidate docs alone,
     # against the SAME persisted token projection (one scan + one split
     # total — cache lifecycle note in ngram_jaccard_pairs).
-    tok = tokenized_docs(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    tok = pin(tokenized_docs(docs, id_col, text_col))
     sh = shingles_from_tokens(tok, id_col, n)
     # Band hashes fold into the projection directly above the signature
     # aggregate (same stage — the 64 mins never materialize separately),
@@ -782,8 +785,7 @@ def duplicate_window_spans(docs: DataFrame, id_col: str = "doc_id",
     if w < 2:
         raise ValueError("width must be >= 2 (width-1 windows are exact "
                          "token frequency, not substring duplication)")
-    tok = tokenized_docs(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    tok = pin(tokenized_docs(docs, id_col, text_col))
     n = F.size(F.col("__toks"))
     starts = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)).otherwise(
         F.array().cast("array<int>"))

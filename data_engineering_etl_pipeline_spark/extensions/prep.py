@@ -27,10 +27,10 @@ invariants (tested in tests/test_prep_pipeline.py), not new oracles.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import pin
 from .cleaning import c4_stats, gopher_keep
 from .corpus import _portable_hv, flag_contaminated, pack_sequences
 from .dedup import dedup_clusters, exact_dedup_keep_first, ngram_jaccard_pairs
@@ -92,8 +92,7 @@ def prepare_training_corpus(docs: DataFrame,
     #    consumer (measured 1.9× end-to-end at sf0.1). Same caller-release
     #    contract as ngram_jaccard_pairs (clearCache / unpersist after the
     #    action).
-    exact = exact_dedup_keep_first(scrubbed, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    exact = pin(exact_dedup_keep_first(scrubbed, id_col, text_col))
 
     # 4. Near-dup dedup: trigram-Jaccard pairs → connected components →
     #    drop every non-minimum member.

@@ -49,12 +49,11 @@ def live_world(spark: SparkSession, coins: Sequence[str], n_days: int = 30,
     # (r5 review finding). Same caller-release contract as
     # ngram_jaccard_pairs; refresh_world_snapshot releases it after the
     # write.
-    from pyspark import StorageLevel
+    from .caching import pin
 
-    fact = canonicalize(
+    fact = pin(canonicalize(
         fetch_history_distributed(spark, list(coins), n_days=n_days, **kwargs),
-        "coin_id", dict(canonical_map or {}), out_col="canonical_id").persist(
-        StorageLevel.MEMORY_AND_DISK)
+        "coin_id", dict(canonical_map or {}), out_col="canonical_id"))
 
     latest = fact.agg(F.max("day").alias("day"))
     today = (fact.join(F.broadcast(latest), "day")

@@ -22,6 +22,7 @@ from ..extensions.text_stats import (TOKEN_PATTERN, duplicate_line_fraction,
                                      rolling_fingerprint_udf,
                                      token_count_regex, tokens,
                                      top_ngram_fraction_udf)
+from ..caching import pin
 from ..io import load_table
 from . import register
 
@@ -639,8 +640,6 @@ def doc_tfidf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse norms of the quantized vectors, and the sparse pairwise dot —
     so both the vectorizer and the near-dup machinery are hash-checked
     end-to-end."""
-    from pyspark import StorageLevel
-
     from ..extensions.corpus import hashed_tfidf_vectors
     from ..extensions.similarity import cosine_near_dup_pairs
 
@@ -655,8 +654,7 @@ def doc_tfidf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.8× end-to-end at sf0.1). Exchange reuse cannot help across actions,
     # so this is the persist-not-replan case — same caller-release
     # contract as ngram_jaccard_pairs.
-    vecs = hashed_tfidf_vectors(doubled, id_col="doc_id", dim=64).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    vecs = pin(hashed_tfidf_vectors(doubled, id_col="doc_id", dim=64))
     return cosine_near_dup_pairs(vecs, threshold=0.9, id_col="doc_id",
                                  vec_col="embedding", dim=64)
 

@@ -755,3 +755,39 @@ def test_run_sql_survives_new_session_and_sf_switch(spark):
     register_star_views(spark, SF_DIR)
     n3 = run_sql(spark, SF_DIR, q).collect()[0]["n"]
     assert n3 == n1
+
+
+def test_engine_pin_release_leaves_caller_caches_alone(spark):
+    """The persist-release contract (r5 VERDICT item 6): engine-internal
+    persists route through caching.pin and release_engine_pins drops
+    exactly them — a caller's own persisted frame survives, so long-lived
+    sessions no longer need (or risk) blanket clearCache."""
+    from data_engineering_etl_pipeline_spark.caching import (
+        engine_pin_scope, pin, release_engine_pins)
+    from data_engineering_etl_pipeline_spark.io import load_table
+    from .conftest import SF_DIR
+
+    release_engine_pins()  # clean slate
+    caller = load_table(spark, SF_DIR, "region").persist()
+    caller.count()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pinned = pin(docs)
+    pinned.count()
+    assert pinned.storageLevel.useMemory
+    n = release_engine_pins()
+    assert n == 1
+    assert not pinned.storageLevel.useMemory and not pinned.storageLevel.useDisk
+    assert caller.storageLevel.useMemory, "caller cache must survive"
+    # queries that pin internally (e.g. the tfidf vectorizer) are released
+    # by one engine-level call after their action
+    from data_engineering_etl_pipeline_spark.queries import QUERIES
+    QUERIES["doc_tfidf_near_dup"](spark, SF_DIR).count()
+    assert release_engine_pins() >= 1
+    # scope form: pins taken inside die on exit, prior pins survive
+    outer = pin(load_table(spark, SF_DIR, "nation"))
+    with engine_pin_scope():
+        inner = pin(load_table(spark, SF_DIR, "supplier"))
+        inner.count()
+    assert not inner.storageLevel.useMemory and not inner.storageLevel.useDisk
+    assert release_engine_pins() == 1  # exactly the outer pin remains
+    caller.unpersist()
