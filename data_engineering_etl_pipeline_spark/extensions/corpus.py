@@ -431,7 +431,8 @@ def hashed_tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
 
 def flag_contaminated(docs: DataFrame, benchmark: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
-                      bench_text_col: str = "text", n: int = 13) -> DataFrame:
+                      bench_text_col: str = "text", n: int = 13,
+                      tokens_col: str | None = None) -> DataFrame:
     """Test-set decontamination flag: ``(id, contaminated)`` where a doc is
     contaminated iff it shares at least one word ``n``-gram with the
     benchmark corpus — the published decontamination recipe of public LLM
@@ -448,7 +449,7 @@ def flag_contaminated(docs: DataFrame, benchmark: DataFrame,
     """
     from .dedup import word_shingles
 
-    doc_sh = word_shingles(docs, id_col, text_col, n)
+    doc_sh = word_shingles(docs, id_col, text_col, n, tokens_col=tokens_col)
     bench_sh = (word_shingles(
         benchmark.select(F.lit(0).alias("__bid"),
                          F.col(bench_text_col).alias("__bt")),

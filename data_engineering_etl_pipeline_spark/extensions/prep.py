@@ -89,24 +89,37 @@ def prepare_training_corpus(docs: DataFrame,
     #    relation feeds BOTH the near-dup pair generation (which
     #    dedup_clusters materializes eagerly) and the final corpus chain —
     #    uncached, the whole C4+PII+dedup prefix would execute once per
-    #    consumer (measured 1.9× end-to-end at sf0.1). Same caller-release
-    #    contract as ngram_jaccard_pairs (clearCache / unpersist after the
-    #    action).
-    exact = pin(exact_dedup_keep_first(scrubbed, id_col, text_col))
+    #    consumer (measured 1.9× end-to-end at sf0.1). Released via the
+    #    engine-pin contract (caching.release_engine_pins / pin_scope).
+    #    ONE tokenization (r5 VERDICT item 3): the pinned relation carries
+    #    the whitespace token array, and every downstream consumer that
+    #    needs tokens — near-dup shingles, 13-gram decontamination
+    #    shingles, the quality floor's alpha-token fraction — reads THIS
+    #    column instead of re-splitting the corpus (three regex passes
+    #    saved per run, CPU that at 100 TB dominates the map stages).
+    exact = pin(exact_dedup_keep_first(scrubbed, id_col, text_col)
+                .withColumn("__toks",
+                            F.split(F.trim(F.col(text_col)), r"\s+")))
 
     # 4. Near-dup dedup: trigram-Jaccard pairs → connected components →
     #    drop every non-minimum member.
     pairs = ngram_jaccard_pairs(exact, id_col, text_col,
                                 n=3, threshold=near_dup_threshold,
-                                max_df=near_dup_max_df)
-    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+                                max_df=near_dup_max_df, tokens_col="__toks")
+    # driver_budget: modest pair lists resolve with an exact driver-side
+    # union-find instead of paying the iterative machinery's per-round job
+    # overhead; past 1M pairs the distributed pointer jumping runs. The
+    # pair plan reads from the pinned `exact`, so the probe's extra
+    # materialization in the over-budget case re-reads cache, not lineage.
+    comp = dedup_clusters(pairs.select("id_a", "id_b"), driver_budget=1_000_000)
     drops = (comp.filter(F.col("member_id") != F.col("cluster_id"))
              .select(F.col("member_id").alias(id_col)))
     deduped = exact.join(F.broadcast(drops), id_col, "left_anti")
 
     # 5. Benchmark decontamination (13-gram overlap, corpus never shuffles).
     if benchmark is not None:
-        flags = flag_contaminated(deduped, benchmark, id_col, text_col)
+        flags = flag_contaminated(deduped, benchmark, id_col, text_col,
+                                  tokens_col="__toks")
         deduped = (deduped.join(flags, id_col)
                    .filter(~F.col("contaminated")).drop("contaminated"))
 
@@ -116,7 +129,8 @@ def prepare_training_corpus(docs: DataFrame,
     #    assume web-scale English prose and would wipe short-doc corpora;
     #    see the docstring for gopher_first, the paper's raw-document
     #    placement).
-    kept = deduped.filter(quality_score(text_col) >= min_quality)
+    kept = deduped.filter(
+        quality_score(text_col, toks=F.col("__toks")) >= min_quality)
     if apply_gopher and not gopher_first:
         kept = kept.filter(gopher_keep(text_col))
 
@@ -129,8 +143,11 @@ def prepare_training_corpus(docs: DataFrame,
     split = F.when(hv < F.lit(float(1 << 32)) * train_frac, "train").otherwise("val")
     # n_tokens is a per-doc map expression — compute it for EVERY row (the
     # documented output contract; a val loader budgets by it too), and let
-    # packing reuse it via tokens_col instead of re-splitting.
-    labeled = (kept.withColumn("split", split)
+    # packing reuse it via tokens_col instead of re-splitting. (It counts
+    # under the BPE-ish regex, a DIFFERENT tokenization than the shared
+    # whitespace array — deliberately not derived from __toks.)
+    labeled = (kept.drop("__toks")
+               .withColumn("split", split)
                .withColumn("n_tokens", token_count_regex(text_col)))
 
     # 8. Token-budget packing of the train split only (val ships unpacked

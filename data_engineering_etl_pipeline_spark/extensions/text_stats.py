@@ -75,14 +75,19 @@ def predict_lang(toks: Column) -> Column:
     return expr
 
 
-def quality_score(text: str | Column) -> Column:
+def quality_score(text: str | Column, toks: Column | None = None) -> Column:
     """Composite quality heuristic in [0,1]: length score × (1 − punct ratio)
     × alpha-token fraction. Mirrors the 'length/punct/stopword ratio' style
     filters used in public LLM-data pipelines (C4/Gopher rules).
     Alpha = any Unicode letter (``\\p{L}``, cross-engine-identical), so
-    non-Latin prose scores on its merits (r5 review finding)."""
+    non-Latin prose scores on its merits (r5 review finding).
+    ``toks``: a precomputed whitespace token array for the same text —
+    pass it where the pipeline already materialized the split (must equal
+    ``tokens(text)``; prepare_training_corpus threads its shared token
+    projection through here, r5 VERDICT item 3)."""
     t = F.col(text) if isinstance(text, str) else text
-    toks = tokens(t)
+    if toks is None:
+        toks = tokens(t)
     n_tok = F.size(toks)
     alpha_frac = F.when(
         n_tok > 0,

@@ -62,3 +62,22 @@ def test_clusters_on_real_pairs(spark):
     assert got == union_find(edges)
     # representative is the min id of its cluster
     assert all(c <= m for m, c in got.items())
+
+
+def test_driver_union_find_equals_distributed(spark):
+    """dedup_clusters(driver_budget=N) must be bit-identical to the
+    distributed pointer-jumping fixed point when pairs fit the budget —
+    and fall through to the distributed path when they don't."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (10, 11), (7, 7), (3, 2)], "id_a long, id_b long")
+    dist = {(r["member_id"], r["cluster_id"])
+            for r in dedup_clusters(pairs).collect()}
+    drv = {(r["member_id"], r["cluster_id"])
+           for r in dedup_clusters(pairs, driver_budget=100).collect()}
+    assert drv == dist
+    # over-budget: falls through to distributed, same answer
+    over = {(r["member_id"], r["cluster_id"])
+            for r in dedup_clusters(pairs, driver_budget=2).collect()}
+    assert over == dist
