@@ -634,7 +634,8 @@ def _release_local_checkpoint(df: DataFrame) -> None:
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 20,
-                   driver_budget: int | None = None) -> DataFrame:
+                   driver_budget: int | None = None,
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (member_id, cluster_id)
     with cluster_id = min member id. The step production dedup needs after
     pair generation: each cluster keeps one representative.
@@ -693,7 +694,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # round's snapshot until session GC).
     snap = labels
     changed = 0
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh_min = (edges.join(labels, edges["dst"] == labels["node"])
                      .groupBy("src").agg(F.min("label").alias("nmin")))
         # carry the previous label alongside the new one, so convergence
@@ -743,6 +746,10 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    if stats is not None:
+        # observability for the skew smoke: how many adopt+jump rounds the
+        # graph actually needed (the O(log diameter) claim, measured)
+        stats["rounds"] = rounds
     if changed != 0:
         # A component deeper than max_iter would return partially-propagated
         # labels — silently wrong clusters. Fail loudly instead.

@@ -345,7 +345,53 @@ def prep_smoke(mult: int) -> int:
     return 0
 
 
+def dedup_hot_smoke(mult: int, hot_frac_inv: int = 10) -> int:
+    """Hot-CLUSTER stress for dedup_clusters (r5 VERDICT item 7): the
+    adversarial shape for pointer jumping is ONE giant near-dup cluster
+    (the boilerplate corpus). The dedup smoke scales uniformly; here
+    ~1/``hot_frac_inv`` of a ``mult``×5000-doc corpus forms a single
+    component wired as a CHAIN — the worst diameter for label
+    propagation, where a non-jumping loop needs O(n) rounds — plus a
+    background of small 2-node clusters. Records rounds + wall and
+    asserts (a) bounded rounds (O(log d): ~log2(chain length) + slack),
+    (b) the giant component resolved to one min-id label."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import dedup_clusters
+    from data_engineering_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("dedup-hot-smoke")
+    n_docs = 5000 * mult
+    hot_n = n_docs // hot_frac_inv
+    # chain over the hot ids: (i, i+1) for i in [0, hot_n-1)
+    chain = spark.range(hot_n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    # background: disjoint 2-node clusters over the remaining id space
+    bg = (spark.range(hot_n, n_docs - 1, 2)
+          .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")))
+    pairs = chain.unionByName(bg)
+    stats: dict = {}
+    import math
+    max_iter = int(math.log2(max(hot_n, 2))) + 8
+    t0 = time.time()
+    comp = dedup_clusters(pairs, max_iter=max_iter, stats=stats)
+    hot_labels = (comp.filter(F.col("member_id") < hot_n)
+                  .select("cluster_id").distinct().count())
+    wall = round(time.time() - t0, 3)
+    assert hot_labels == 1, f"giant cluster split into {hot_labels} labels"
+    bound = int(math.log2(hot_n)) + 4
+    assert stats["rounds"] <= bound, (
+        f"rounds {stats['rounds']} exceed O(log d) bound {bound}")
+    print(json.dumps({
+        "metric": "dedup_hot_cluster_smoke", "multiplier": mult,
+        "n_docs": n_docs, "hot_cluster_size": hot_n,
+        "rounds": stats["rounds"], "log2_diameter_bound": bound,
+        "value": wall, "unit": "sec",
+    }))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--dedup-hot":
+        return dedup_hot_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     if len(sys.argv) > 1 and sys.argv[1] == "--prep":
         return prep_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
