@@ -93,7 +93,7 @@ def refresh_world_snapshot(spark: SparkSession, out_root: str,
     world = live_world(spark, coins, n_days, top_n, canonical_map, fetcher)
     write_daily_snapshot(world, out_root, date_col="snapshot_date",
                          skip_if_exists=False)
-    # the fetched fact persisted inside live_world stays cached under the
-    # repo-wide caller-release contract (unpersist/clearCache when done —
-    # a blanket clearCache here would wipe caches the caller owns)
+    # the fetched fact pinned inside live_world stays cached under the
+    # engine-pin contract (caching.release_engine_pins releases exactly
+    # it; a blanket clearCache here would wipe caches the caller owns)
     return world
