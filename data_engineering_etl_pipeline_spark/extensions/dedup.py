@@ -230,6 +230,13 @@ def incremental_exact_dedup(new_docs: DataFrame, index: DataFrame,
     # total (never NULL), so the semantics are identical — and only plain
     # keys let the planner use a bucketed index's layout (a <=> join
     # rewrites keys to coalesce/isnull and disables bucketing).
+    # MIGRATION (r6): indexes persisted BEFORE the fingerprint became
+    # total store the NULL-text group with __fplen NULL; plain equality
+    # would no longer match it and re-admit indexed NULL-text docs every
+    # batch. Patch old indexes once on read:
+    #   index.withColumn("__fplen", F.coalesce("__fplen", F.lit(-1)))
+    # (or rebuild via doc_fingerprints — text-derived indexes carry no
+    # other state).
     fresh = with_fp.join(index.select("__fp", "__fplen"),
                          ["__fp", "__fplen"], "left_anti")
     fresh_index = (fresh.groupBy("__fp", "__fplen")
@@ -327,9 +334,11 @@ def _verify_pairs(tok: DataFrame, id_col: str, n: int,
     raw-docs re-scan was the minhash regression). Trade-off: a doc's
     whole shingle set must fit in one row (fine — shingle sets are
     document-sized); for adversarially huge docs, cap shingles upstream.
-    ``candidates`` is cached (it feeds the id list twice and the final
-    join); cache lifecycle note in ``ngram_jaccard_pairs``."""
-    candidates = candidates.cache()
+    ``candidates`` is an engine pin (it feeds the id list twice and the
+    final join) — released like every engine cache by
+    ``caching.release_engine_pins`` (a bare .cache() here escaped the r6
+    release contract the docstrings advertise — review finding)."""
+    candidates = pin(candidates)
     cand_ids = (candidates.select(F.col("id_a").alias(id_col))
                 .unionByName(candidates.select(F.col("id_b").alias(id_col)))
                 .distinct())
@@ -432,15 +441,15 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     part = index.repartition(n_parts, "shingle")
     a = part.select(F.col(id_col).alias("id_a"), "shingle")
     b = part.select(F.col(id_col).alias("id_b"), "shingle")
-    # cached: the pair relation is tiny (near-dup candidates) and feeds
-    # three subtrees — the candidate-id semi-join below (twice) and the
-    # final stats join.
-    inter = (
+    # engine-pinned: the pair relation is tiny (near-dup candidates) and
+    # feeds three subtrees — the candidate-id semi-join below (twice) and
+    # the final stats join. pin(), not bare .cache(): every engine cache
+    # must be releasable by caching.release_engine_pins (review finding).
+    inter = pin(
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_cold"))
-        .cache()
     )
     # Per-doc stats are only consumed for docs that appear in a candidate
     # pair — re-derive shingles for THAT id set alone from the cached token
@@ -586,7 +595,8 @@ def _simhash_from_votes(votes: DataFrame, docs: DataFrame,
 
 
 def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       tokens_col: str | None = None) -> DataFrame:
     """SimHash-64 over an ENGINE-PORTABLE token hash: md5 exists bit-for-bit
     identically in Spark and DuckDB, so this variant is oracle-checkable
     (unlike ``simhash64``'s xxhash64, which has no DuckDB twin).
@@ -596,11 +606,15 @@ def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
     ``simhash64`` (one map-side-combinable hash aggregate, 64 codegen'd
     sums) and the SAME shared sign/OR-fold tail (``_simhash_from_votes``);
     md5 is ~3× the cost of xxhash64 per token, so the xxhash64 variant
-    remains the 100 TB default and this one is the verification twin."""
+    remains the 100 TB default and this one is the verification twin.
+    ``tokens_col``: consume a pre-materialized whitespace token array
+    instead of re-splitting (doc_text_stats passes its shared projection —
+    r6 review finding: the consolidation's 'one split' invariant)."""
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else F.split(F.trim(F.col(text_col)), r"\s+"))
     tok = docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")))
-        .alias("__tok"),
+        F.explode(F.array_distinct(toks)).alias("__tok"),
     ).select(F.col(id_col), F.md5(F.col("__tok")).alias("__m"))
     # 16 hex-digit values as plain int columns; each is reused by 4 bit
     # extractions below (cheap scalar subtrees — safe to let Catalyst inline).
@@ -672,9 +686,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     corpus.
     """
     if driver_budget is not None:
-        rows = pairs.select(id_a, id_b).limit(driver_budget + 1).collect()
-        if len(rows) <= driver_budget:
-            return _driver_union_find(pairs, rows, id_a)
+        # ONE pass decides AND fetches (a separate count probe would run
+        # pair generation twice — the train_bpe r4 lesson); Arrow transfer
+        # (toPandas), not collect(): 1M pairs is ~16 MB of Arrow columns
+        # vs hundreds of MB of Row objects, so the over-budget discard is
+        # cheap on the driver (r6 review finding).
+        pdf = pairs.select(id_a, id_b).limit(driver_budget + 1).toPandas()
+        if len(pdf) <= driver_budget:
+            return _driver_union_find(pairs, list(
+                zip(pdf[id_a].tolist(), pdf[id_b].tolist())), id_a)
     # The symmetrization union references `pairs` TWICE — without a cache
     # the whole upstream pair-generation plan (shingle explode, self-join,
     # verification) would execute once per branch. The pair relation is

@@ -143,12 +143,16 @@ def write_training_shards(df: DataFrame, path: str, shard_col: str = "shard",
     files if any stage is nondeterministic. ``mode='append'`` instead
     merges the PRIOR manifest with the batch's own counts — O(batch) per
     ingest, not O(full accumulated history); the batch frame is persisted
-    across write+count so both read one materialization. Either way the
-    manifest lands via write-to-temp-then-rename, so a crash mid-publish
-    leaves the previous manifest intact (the data-write → manifest-publish
-    pair is still two operations; the rename only narrows the window — a
-    crash between them leaves a one-batch-stale manifest, never a torn
-    one)."""
+    across write+count so both read one materialization (released on every
+    exit path). Publish is write-to-temp, delete old, rename temp: a
+    reader never sees a TORN manifest, but in the delete→rename window (a
+    crash there, or a concurrent read) the manifest is briefly ABSENT —
+    the next append run detects the missing path and rebuilds from the
+    full directory, and readers should treat missing-manifest as
+    retry-or-rescan. (True atomic swap needs a filesystem with atomic
+    dir-rename-over — not portable across Hadoop FSes; the data-write →
+    manifest-publish pair also remains two operations, so a crash between
+    them leaves a one-batch-stale manifest.)"""
     spark = df.sparkSession
     manifest_path = path.rstrip("/") + "_manifest"
     tmp_path = manifest_path + ".tmp"
@@ -172,25 +176,30 @@ def write_training_shards(df: DataFrame, path: str, shard_col: str = "shard",
         prior_schema, prior_rows = prior.schema, prior.collect()
         df = df.persist()
 
-    writer = df.write.mode(mode)
-    if max_rows_per_file:
-        writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
-    writer.partitionBy(shard_col).parquet(path)
+    try:
+        writer = df.write.mode(mode)
+        if max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile",
+                                   int(max_rows_per_file))
+        writer.partitionBy(shard_col).parquet(path)
 
-    if appending:
-        batch = _agg(df)
-        prior_df = spark.createDataFrame(prior_rows, schema=prior_schema)
-        both = prior_df.unionByName(batch, allowMissingColumns=True)
-        sums = [F.sum("n_rows").cast("long").alias("n_rows")]
-        if "n_tokens" in both.columns:
-            sums.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
-        manifest = both.groupBy(shard_col).agg(*sums)
-    else:
-        manifest = _agg(spark.read.parquet(path))
+        if appending:
+            batch = _agg(df)
+            prior_df = spark.createDataFrame(prior_rows, schema=prior_schema)
+            both = prior_df.unionByName(batch, allowMissingColumns=True)
+            sums = [F.sum("n_rows").cast("long").alias("n_rows")]
+            if "n_tokens" in both.columns:
+                sums.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
+            manifest = both.groupBy(shard_col).agg(*sums)
+        else:
+            manifest = _agg(spark.read.parquet(path))
 
-    manifest.coalesce(1).write.mode("overwrite").parquet(tmp_path)
-    if appending:
-        df.unpersist()
+        manifest.coalesce(1).write.mode("overwrite").parquet(tmp_path)
+    finally:
+        # release on EVERY path — a failed tmp-write must not leak a
+        # batch-sized cache per failed ingest (r6 review finding)
+        if appending:
+            df.unpersist()
     tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
     fs.delete(hpath, True)
     if not fs.rename(tmp, hpath):

@@ -40,15 +40,15 @@ def live_world(spark: SparkSession, coins: Sequence[str], n_days: int = 30,
     universe member's full history canonically aggregated. Lazy end to end.
     """
     kwargs = {"fetcher": fetcher} if fetcher is not None else {}
-    # PERSIST the fetched fact: it feeds four plan branches (latest-day agg
+    # PIN the fetched fact: it feeds four plan branches (latest-day agg
     # twice, the universe build, the members semi-join), and Spark does not
     # dedupe common subtrees — uncached, one action re-invokes the fetcher
     # ~4x (4x API traffic with a real rate-limited HTTP fetcher), and a
     # new day arriving between re-executions could stamp the snapshot with
     # a different day than the one that picked the universe — a torn world
-    # (r5 review finding). Same caller-release contract as
-    # ngram_jaccard_pairs; refresh_world_snapshot releases it after the
-    # write.
+    # (r5 review finding). Engine-pin contract: refresh_world_snapshot
+    # releases it scoped around its write; a caller driving live_world's
+    # lazy result directly owns the release (caching.release_engine_pins).
     from .caching import pin
 
     fact = pin(canonicalize(
@@ -89,11 +89,19 @@ def refresh_world_snapshot(spark: SparkSession, out_root: str,
     """One live-pipeline run: recompute the world, overwrite its
     snapshot-date partition (dynamic partition overwrite — other dates'
     partitions are untouched, re-runs of the same state are no-ops in
-    content). Returns the world that was written."""
-    world = live_world(spark, coins, n_days, top_n, canonical_map, fetcher)
-    write_daily_snapshot(world, out_root, date_col="snapshot_date",
-                         skip_if_exists=False)
-    # the fetched fact pinned inside live_world stays cached under the
-    # engine-pin contract (caching.release_engine_pins releases exactly
-    # it; a blanket clearCache here would wipe caches the caller owns)
+    content). Returns the world that was written.
+
+    Pin lifecycle (r6 review finding): the fetched fact pinned inside
+    live_world is released when this function returns — a scheduler
+    calling this daily in one long-lived session must not accumulate a
+    fact cache per run. The write inside the scope fully materializes the
+    world; re-executing the RETURNED frame afterwards recomputes (and
+    re-fetches) — read the written snapshot back instead for cheap reuse."""
+    from .caching import engine_pin_scope
+
+    with engine_pin_scope():
+        world = live_world(spark, coins, n_days, top_n, canonical_map,
+                           fetcher)
+        write_daily_snapshot(world, out_root, date_col="snapshot_date",
+                             skip_if_exists=False)
     return world

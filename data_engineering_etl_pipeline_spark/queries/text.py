@@ -345,7 +345,9 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlining the split into every consumer re-runs the regex per reference).
     docs = raw.select("doc_id", "lang", "text", tokens("text").alias("__toks"))
     t = F.col("__toks")
-    simhash = simhash64_portable(raw, "doc_id", "text")
+    # consumes the SAME __toks projection — no second corpus split (the
+    # consolidation's 'one split feeds all stats' invariant, r6 review)
+    simhash = simhash64_portable(docs, "doc_id", "text", tokens_col="__toks")
     # O(len)/doc Arrow form; integer-equal to the oracle's list_reduce
     # recurrence (the pure-expression twin is rolling_fingerprint — O(len²))
     fingerprint = rolling_fingerprint_udf("text")

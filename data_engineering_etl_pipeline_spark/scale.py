@@ -49,11 +49,15 @@ def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
     marked indeterminate — expression-level nondeterminism can duplicate or
     drop rows when some reducers consumed the old map output (r5 advisor
     finding). So the salt is ``xxhash64`` of the full row plus
-    ``spark_partition_id()`` (stable for deterministic sources like file
-    scans). Byte-identical duplicate rows WITHIN one input partition still
+    ``spark_partition_id()`` — PRECONDITION: stable only when ``big``'s
+    partitioning is itself deterministic under recomputation (file scans,
+    hash-repartitions on columns). A round-robin ``repartition(n)`` or
+    other shuffled lineage upstream can re-place rows across partitions on
+    a stage retry, re-salting them — under such lineage pass ``row_id_col``
+    (a stable unique id), which replaces the partition id entirely and is
+    retry-proof. Byte-identical duplicate rows WITHIN one input partition
     share a salt — residual skew bounded by per-partition duplicate
-    multiplicity. Callers with a stable unique id column can pass it as
-    ``row_id_col`` to spread even byte-identical payload rows perfectly.
+    multiplicity; ``row_id_col`` removes that too.
     """
     allowed = ("inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "left_anti", "leftanti")

@@ -47,6 +47,11 @@ _SESSIONS: "weakref.WeakValueDictionary[int, SparkSession]" = \
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     key = id(spark)
+    # prune memo entries whose session died (the weak map forgot them) —
+    # without this the int-keyed dict grows with session churn and a
+    # recycled id() could resurrect a stale sf_dir (r6 review finding)
+    for k in [k for k in _REGISTERED if k not in _SESSIONS]:
+        _REGISTERED.pop(k, None)
     # id() can be recycled after a session is garbage-collected; the weak
     # map proves the memo entry still describes THIS session object. A
     # direct register_star_views() call in between can also repoint views,
