@@ -102,6 +102,9 @@ def test_salted_join_salt_is_deterministic(spark):
     plan = salted._jdf.queryExecution().analyzed().toString()
     assert "monotonically_increasing_id" not in plan, plan
     assert "rand(" not in plan, plan
+    # positive assertion, not just absence of the two known offenders: the
+    # intended deterministic disambiguator is actually in the salt
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
 
 
 def test_salted_join_row_id_col_variant_equals_plain(spark):
