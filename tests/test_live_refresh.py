@@ -113,3 +113,19 @@ def test_live_world_values_match_pandas_oracle(spark):
         assert r.price == pytest.approx(p, abs=1e-9), (r.canonical_id, r.day)
         assert r.volume == pytest.approx(v, abs=1e-9)
         assert r.n_members == n
+
+
+def test_refresh_world_releases_engine_pins(spark, tmp_path):
+    """A scheduler runs refresh_world_snapshot daily in one session; each
+    run must NOT accumulate a pinned fetched-fact relation (r6 review
+    finding) — the write inside the scope fully materializes the world, so
+    scoped release is safe."""
+    import data_engineering_etl_pipeline_spark.caching as caching
+    from data_engineering_etl_pipeline_spark.live import refresh_world_snapshot
+
+    caching.release_engine_pins()
+    before = len(caching._PINNED)
+    refresh_world_snapshot(spark, str(tmp_path / "world"),
+                           ["btc", "eth", "sol"], n_days=10, top_n=2)
+    assert len(caching._PINNED) == before, (
+        "refresh_world_snapshot leaked an engine pin")
