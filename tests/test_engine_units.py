@@ -791,3 +791,41 @@ def test_engine_pin_release_leaves_caller_caches_alone(spark):
     assert not inner.storageLevel.useMemory and not inner.storageLevel.useDisk
     assert release_engine_pins() == 1  # exactly the outer pin remains
     caller.unpersist()
+
+
+def test_fingerprint_index_bucketed_roundtrip_dedup(spark):
+    """Values through the DISK path: write the day-1 index with
+    write_fingerprint_index (bucketed+sorted on both key columns), read it
+    back, and run the day-2 incremental dedup against the disk copy — the
+    fresh set must equal the in-memory-index run exactly (the plan pin in
+    test_plans.py proves the join is exchange-free; this proves the
+    bucketed write/read loses no rows, including the NULL-text sentinel
+    group)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        doc_fingerprints, incremental_exact_dedup, read_fingerprint_index,
+        write_fingerprint_index)
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, None), (4, "alpha beta")],
+        "doc_id long, text string")
+    day2 = spark.createDataFrame(
+        [(10, "alpha beta"),   # dup of day-1 -> drop
+         (11, None),           # NULL-text dup of day-1 NULL -> drop
+         (12, "delta new"),    # fresh
+         (13, "delta new"),    # in-batch dup -> drop
+         (14, "epsilon")],     # fresh
+        "doc_id long, text string")
+    index = doc_fingerprints(day1, "doc_id", "text")
+    fresh_mem, _ = incremental_exact_dedup(day2, index, "doc_id", "text")
+    want = {r["doc_id"] for r in fresh_mem.collect()}
+    assert want == {12, 14}
+
+    write_fingerprint_index(index, "b_fp_roundtrip")
+    disk = read_fingerprint_index(spark, "b_fp_roundtrip")
+    fresh_disk, updated = incremental_exact_dedup(day2, disk,
+                                                  "doc_id", "text")
+    assert {r["doc_id"] for r in fresh_disk.collect()} == want
+    # updated index: day-1 keepers {1 (alpha), 2, 3 (NULL)} + fresh {12, 14}
+    assert ({r["keep_id"] for r in updated.collect()} == {1, 2, 3, 12, 14})
