@@ -111,6 +111,110 @@ def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, query_id_col, id_col, k)
 
 
+def gemm_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     dim: int = VECTOR_DIM) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched BLAS — bit-identical results to
+    ``cosine_topk``, built for the 100 TB base side.
+
+    ``cosine_topk`` scores every (base row × query) with the codegen'd
+    expression chain and shuffles ALL n·q scored rows into the ranking
+    window. Here the query side (small — same budget guard as a broadcast
+    join build side) is collected once as a unit-vector matrix; the base
+    side streams through ``mapInPandas`` and each Arrow batch scores against
+    every query in ONE BLAS matmul, emitting only per-(batch, query)
+    top-k *candidates*. The ranking window then sees O(batches · q · k)
+    rows instead of n·q — the shuffle no longer scales with the corpus.
+
+    Exactness argument (mirrors ``_blas_candidate_pairs``): the global
+    top-k per query is contained in the union of per-batch top-k sets, and
+    per-batch selection keeps everything within ``2e-6`` of the batch's
+    k-th best BLAS score. BLAS differs from the exact chain by ulps only,
+    and the final ranking rounds to 6 decimals (granularity 1e-6) — any row
+    excluded per-batch is beaten by ≥ k rows whose *rounded* exact cosine
+    is strictly greater, so it cannot reach rank ≤ k under the final
+    (cosine DESC, id ASC) order. Zero/NULL vectors (null ``inv``) have NULL
+    cosine and rank after every real score; the kernel forwards up to k of
+    them per batch (smallest ids — their final tiebreak) so short corpora
+    rank identically to brute force. Candidates are re-scored by the exact
+    codegen chain and ranked by the same ``_topk`` window, so ties,
+    rounding, and rank numbers match ``cosine_topk`` bit-for-bit.
+    """
+    spark = base.sparkSession
+    b = with_vec_inv(base, vec_col, "v", "i", dim).select(
+        F.col(id_col), "v", "i")
+    qv = with_vec_inv(queries, vec_col, "vq", "iq", dim).select(
+        F.col(query_id_col), "vq", "iq")
+    budget = int(spark.conf.get(
+        "spark.sql.graft.blasBroadcastRows", str(_BLAS_BROADCAST_ROWS)))
+    probe = qv.select(query_id_col).limit(budget + 1).count()
+    if probe > budget:
+        raise ValueError(
+            f"gemm_cosine_topk: query side exceeds the broadcast budget of "
+            f"{budget} rows — it is collected like a broadcast join build "
+            "side. Swap base/queries or raise "
+            "spark.sql.graft.blasBroadcastRows.")
+    qpdf = qv.toPandas()
+    q_ids = qpdf[query_id_col].to_numpy()
+    q_mat = np.vstack([
+        np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
+        for row in qpdf["vq"]
+    ]) if len(qpdf) else np.zeros((0, dim))
+    q_unit = q_mat * qpdf["iq"].fillna(0.0).to_numpy()[:, None]
+    bc = spark.sparkContext.broadcast((q_ids, q_unit))
+
+    def select_candidates(batches):
+        ids_q, uq = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(ids_q):
+                continue
+            b_ids = pdf[id_col].to_numpy()
+            b_mat = np.vstack([
+                np.zeros(dim) if row is None
+                else np.asarray(row, dtype=np.float64)
+                for row in pdf["v"]
+            ])
+            null_mask = pdf["i"].isna().to_numpy()
+            b_unit = b_mat * pdf["i"].fillna(0.0).to_numpy()[:, None]
+            sims = b_unit @ uq.T  # (batch, q)
+            sims[null_mask, :] = -np.inf
+            # up to k+1 smallest null-inv ids (one spare for self-exclusion)
+            null_ids = np.sort(b_ids[null_mask])[:k + 1]
+            out_q, out_b = [], []
+            for j, qid in enumerate(ids_q):
+                col = sims[:, j].copy()
+                col[b_ids == qid] = -np.inf
+                finite = col > -np.inf
+                n_fin = int(finite.sum())
+                if n_fin:
+                    if n_fin <= k:
+                        sel = finite
+                    else:
+                        kth = np.partition(col, len(col) - k)[len(col) - k]
+                        sel = col >= kth - 2e-6
+                    chosen = b_ids[sel]
+                    out_q.append(np.full(len(chosen), qid))
+                    out_b.append(chosen)
+                nn = null_ids[null_ids != qid][:k]
+                if len(nn):
+                    out_q.append(np.full(len(nn), qid))
+                    out_b.append(nn)
+            if out_q:
+                yield pd.DataFrame({query_id_col: np.concatenate(out_q),
+                                    id_col: np.concatenate(out_b)})
+
+    q_type = qv.schema[query_id_col].dataType.simpleString()
+    id_type = b.schema[id_col].dataType.simpleString()
+    cand = b.mapInPandas(
+        select_candidates, schema=f"{query_id_col} {q_type}, {id_col} {id_type}")
+    scored = (cand.join(b, id_col).join(F.broadcast(qv), query_id_col)
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .withColumn("cosine", _cosine(F.col("v"), F.col("vq"),
+                                            F.col("i"), F.col("iq"), dim)))
+    return _topk(scored, query_id_col, id_col, k)
+
+
 def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
                           dim: int) -> DataFrame:
     """EXACT candidate generation for all-pairs cosine ≥ threshold via
@@ -143,10 +247,12 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
             f"_blas_candidate_pairs: build side exceeds the broadcast "
             f"budget of {budget} rows — the exact GEMM path collects one "
             "side to the driver like a broadcast join build side. For "
-            "corpora this size, pass bucket_signatures= (e.g. from "
-            "hyperplane_lsh_buckets) so candidates come from an equi-join "
-            "instead; the exact verification tail is identical. (Raise "
-            "spark.sql.graft.blasBroadcastRows to override.)")
+            "corpora this size, pass n_blocks= (distributed exact GEMM "
+            "over block pairs, no driver collect) or bucket_signatures= "
+            "(e.g. from hyperplane_lsh_buckets) so candidates come from an "
+            "equi-join instead; the exact verification tail is identical "
+            "either way. (Raise spark.sql.graft.blasBroadcastRows to "
+            "override.)")
     # collect ONLY the scoring columns: with_vec_inv keeps every source
     # column, and an un-projected collect would haul raw embeddings plus
     # arbitrary payloads (text!) to the driver, making the row-count budget
@@ -183,11 +289,76 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
         score, schema=f"id_a {id_type}, id_b {id_type}")
 
 
+def blocked_gemm_pairs(v: DataFrame, id_col: str, threshold: float,
+                       dim: int, n_blocks: int) -> DataFrame:
+    """EXACT all-pairs candidate generation with NO driver collect — the
+    distributed twin of ``_blas_candidate_pairs`` for corpora past the
+    broadcast budget that still need exact (not LSH-recall) semantics.
+
+    Every row is assigned a block ``g = pmod(xxhash64(id), B)``; each
+    unordered block pair ``(g1 ≤ g2)`` is scored by ONE ``applyInPandas``
+    task running a single BLAS matmul between the pair's two member blocks.
+    A row participates in exactly B block pairs, so it is replicated B
+    times by ``explode(sequence(0, B-1))`` — shuffle volume is O(n·B·dim)
+    and per-task memory is O(rows-per-block · dim), both tunable via
+    ``n_blocks`` (pick B ≈ n·dim·8 / target-task-bytes). The O(n²·dim)
+    multiply count is inherent to exact all-pairs — this path distributes
+    it instead of funnelling one side through the driver.
+
+    Same ``threshold − 1e-6`` emission margin as ``_blas_candidate_pairs``
+    (BLAS vs codegen chain differ by ulps, never 1e-6) and the same exact
+    verification tail downstream — results are bit-identical to the
+    broadcast path (pinned by tests/test_similarity_recall.py).
+    """
+    B = int(n_blocks)
+    if B < 1:
+        raise ValueError("blocked_gemm_pairs: n_blocks must be >= 1")
+    margin = threshold - 1e-6
+    rep = (v.select(F.col(id_col), "v", "i",
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("__g"))
+           .withColumn("__o", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+           .withColumn("__g1", F.least("__g", "__o"))
+           .withColumn("__g2", F.greatest("__g", "__o"))
+           .drop("__o"))
+    id_type = v.schema[id_col].dataType.simpleString()
+
+    def score(key, pdf):
+        empty = pd.DataFrame({"id_a": pdf[id_col][:0], "id_b": pdf[id_col][:0]})
+        if not len(pdf):
+            return empty
+        g1, g2 = key
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack([
+            np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
+            for row in pdf["v"]
+        ])
+        unit = mat * pdf["i"].fillna(0.0).to_numpy()[:, None]
+        if g1 == g2:
+            sims = unit @ unit.T
+            ii, jj = np.nonzero((sims >= margin)
+                                & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+        a = pdf["__g"].to_numpy() == g1
+        ia, ib = ids[a], ids[~a]
+        if not len(ia) or not len(ib):
+            return empty
+        sims = unit[a] @ unit[~a].T
+        ii, jj = np.nonzero(sims >= margin)
+        # id_a < id_b convention regardless of which block holds the row
+        lo = np.minimum(ia[ii], ib[jj])
+        hi = np.maximum(ia[ii], ib[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return (rep.groupBy("__g1", "__g2")
+            .applyInPandas(score, schema=f"id_a {id_type}, id_b {id_type}"))
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           dim: int = VECTOR_DIM,
-                          bucket_signatures: DataFrame | None = None) -> DataFrame:
+                          bucket_signatures: DataFrame | None = None,
+                          n_blocks: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine ≥
     threshold) — the semantic-dedup member of the §2.11 dedup family
     (exact / n-gram / MinHash / SimHash / embedding-cosine).
@@ -195,11 +366,17 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     Default plan is EXACT all-pairs: BLAS-blocked candidate generation
     (``_blas_candidate_pairs``) + codegen'd exact re-score of the (few)
     candidates — same results as a theta self-join, without its
-    interpreted-evaluator O(n²·dim) cost. At 100 TB pass
-    ``bucket_signatures`` (e.g. from ``hyperplane_lsh_buckets``, one row
-    per (id, sig)): pairs are then only scored within equal-signature
-    buckets — an equi-join candidate generator with the same exact
-    verification tail, same recall trade-off as the banded-LSH text path.
+    interpreted-evaluator O(n²·dim) cost. Two scale escapes share the same
+    exact verification tail:
+
+    - ``n_blocks=B`` keeps EXACT semantics but distributes the GEMM over
+      block pairs (``blocked_gemm_pairs``) — no driver collect at all; use
+      when the corpus exceeds the broadcast budget and recall must be 1.0.
+    - ``bucket_signatures`` (e.g. from ``hyperplane_lsh_buckets``, one row
+      per (id, sig)) scores pairs only within equal-signature buckets — an
+      equi-join candidate generator with the same recall trade-off as the
+      banded-LSH text path; the right default at 100 TB, where exact
+      all-pairs' O(n²) multiply count is itself the bottleneck.
     """
     v = with_vec_inv(df, vec_col, "v", "i", dim)
     if bucket_signatures is not None:
@@ -210,6 +387,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                                       F.col(sig_col).alias("__sig"))
         cand = (sa.join(sb, "__sig").filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
+    elif n_blocks is not None:
+        cand = blocked_gemm_pairs(v, id_col, threshold, dim, n_blocks)
     else:
         cand = _blas_candidate_pairs(v, id_col, threshold, dim)
     return _exact_verify_pairs(v, cand, id_col, threshold, dim)

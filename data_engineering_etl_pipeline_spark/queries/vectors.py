@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extensions.similarity import _dot, cosine_topk, ivf_cosine_topk
+from ..extensions.similarity import (_dot, cosine_topk, gemm_cosine_topk,
+                                     ivf_cosine_topk)
 from ..io import load_table
 from . import register
 
@@ -49,13 +50,15 @@ _TOPK_SQL = """
     SELECT 'brute' AS method, * FROM (""" + _TOPK_SQL + """)
     UNION ALL
     SELECT 'ivf_full' AS method, * FROM (""" + _TOPK_SQL + """)
+    UNION ALL
+    SELECT 'gemm' AS method, * FROM (""" + _TOPK_SQL + """)
     """,
 )
 def embedding_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for 10 query vectors by TWO independent machines
+    """Exact cosine top-5 for 10 query vectors by THREE independent machines
     under one oracle (the r4→r5 consolidation of the former
-    ``embedding_cosine_topk`` + ``embedding_ivf_full_probe`` rows —
-    identical oracles, so one row verifies both):
+    ``embedding_cosine_topk`` + ``embedding_ivf_full_probe`` rows; the
+    ``gemm`` leg is new in r6):
 
     - ``brute``: broadcast the query side, fused codegen'd dot products,
       round-before-rank so float ties break deterministically by id;
@@ -65,18 +68,26 @@ def embedding_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       and the result EXACTLY brute force — a deterministic oracle for the
       approximate path's plumbing. ``embedding_ivf_topk`` is the production
       nprobe<K configuration (recall measured in
-      tests/test_similarity_recall.py).
+      tests/test_similarity_recall.py);
+    - ``gemm``: the 100 TB exact top-k plan — Arrow-batched BLAS scoring
+      with per-batch candidate pruning, so the ranking shuffle carries
+      O(batches·q·k) rows instead of n·q, then the exact codegen re-rank
+      (``similarity.gemm_cosine_topk``; exactness argument in its
+      docstring).
 
-    The two legs must agree with the SQL ranking AND each other row-for-row
-    — a divergence in either machine breaks the hash."""
+    The three legs must agree with the SQL ranking AND each other
+    row-for-row — a divergence in any machine breaks the hash."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 10)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     brute = cosine_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding",
                         query_id_col="query_id")
     ivf = ivf_cosine_topk(emb, q, k=5, n_centroids=16, nprobe=16)
+    gemm = gemm_cosine_topk(emb, q, k=5, id_col="vec_id",
+                            vec_col="embedding", query_id_col="query_id")
     return (brute.withColumn("method", F.lit("brute"))
             .unionByName(ivf.withColumn("method", F.lit("ivf_full")))
+            .unionByName(gemm.withColumn("method", F.lit("gemm")))
             .select("method", "query_id", "vec_id", "cosine",
                     F.col("rank").cast("int").alias("rank")))
 
@@ -109,6 +120,14 @@ def embedding_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.ve, b.ve) * a.inv * b.inv >= 0.95
     UNION ALL
+    SELECT 'pairs_blocked' AS stage, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.ve, b.ve) * a.inv * b.inv, 6) AS cosine,
+           CAST(NULL AS BIGINT) AS label, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS avg_norm, CAST(NULL AS DOUBLE) AS min_dim0,
+           CAST(NULL AS DOUBLE) AS max_dim0
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ve, b.ve) * a.inv * b.inv >= 0.95
+    UNION ALL
     SELECT 'label_stats' AS stage, CAST(NULL AS BIGINT) AS id_a,
            CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cosine,
            CAST(label AS BIGINT) AS label, COUNT(*) AS n,
@@ -127,9 +146,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pairs``: deterministic duplicates injected (every 7th vector
     re-appended under a shifted id — same recipe as doc_exact_dedup) so
     the operator has work at every scale factor. Exact all-pairs here (the
-    oracle shape); the 100 TB candidate generator is hyperplane-LSH
-    bucketing via the ``bucket_signatures`` parameter of
-    ``cosine_near_dup_pairs``.
+    oracle shape), by TWO independent machines that must both match the SQL
+    pair set: the broadcast-GEMM path and — new r6 — the fully distributed
+    block-pair GEMM (``pairs_blocked``, ``n_blocks=4``), which collects
+    nothing to the driver and is the exact-semantics plan past the
+    broadcast budget. The recall-traded 100 TB candidate generator
+    (hyperplane-LSH bucketing) has its own oracle-checked row,
+    ``embedding_lsh_near_dup``.
 
     ``label_stats``: per-label vector counts, mean L2 norm, and
     first-dimension extrema — the fused-array-expression (no UDF) pattern."""
@@ -142,6 +165,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vec_id", F.col("vec_id") + 1000000))
     pairs = (cosine_near_dup_pairs(doubled, threshold=0.95)
              .select(F.lit("pairs").alias("stage"), "id_a", "id_b", "cosine"))
+    blocked = (cosine_near_dup_pairs(doubled, threshold=0.95, n_blocks=4)
+               .select(F.lit("pairs_blocked").alias("stage"),
+                       "id_a", "id_b", "cosine"))
+    pairs = pairs.unionByName(blocked)
 
     lv = emb.withColumn(
         "__v", F.transform(F.col("embedding"), lambda x: x.cast("double")))

@@ -307,3 +307,121 @@ def test_ivfpq_residual_beats_plain_on_clustered(spark):
     plain, res = recall(False), recall(True)
     assert res > plain, (plain, res)   # measured 0.22 vs 0.32
     assert res >= 0.28, res
+
+
+def _doubled(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    return emb.unionByName(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000))
+
+
+def test_blocked_gemm_pairs_equals_broadcast_path(spark):
+    """The distributed block-pair GEMM (no driver collect) must be
+    bit-identical to the broadcast exact path — same pairs, same rounded
+    cosines — at several block counts, including the degenerate B=1 (one
+    task holding the whole corpus) and a B larger than the partition
+    count."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs)
+
+    doubled = _doubled(spark)
+    want = sorted((r.id_a, r.id_b, r.cosine)
+                  for r in cosine_near_dup_pairs(doubled).collect())
+    assert want  # fixture plants exact duplicates — a silent empty set
+    for B in (1, 3, 8):
+        got = sorted((r.id_a, r.id_b, r.cosine)
+                     for r in cosine_near_dup_pairs(doubled, n_blocks=B)
+                     .collect())
+        assert got == want, f"n_blocks={B} diverged"
+
+
+def test_blocked_path_survives_broadcast_budget(spark):
+    """Past the broadcast budget the collect-based exact path must refuse
+    (pointing at n_blocks / bucket_signatures), while the blocked path runs
+    the same corpus to the same answer — the guard's escape hatch is real."""
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs)
+
+    doubled = _doubled(spark)
+    spark.conf.set("spark.sql.graft.blasBroadcastRows", "10")
+    try:
+        with pytest.raises(ValueError, match="n_blocks"):
+            cosine_near_dup_pairs(doubled).collect()
+        got = cosine_near_dup_pairs(doubled, n_blocks=4)
+        planted = [r.vec_id for r in
+                   doubled.filter((F.col("vec_id") % 7 == 0)
+                                  & (F.col("vec_id") < 1000000)).collect()]
+        rows = {(r.id_a, r.id_b): r.cosine for r in got.collect()}
+        assert planted
+        for vid in planted:
+            assert rows.get((vid, vid + 1000000)) == 1.0
+    finally:
+        spark.conf.unset("spark.sql.graft.blasBroadcastRows")
+
+
+def test_gemm_topk_bit_equals_brute(spark):
+    """gemm_cosine_topk (Arrow-batched BLAS scoring, per-batch candidate
+    pruning, exact re-rank) must reproduce cosine_topk bit-for-bit —
+    including cosine rounding and rank numbers."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        gemm_cosine_topk)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    want = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                  for r in cosine_topk(emb, q, k=K).collect())
+    got = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                 for r in gemm_cosine_topk(emb, q, k=K).collect())
+    assert got == want
+
+
+def test_gemm_topk_ties_and_duplicate_vectors(spark):
+    """Adversarial tie shape for the per-batch pruning margin: many EXACT
+    duplicate vectors means the k-th best BLAS score ties with dozens of
+    rows, and the winner is decided purely by the (rounded cosine, id)
+    tiebreak. The pruned candidate set must still contain every tie member
+    the brute path would rank."""
+    import random as _random
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        gemm_cosine_topk)
+
+    rnd = _random.Random(42)
+    protos = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    rows = [(i, protos[i % 8]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = emb.repartition(7)  # many small batches -> per-batch pruning real
+    q = (emb.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    want = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                  for r in cosine_topk(emb, q, k=K, dim=64).collect())
+    got = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                 for r in gemm_cosine_topk(emb, q, k=K, dim=64).collect())
+    assert got == want
+
+
+def test_gemm_topk_short_corpus_and_zero_vectors(spark):
+    """Corpus smaller than k with a zero vector: brute force ranks the
+    zero vector's NULL cosine last but still emits it (rank <= k). The
+    GEMM kernel's null-forwarding path must reproduce that exactly."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        gemm_cosine_topk)
+
+    rows = [(0, [1.0] * 64), (1, [1.0] * 63 + [0.9]), (2, [0.0] * 64),
+            (3, [-1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    want = sorted(((r.query_id, r.vec_id, r.cosine, r.rank)
+                   for r in cosine_topk(emb, q, k=K, dim=64).collect()),
+                  key=lambda t: t[3])
+    got = sorted(((r.query_id, r.vec_id, r.cosine, r.rank)
+                  for r in gemm_cosine_topk(emb, q, k=K, dim=64).collect()),
+                 key=lambda t: t[3])
+    assert got == want
+    assert len(got) == 3  # all non-self rows ranked, incl. the NULL cosine
+    assert got[-1][2] is None  # zero vector sorts last
