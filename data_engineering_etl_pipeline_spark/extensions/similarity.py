@@ -111,6 +111,54 @@ def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, query_id_col, id_col, k)
 
 
+def _batch_sims(pdf: "pd.DataFrame", id_col: str, q_unit: "np.ndarray",
+                dim: int, k: int):
+    """Score one Arrow batch of ``(id, v, i)`` rows against a unit-vector
+    query matrix in a single BLAS matmul. Returns ``(sims, ids, null_ids)``
+    with NULL-inv rows (zero/NULL vectors) forced to −inf in ``sims`` and
+    their k+1 smallest ids surfaced separately (one spare for
+    self-exclusion) — they rank by NULL-cosine/id in the exact tail."""
+    b_ids = pdf[id_col].to_numpy()
+    b_mat = np.vstack([
+        np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
+        for row in pdf["v"]
+    ])
+    null_mask = pdf["i"].isna().to_numpy()
+    b_unit = b_mat * pdf["i"].fillna(0.0).to_numpy()[:, None]
+    sims = b_unit @ q_unit.T  # (batch, q)
+    sims[null_mask, :] = -np.inf
+    return sims, b_ids, np.sort(b_ids[null_mask])[:k + 1]
+
+
+def _select_topk_candidates(sims, b_ids, null_ids, q_ids, k: int):
+    """Shared per-batch candidate selection of the exact BLAS top-k kernels
+    (``gemm_cosine_topk``, ``knn_join``): for each query, keep everything
+    within 2e-6 of the batch's k-th best BLAS score (the margin that makes
+    the exact re-rank provably lossless — see ``gemm_cosine_topk``), plus
+    up to k NULL-vector ids (smallest — their final tiebreak). Self-matches
+    are masked here; the exact tail re-applies the filter."""
+    out_q, out_b = [], []
+    for j, qid in enumerate(q_ids):
+        col = sims[:, j].copy()
+        col[b_ids == qid] = -np.inf
+        finite = col > -np.inf
+        n_fin = int(finite.sum())
+        if n_fin:
+            if n_fin <= k:
+                sel = finite
+            else:
+                kth = np.partition(col, len(col) - k)[len(col) - k]
+                sel = col >= kth - 2e-6
+            chosen = b_ids[sel]
+            out_q.append(np.full(len(chosen), qid))
+            out_b.append(chosen)
+        nn = null_ids[null_ids != qid][:k]
+        if len(nn):
+            out_q.append(np.full(len(nn), qid))
+            out_b.append(nn)
+    return out_q, out_b
+
+
 def gemm_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
@@ -169,37 +217,9 @@ def gemm_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
         for pdf in batches:
             if not len(pdf) or not len(ids_q):
                 continue
-            b_ids = pdf[id_col].to_numpy()
-            b_mat = np.vstack([
-                np.zeros(dim) if row is None
-                else np.asarray(row, dtype=np.float64)
-                for row in pdf["v"]
-            ])
-            null_mask = pdf["i"].isna().to_numpy()
-            b_unit = b_mat * pdf["i"].fillna(0.0).to_numpy()[:, None]
-            sims = b_unit @ uq.T  # (batch, q)
-            sims[null_mask, :] = -np.inf
-            # up to k+1 smallest null-inv ids (one spare for self-exclusion)
-            null_ids = np.sort(b_ids[null_mask])[:k + 1]
-            out_q, out_b = [], []
-            for j, qid in enumerate(ids_q):
-                col = sims[:, j].copy()
-                col[b_ids == qid] = -np.inf
-                finite = col > -np.inf
-                n_fin = int(finite.sum())
-                if n_fin:
-                    if n_fin <= k:
-                        sel = finite
-                    else:
-                        kth = np.partition(col, len(col) - k)[len(col) - k]
-                        sel = col >= kth - 2e-6
-                    chosen = b_ids[sel]
-                    out_q.append(np.full(len(chosen), qid))
-                    out_b.append(chosen)
-                nn = null_ids[null_ids != qid][:k]
-                if len(nn):
-                    out_q.append(np.full(len(nn), qid))
-                    out_b.append(nn)
+            sims, b_ids, null_ids = _batch_sims(pdf, id_col, uq, dim, k)
+            out_q, out_b = _select_topk_candidates(sims, b_ids, null_ids,
+                                                   ids_q, k)
             if out_q:
                 yield pd.DataFrame({query_id_col: np.concatenate(out_q),
                                     id_col: np.concatenate(out_b)})
@@ -209,6 +229,73 @@ def gemm_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     cand = b.mapInPandas(
         select_candidates, schema=f"{query_id_col} {q_type}, {id_col} {id_type}")
     scored = (cand.join(b, id_col).join(F.broadcast(qv), query_id_col)
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .withColumn("cosine", _cosine(F.col("v"), F.col("vq"),
+                                            F.col("i"), F.col("iq"), dim)))
+    return _topk(scored, query_id_col, id_col, k)
+
+
+def knn_join(base: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", dim: int = VECTOR_DIM,
+             n_base_blocks: int = 8, n_query_blocks: int = 8) -> DataFrame:
+    """Exact cosine KNN JOIN — top-k base neighbors for EVERY query row when
+    BOTH sides are corpus-scale. Nothing is collected or broadcast: queries
+    block by ``pmod(xxhash64(qid), Bq)``, base by ``pmod(xxhash64(id), Bb)``,
+    and every (query-block × base-block) cell is scored by one cogrouped
+    ``applyInPandas`` task running a single BLAS matmul, emitting per-cell
+    top-k candidates (``_select_topk_candidates`` — same 2e-6 margin and
+    NULL forwarding as ``gemm_cosine_topk``, same losslessness argument:
+    the global top-k per query is contained in the union of its per-cell
+    top-k sets). The exact codegen re-rank then sees O(q·Bb·k) rows, so
+    results are bit-identical to ``cosine_topk`` at any block count.
+
+    Cost model: query rows replicate Bb times, base rows Bq times (shuffle
+    O(nq·Bb + nb·Bq) rows); per-task memory is one cell —
+    O((nq/Bq + nb/Bb)·dim). Pick Bq/Bb so a cell fits an executor. The
+    multiply count O(nq·nb·dim) is inherent to exact KNN; this distributes
+    it across Bq·Bb independent BLAS tasks. A pathological all-NULL/zero
+    QUERY vector ties every base row at score 0 and forwards whole cells as
+    candidates — still exact (ranked NULL-cosine, id ASC), just not pruned.
+    """
+    Bq, Bb = int(n_query_blocks), int(n_base_blocks)
+    if Bq < 1 or Bb < 1:
+        raise ValueError("knn_join: block counts must be >= 1")
+    b = with_vec_inv(base, vec_col, "v", "i", dim).select(
+        F.col(id_col), "v", "i")
+    qv = with_vec_inv(queries, vec_col, "vq", "iq", dim).select(
+        F.col(query_id_col), "vq", "iq")
+    brep = (b.withColumn("__bg", F.pmod(F.xxhash64(F.col(id_col)), F.lit(Bb)))
+            .withColumn("__qg", F.explode(F.sequence(F.lit(0), F.lit(Bq - 1)))))
+    qrep = (qv.withColumn("__qg", F.pmod(F.xxhash64(F.col(query_id_col)),
+                                         F.lit(Bq)))
+            .withColumn("__bg", F.explode(F.sequence(F.lit(0), F.lit(Bb - 1)))))
+    q_type = qv.schema[query_id_col].dataType.simpleString()
+    id_type = b.schema[id_col].dataType.simpleString()
+
+    def score(_key, qpdf, bpdf):
+        if not len(qpdf) or not len(bpdf):
+            return pd.DataFrame({query_id_col: qpdf[query_id_col][:0],
+                                 id_col: bpdf[id_col][:0]})
+        q_ids = qpdf[query_id_col].to_numpy()
+        q_mat = np.vstack([
+            np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
+            for row in qpdf["vq"]
+        ])
+        q_unit = q_mat * qpdf["iq"].fillna(0.0).to_numpy()[:, None]
+        sims, b_ids, null_ids = _batch_sims(bpdf, id_col, q_unit, dim, k)
+        out_q, out_b = _select_topk_candidates(sims, b_ids, null_ids,
+                                               q_ids, k)
+        if not out_q:
+            return pd.DataFrame({query_id_col: q_ids[:0], id_col: b_ids[:0]})
+        return pd.DataFrame({query_id_col: np.concatenate(out_q),
+                             id_col: np.concatenate(out_b)})
+
+    cand = (qrep.groupBy("__qg", "__bg")
+            .cogroup(brep.groupBy("__qg", "__bg"))
+            .applyInPandas(
+                score, schema=f"{query_id_col} {q_type}, {id_col} {id_type}"))
+    scored = (cand.join(b, id_col).join(qv, query_id_col)
               .filter(F.col(id_col) != F.col(query_id_col))
               .withColumn("cosine", _cosine(F.col("v"), F.col("vq"),
                                             F.col("i"), F.col("iq"), dim)))

@@ -425,3 +425,24 @@ def test_gemm_topk_short_corpus_and_zero_vectors(spark):
     assert got == want
     assert len(got) == 3  # all non-self rows ranked, incl. the NULL cosine
     assert got[-1][2] is None  # zero vector sorts last
+
+
+def test_knn_join_bit_equals_brute(spark):
+    """knn_join (cogrouped block-pair BLAS, neither side collected or
+    broadcast) must reproduce cosine_topk bit-for-bit at any block shape,
+    including degenerate 1x1 (one cell holding everything) and blocks
+    exceeding the data's natural partitioning."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        knn_join)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = (emb.filter(F.col("vec_id") % 11 == 0).limit(30)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    want = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                  for r in cosine_topk(emb, q, k=K).collect())
+    assert want
+    for bq, bb in ((1, 1), (3, 2), (8, 8)):
+        got = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                     for r in knn_join(emb, q, k=K, n_query_blocks=bq,
+                                       n_base_blocks=bb).collect())
+        assert got == want, f"blocks=({bq},{bb}) diverged"
