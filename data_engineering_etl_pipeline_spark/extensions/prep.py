@@ -21,8 +21,11 @@ Stage-ordering rationale (each choice is load-bearing at 100 TB):
 - packing runs last, on exactly the docs that will ship.
 
 Every stage is one of the repo's verified operators; this module adds no
-new math, only the composition — so its correctness surface is the
-invariants (tested in tests/test_prep_pipeline.py), not new oracles.
+new math, only the composition. Its correctness surface is the planted-
+artifact invariants (tests/test_prep_pipeline.py) AND — since late r6 —
+the registry row's chained DuckDB oracle (queries/corpusq.py
+``_prep_oracle``), which reproduces the ENTIRE composition in SQL so the
+driver hash-checks the stage wiring end-to-end.
 """
 
 from __future__ import annotations
@@ -48,7 +51,8 @@ def prepare_training_corpus(docs: DataFrame,
                             gopher_first: bool = False,
                             train_frac: float = 0.9,
                             pack_budget: int = 2048,
-                            n_shards: int = 64) -> DataFrame:
+                            n_shards: int = 64,
+                            portable_shard: bool = False) -> DataFrame:
     """Run the full preparation pipeline; returns the packed training set:
     ``(id, text, split, n_tokens, shard, pack_id)`` where ``text`` is the
     cleaned+scrubbed form, ``split`` ∈ {train, val} by content hash, and
@@ -152,9 +156,14 @@ def prepare_training_corpus(docs: DataFrame,
 
     # 8. Token-budget packing of the train split only (val ships unpacked
     #    rows with shard/pack_id null via the left join).
+    #    ``portable_shard`` forwards to pack_sequences (md5 shard instead of
+    #    xxhash64) — the oracle convention that lets the registry row's
+    #    DuckDB twin reproduce shard/pack_id bit-for-bit; production keeps
+    #    the cheaper JVM hash.
     packs = pack_sequences(labeled.filter(F.col("split") == "train"),
                            budget=pack_budget, n_shards=n_shards,
                            id_col=id_col, text_col=text_col,
-                           tokens_col="n_tokens")
+                           tokens_col="n_tokens",
+                           portable_shard=portable_shard)
     return (labeled.join(packs.select(id_col, "shard", "pack_id"),
                          id_col, "left"))

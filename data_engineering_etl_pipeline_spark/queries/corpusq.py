@@ -252,7 +252,146 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.flag_contaminated(docs, bench, n=13)
 
 
-@register("prep_training_corpus")
+def _prep_oracle() -> str:
+    """DuckDB twin of the ENTIRE prepare_training_corpus composition (new
+    r6 — the registry's last rows-only non-connector row becomes fully
+    value-checked). Each CTE is the proven construction from the stage's
+    own registry oracle, chained: synthetic pages (doc_cleaning_suite's
+    ``_C4_PAGE_SQL``) → C4 line clean + page gate → PII scrub
+    (``scrub_pii_sql``) → exact dedup (min id per identical text — the SQL
+    semantics the two-phase fingerprint plan must reproduce) →
+    trigram-Jaccard pairs at max_df=50 (cold-shingle candidate join + the
+    exact hot-overlap add-back, ``ngram_jaccard_pairs`` semantics) →
+    recursive-CTE connected components (``doc_dedup_clusters``'s closure)
+    → 13-gram decontamination (``doc_decontamination``'s shape, benchmark
+    = raw pages of docs 3/17/42) → the rounded quality floor
+    (``doc_text_stats``'s quality expression) → md5 content-hash split →
+    per-shard cumsum packing (``pack_sequences``'s oracle)."""
+    from ..extensions.cleaning import (C4_MIN_SENTENCES, C4_SENTENCE_RE,
+                                       c4_kept_lines_sql)
+    from ..extensions.pii import scrub_pii_sql
+    from .text import _C4_PAGE_SQL
+
+    cleaned = "array_to_string(" + c4_kept_lines_sql("text") + ", chr(10))"
+    hv_text = _MD5_32.format(arg="text")
+    hv_id = _MD5_32.format(arg="CAST(doc_id AS VARCHAR)")
+    # doc_text_stats' quality expression (rounded — quality_score rounds to
+    # 6 before prep's >= 0.05 floor compares)
+    quality = (
+        "ROUND(least(length(text) / 500.0, 1.0)"
+        " * (1 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0"
+        " THEN CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))"
+        " AS DOUBLE) / length(regexp_replace(text, '\\s+', '', 'g'))"
+        " ELSE 0.0 END)"
+        " * CASE WHEN len(t) > 0"
+        " THEN CAST(len(list_filter(t, x -> regexp_matches(x, '^\\p{L}+$')))"
+        " AS DOUBLE) / len(t) ELSE 0.0 END, 6)"
+    )
+    return f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), pages AS (
+      SELECT doc_id, {_C4_PAGE_SQL} AS text FROM raw
+    ), doubled AS (
+      SELECT doc_id, text FROM pages
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM pages WHERE doc_id % 11 = 1
+    ), c4 AS (
+      SELECT doc_id, {cleaned} AS ctext,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             (contains(text, '{{') OR contains(text, '}}')) AS has_brace
+      FROM doubled
+    ), scrubbed AS (
+      SELECT doc_id, {scrub_pii_sql('ctext')} AS text
+      FROM c4
+      WHERE len(regexp_extract_all(ctext, '{C4_SENTENCE_RE}'))
+              >= {C4_MIN_SENTENCES}
+        AND NOT has_lorem AND NOT has_brace
+    ), exact AS (
+      SELECT doc_id, text FROM scrubbed
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+    ), toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+      FROM exact
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1)
+                             ELSE [] END) AS u(i)
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+    ), cold AS (
+      SELECT doc_id, shingle FROM sh JOIN dfreq USING (shingle) WHERE df <= 50
+    ), hot AS (
+      SELECT doc_id, shingle FROM sh JOIN dfreq USING (shingle) WHERE df > 50
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), cpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_cold
+      FROM cold a JOIN cold b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), hov AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_hot
+      FROM cpairs c
+      JOIN hot a ON a.doc_id = c.id_a
+      JOIN hot b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ), jpairs AS (
+      SELECT id_a, id_b
+      FROM cpairs LEFT JOIN hov USING (id_a, id_b)
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE (n_cold + COALESCE(n_hot, 0)) * 1.0
+            / (sa.sz + sb.sz - n_cold - COALESCE(n_hot, 0)) >= 0.8
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM jpairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM jpairs
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), drops AS (
+      SELECT s AS doc_id FROM reach GROUP BY s HAVING s <> LEAST(s, MIN(d))
+    ), bsh AS (
+      SELECT DISTINCT array_to_string(bt[i:i+12], ' ') AS s
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS bt
+            FROM pages WHERE doc_id IN (3, 17, 42)),
+           LATERAL (SELECT unnest(range(1, len(bt) - 11)) AS i)
+    ), contam AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, array_to_string(t[i:i+12], ' ') AS s
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 11)) AS i)
+            WHERE doc_id NOT IN (SELECT doc_id FROM drops)) d
+      JOIN bsh USING (s)
+    ), kept AS (
+      SELECT doc_id, text, t FROM toks
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        AND doc_id NOT IN (SELECT doc_id FROM contam)
+        AND {quality} >= 0.05
+    ), labeled AS (
+      SELECT doc_id,
+             CASE WHEN {hv_text} < CAST(4294967296.0 * 0.9 AS DOUBLE)
+                  THEN 'train' ELSE 'val' END AS split,
+             CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens
+      FROM kept
+    ), packs AS (
+      SELECT doc_id, shard,
+             CAST(shard * 4294967296
+             + (COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, n_tokens,
+                   CAST({hv_id} % 8 AS BIGINT) AS shard
+            FROM labeled WHERE split = 'train')
+    )
+    SELECT l.doc_id, l.split, l.n_tokens, p.shard, p.pack_id
+    FROM labeled l LEFT JOIN packs p USING (doc_id)
+    """
+
+
+@register("prep_training_corpus", oracle=_prep_oracle())
 def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation (extensions/prep.py
     prepare_training_corpus), the flagship composition: C4 line clean →
@@ -268,13 +407,17 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     line → a shared 13-gram with its own raw page; doc 42's page is
     C4-dropped first).
 
-    Rows-only driver check (the ``market_history_pipeline`` pattern): the
-    full composition is not ANSI-SQL-expressible in one oracle, but every
-    stage is individually oracle-checked by its own registry row, and
-    tests/test_prep_pipeline.py asserts each stage's verdict on planted
-    artifacts. max_df=50 on the near-dup index: the planted boilerplate
-    lines appear in EVERY page, and the DF cap is exactly the guard that
-    keeps corpus-wide shingles out of the pair self-join."""
+    FULL value oracle since r6 (previously rows-only): ``_prep_oracle``
+    chains every stage's already-proven SQL construction end-to-end, so
+    the driver hash-checks the composition itself — stage wiring bugs
+    (wrong input relation, filter on the wrong side of a join) are now
+    caught, not just per-stage math. ``portable_shard=True`` is the same
+    oracle convention as the ``pack_sequences`` row (md5 shard instead of
+    xxhash64, so DuckDB reproduces shard/pack_id bit-for-bit).
+    max_df=50 on the near-dup index: the planted boilerplate lines appear
+    in EVERY page, and the DF cap is exactly the guard that keeps
+    corpus-wide shingles out of the pair self-join; the oracle reproduces
+    the cap AND the exact hot-shingle overlap add-back."""
     from ..extensions.prep import prepare_training_corpus
     from .text import synthetic_page
 
@@ -286,7 +429,7 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = pages.filter(F.col("doc_id").isin([3, 17, 42])).select("text")
     out = prepare_training_corpus(
         doubled, bench, near_dup_threshold=0.8, near_dup_max_df=50,
-        pack_budget=512, n_shards=8)
+        pack_budget=512, n_shards=8, portable_shard=True)
     return out.select("doc_id", "split", "n_tokens", "shard", "pack_id")
 
 
