@@ -321,3 +321,45 @@ def test_incremental_dedup_bucketed_index_join_no_index_exchange(spark):
     # (with the index bucketed AND the batch shuffled, one exchange total
     # means the index scan feeds the join directly)
     assert shuffles(p) == 1, p
+
+
+def test_blocked_gemm_pairs_plan_is_grouped_map_no_corpus_broadcast(spark):
+    """The distributed exact all-pairs path (r6): candidate generation is a
+    grouped-map GEMM over block pairs — FlatMapGroupsInPandas above ONE
+    hash exchange on (__g1, __g2) — with no cartesian product and no
+    broadcast-nested-loop of the corpus. (That nothing collects to the
+    driver is pinned behaviorally in tests/test_similarity_recall.py: the
+    path runs past a shrunken broadcast budget.)"""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        blocked_gemm_pairs, with_vec_inv)
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    v = with_vec_inv(emb, "embedding", "v", "i", 64)
+    p = plan_text(blocked_gemm_pairs(v, "vec_id", 0.95, 64, 4))
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "__g1" in p and "__g2" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert shuffles(p) == 1, p  # ONE exchange: the block-pair groupBy
+
+
+def test_knn_join_plan_is_cogrouped_map_no_broadcast_sides(spark):
+    """knn_join (r6): both corpus-scale sides reach the scorer through the
+    cogrouped grouped-map operator (FlatMapCoGroupsInPandas) — neither side
+    is broadcast or cross-joined ahead of it. The post-candidate re-rank
+    joins are left to AQE (candidates are O(q*Bb*k), broadcastable at
+    runtime), so the pin is scoped to the candidate generator."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        knn_join)
+    from data_engineering_etl_pipeline_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = (emb.filter(F.col("vec_id") % 11 == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    p = plan_text(knn_join(emb, q, k=3, n_query_blocks=2, n_base_blocks=3))
+    assert "FlatMapCoGroupsInPandas" in p, p
+    head = p.split("FlatMapCoGroupsInPandas")[0]
+    # nothing broadcast/cartesian feeds the cogrouped scorer
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoop" not in head, head

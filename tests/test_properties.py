@@ -341,3 +341,50 @@ def test_incremental_dedup_batch_split_invariant(spark, args):
     want = sorted(r["doc_id"] for r in exact_dedup_keep_first(
         spark.createDataFrame(rows, schema)).collect())
     assert sorted(kept) == want
+
+
+# random small embedding corpora: a handful of prototype directions plus
+# noise scale, so near-dup pairs actually exist; includes exact duplicates
+# (same prototype, noise 0) and the occasional all-zero vector
+_vec_corpus_strategy = st.lists(
+    st.tuples(st.integers(0, 3),        # prototype index
+              st.integers(0, 2),        # noise bucket (0 = exact duplicate)
+              st.booleans()),           # zero-vector override
+    min_size=2, max_size=24)
+
+
+@SET
+@given(corpus=_vec_corpus_strategy,
+       n_blocks=st.integers(1, 5),
+       threshold=st.sampled_from([0.5, 0.9, 0.95]))
+def test_blocked_gemm_pairs_equals_broadcast_property(spark, corpus,
+                                                      n_blocks, threshold):
+    """Distributed block-pair GEMM ≡ broadcast exact GEMM on randomized
+    corpora: any prototype mix, any block count (including blocks ≫ rows),
+    any threshold, zero vectors included — same pairs, same rounded
+    cosines. The per-example oracle is the collect-based path itself,
+    whose SQL parity the driver row pins."""
+    import random as _r
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs)
+
+    dim = 8
+    protos = [[_r.Random(100 + p).gauss(0, 1) for _ in range(dim)]
+              for p in range(4)]
+    rows = []
+    for i, (p, nb, zero) in enumerate(corpus):
+        if zero:
+            rows.append((i, [0.0] * dim))
+            continue
+        rnd = _r.Random(1000 * p + nb)
+        rows.append((i, [x + 0.15 * nb * rnd.gauss(0, 1) for x in protos[p]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = sorted((r.id_a, r.id_b, r.cosine)
+                  for r in cosine_near_dup_pairs(
+                      df, threshold=threshold, dim=dim).collect())
+    got = sorted((r.id_a, r.id_b, r.cosine)
+                 for r in cosine_near_dup_pairs(
+                     df, threshold=threshold, dim=dim,
+                     n_blocks=n_blocks).collect())
+    assert got == want

@@ -446,3 +446,43 @@ def test_knn_join_bit_equals_brute(spark):
                      for r in knn_join(emb, q, k=K, n_query_blocks=bq,
                                        n_base_blocks=bb).collect())
         assert got == want, f"blocks=({bq},{bb}) diverged"
+
+
+def test_distributed_gemm_family_string_keyed(spark):
+    """String-keyed corpora through the whole r6 distributed-GEMM family —
+    the r4 lesson (hardcoded 'long' schemas crashed the PQ family on
+    string ids) applied up front: pair/candidate schemas follow the id
+    type, and the numpy kernels (np.full / np.sort / np.minimum on object
+    arrays) must handle non-numeric ids."""
+    import random as _random
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        blocked_gemm_pairs, cosine_near_dup_pairs, gemm_cosine_topk,
+        knn_join, with_vec_inv)
+
+    rnd = _random.Random(7)
+    protos = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = [(f"doc-{i:03d}", [x + 0.1 * (i % 3) * rnd.gauss(0, 1)
+                              for x in protos[i % 4]])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = (emb.limit(5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    want_pairs = sorted((r.id_a, r.id_b, r.cosine)
+                        for r in cosine_near_dup_pairs(
+                            emb, threshold=0.9, dim=16).collect())
+    got_pairs = sorted((r.id_a, r.id_b, r.cosine)
+                       for r in cosine_near_dup_pairs(
+                           emb, threshold=0.9, dim=16, n_blocks=3).collect())
+    assert got_pairs == want_pairs and want_pairs
+
+    want_top = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                      for r in cosine_topk(emb, q, k=3, dim=16).collect())
+    got_gemm = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                      for r in gemm_cosine_topk(emb, q, k=3, dim=16).collect())
+    got_knn = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                     for r in knn_join(emb, q, k=3, dim=16, n_query_blocks=2,
+                                       n_base_blocks=3).collect())
+    assert got_gemm == want_top
+    assert got_knn == want_top
