@@ -239,6 +239,88 @@ def bpe_smoke(mult: int) -> int:
     return 0
 
 
+def embedding_smoke(mult: int) -> int:
+    """Distributed exact-GEMM family scaling (r6): inflate embeddings
+    ``mult``× with per-replica deterministic SIGN FLIPS (replica r
+    multiplies dimension i by ±1 from xxhash64(r, i)) — identical within-
+    replica geometry (planted duplicates stay cosine 1.0) while the SAME
+    base vector's replicas land near cosine 0, so near-dup pairs scale
+    exactly linearly like a real corpus. Then time, at n = 2·base·mult
+    (duplicates re-appended, the registry-row recipe):
+
+    - all-pairs ≥0.95: broadcast-GEMM (driver collect) vs blocked
+      block-pair GEMM (no collect) — same pair count by construction;
+    - exact top-k for 32 queries: expression-chain + full n·q window
+      (cosine_topk) vs Arrow GEMM + pruned window (gemm_cosine_topk);
+    - knn_join with a corpus-scale query side (every 16th row).
+    """
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs, cosine_topk, gemm_cosine_topk, knn_join)
+    from data_engineering_etl_pipeline_spark.io import load_table
+    from data_engineering_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("embedding-smoke")
+    rep = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(mult - 1).cast("long"))
+    ).alias("__rep")
+    base = (load_table(spark, SRC, "embeddings")
+            .select("vec_id", "embedding", rep))
+    flipped = F.zip_with(
+        F.col("embedding"),
+        F.transform(F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: F.when(
+                        F.pmod(F.xxhash64(F.col("__rep"), i), F.lit(2)) == 0,
+                        F.lit(1.0)).otherwise(F.lit(-1.0))),
+        lambda x, s: x * s)
+    emb = (base
+           .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * KEY_SHIFT)
+           .withColumn("embedding", flipped)
+           .drop("__rep"))
+    doubled = emb.unionByName(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 500_000))
+    doubled = doubled.repartition(32).persist()
+    n = doubled.count()
+
+    def run(df) -> float:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    n_blocks = max(4, mult)
+    out = {"metric": "embedding_gemm_smoke", "multiplier": mult,
+           "vectors": n, "n_blocks": n_blocks}
+    pairs_d = cosine_near_dup_pairs(doubled, threshold=0.95,
+                                    n_blocks=n_blocks)
+    out["pairs_blocked_seconds"] = run(pairs_d)
+    out["pairs"] = pairs_d.count()
+    # The collect-based twin materializes a (arrow-batch × n) float64 sims
+    # block per task — past ~50k vectors that is GBs PER BATCH on this
+    # host, which is precisely the regime the blocked path exists for.
+    # Run it for the comparison only where it is sane; report the skip.
+    if n <= 50_000:
+        pairs_b = cosine_near_dup_pairs(doubled, threshold=0.95)
+        out["pairs_broadcast_seconds"] = run(pairs_b)
+        assert pairs_b.count() == out["pairs"], "pair count diverged"
+    else:
+        out["pairs_broadcast_seconds"] = None  # skipped: batch sims blow-up
+
+    q = (doubled.filter(F.col("vec_id") < 32)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out["topk_window_seconds"] = run(cosine_topk(doubled, q, k=5))
+    out["topk_gemm_seconds"] = run(gemm_cosine_topk(doubled, q, k=5))
+
+    qbig = (doubled.filter(F.col("vec_id") % 16 == 0)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out["knn_queries"] = qbig.count()
+    out["knn_join_seconds"] = run(
+        knn_join(doubled, qbig, k=5, n_query_blocks=max(2, mult // 2),
+                 n_base_blocks=n_blocks))
+    doubled.unpersist()
+    print(json.dumps(out))
+    return 0
+
+
 def dedup_inflate_only(spark, mult: int, out_dir: str) -> None:
     """Token-salted document inflation shared by dedup/bpe smokes."""
     from data_engineering_etl_pipeline_spark.io import load_table
@@ -402,6 +484,8 @@ def main() -> int:
         return skew_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     if len(sys.argv) > 1 and sys.argv[1] == "--dedup":
         return dedup_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    if len(sys.argv) > 1 and sys.argv[1] == "--embedding":
+        return embedding_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     out_dir = f"/tmp/etl_spark_scale_smoke/x{mult}"
     from data_engineering_etl_pipeline_spark.queries import QUERIES
