@@ -1119,3 +1119,130 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     return (comp.filter(F.col("member_id") != F.col("cluster_id"))
             .select(F.col("member_id").alias(id_col),
                     F.col("cluster_id").alias("keeper_id")))
+
+
+def embedding_signature_index(df: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding", n_planes: int = 16,
+                              n_tables: int = 4,
+                              dim: int = VECTOR_DIM) -> DataFrame:
+    """The persistable SEMANTIC dedup index — the embedding twin of
+    ``dedup.doc_fingerprints``: one row per (keeper, LSH table) with
+    ``(table, bucket, keep_id, keep_vec)``, where ``keep_vec`` is the
+    keeper's double-cast vector carried ON the row so a future batch's
+    candidate join needs no second join against a vector store. Store it
+    parquet-bucketed by ``(table, bucket)`` (``scale.write_bucketed``) and
+    tomorrow's ingest joins it exchange-free on the index side.
+
+    Trade documented: carrying the vector per table duplicates it
+    ``n_tables``× (at 100 TB: 4× of the keeper vectors — which are the
+    post-dedup minority). The alternative — a separate ``(keep_id, vec)``
+    store — saves that storage but pays a keeper-keyed shuffle join per
+    ingest; this layout spends disk to keep the daily path map-only +
+    one bucket-aligned join."""
+    sigs = _multi_table_buckets(df, id_col, vec_col, n_planes, n_tables, dim)
+    vec = df.select(
+        F.col(id_col).alias("keep_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("keep_vec"))
+    return (sigs.select(F.col(id_col).alias("keep_id"), "table", "bucket")
+            .join(vec, "keep_id")
+            .select("table", "bucket", "keep_id", "keep_vec"))
+
+
+def write_signature_index(index: DataFrame, table: str,
+                          n_buckets: int = 8) -> None:
+    """Persist an :func:`embedding_signature_index` BUCKETED by ``(table,
+    bucket)`` — the write-once pre-shuffle that makes the daily ingest's
+    cross-batch candidate join exchange-free on the index side (the same
+    contract as ``dedup.write_fingerprint_index``; plan-pinned in
+    tests/test_plans.py). Both join-key columns bucket+sort: v1 bucketing
+    only engages when the join keys exactly cover the bucket columns."""
+    from ..scale import write_bucketed
+
+    write_bucketed(index.select("table", "bucket", "keep_id", "keep_vec"),
+                   table, bucket_col=["table", "bucket"], n_buckets=n_buckets,
+                   sort_col=["table", "bucket"])
+
+
+def read_signature_index(spark, table: str) -> DataFrame:
+    """Read a bucketed signature index back with its bucket metadata (so
+    joins on ``(table, bucket)`` need no index-side exchange)."""
+    return spark.table(table)
+
+
+def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
+                               threshold: float = 0.95,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_planes: int = 16, n_tables: int = 4,
+                               dim: int = VECTOR_DIM
+                               ) -> tuple[DataFrame, DataFrame]:
+    """Incremental SEMANTIC dedup — the daily-ingest form of embedding
+    near-dup removal, mirroring ``dedup.incremental_exact_dedup``'s
+    contract: returns ``(fresh, updated_index)`` where ``fresh`` is the
+    batch minus (a) within-batch near-dup cluster non-keepers and (b) rows
+    within ``threshold`` cosine of ANY indexed keeper sharing an LSH
+    bucket, and ``updated_index`` is the union index to persist for the
+    next batch. The historical corpus participates only through its
+    signature index — it is never rescanned.
+
+    Plan: ONE signature pass over the batch (``_multi_table_buckets``,
+    pinned — it feeds the within-batch self-join, the cross-batch index
+    join, and the index update); within-batch pairs = bucket-equi-join
+    candidates → shared exact-verify tail → pointer-jumping components →
+    min-id keeper; cross-batch = candidate (row, keeper) pairs from the
+    (table, bucket) equi-join, deduplicated before the exact cosine against
+    the carried ``keep_vec`` (unrounded ``>= threshold``, the verify-tail
+    convention). Recall follows the multi-table LSH config exactly like
+    the batch path (identical vectors collide in EVERY table —
+    deterministic recall 1.0 for exact copies; near-copies at the
+    ``n_planes``/``n_tables`` trade). Order caveat shared with every
+    persisted-index dedup: a batch row dropping against an indexed keeper
+    is not re-examined when a later batch would have clustered them
+    differently — ingest order is part of the semantics.
+    """
+    from ..caching import pin
+    from .dedup import dedup_clusters
+
+    batch = batch.select(F.col(id_col), F.col(vec_col))
+    sigs = pin(_multi_table_buckets(batch, id_col, vec_col, n_planes,
+                                    n_tables, dim))
+    v = with_vec_inv(batch, vec_col, "v", "i", dim).select(
+        F.col(id_col), "v", "i")
+
+    # (a) within-batch: bucket candidates -> exact pairs -> components
+    sa = sigs.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    sb = sigs.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (sa.join(sb, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    pairs = _exact_verify_pairs(v, cand, id_col, threshold, dim)
+    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    drops = (comp.filter(F.col("member_id") != F.col("cluster_id"))
+             .select(F.col("member_id").alias(id_col)))
+    survivors = batch.join(F.broadcast(drops), id_col, "left_anti")
+
+    # (b) cross-batch: survivors vs indexed keepers sharing a bucket
+    surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
+    xcand = (surv_sigs.join(index, ["table", "bucket"])
+             .select(F.col(id_col), "keep_id", "keep_vec")
+             .dropDuplicates([id_col, "keep_id"]))
+    kinv = F.when(_norm(F.col("keep_vec"), dim) > 0,
+                  F.lit(1.0) / _norm(F.col("keep_vec"), dim))
+    cos = (_dot(F.col("v"), F.col("keep_vec"), dim) * F.col("i") * kinv)
+    hit_ids = (xcand.join(v, id_col)
+               .filter(cos >= threshold)
+               .select(id_col).distinct())
+    fresh = survivors.join(F.broadcast(hit_ids), id_col, "left_anti")
+
+    # (c) index update: ONE new row per (fresh keeper, table)
+    fresh_rows = (sigs.join(fresh.select(id_col), id_col, "left_semi")
+                  .select(F.col(id_col).alias("keep_id"), "table", "bucket"))
+    fresh_vec = fresh.select(
+        F.col(id_col).alias("keep_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("keep_vec"))
+    updated = index.select("table", "bucket", "keep_id", "keep_vec") \
+        .unionByName(fresh_rows.join(fresh_vec, "keep_id")
+                     .select("table", "bucket", "keep_id", "keep_vec"))
+    return fresh, updated

@@ -363,3 +363,33 @@ def test_knn_join_plan_is_cogrouped_map_no_broadcast_sides(spark):
     # nothing broadcast/cartesian feeds the cogrouped scorer
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoop" not in head, head
+
+
+def test_incremental_semantic_dedup_bucketed_index_join_no_index_exchange(spark):
+    """The semantic daily-ingest contract (r6 — the embedding twin of the
+    fingerprint-index pin above): with the signature index persisted via
+    write_signature_index (bucketed on BOTH join-key columns), the
+    cross-batch candidate join reads the index bucket-aligned — 'Bucketed:
+    true' at the scan, one exchange total (the batch's own signatures)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        _multi_table_buckets, embedding_signature_index,
+        read_signature_index, write_signature_index)
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    write_signature_index(embedding_signature_index(emb), "b_sig_index")
+    index = read_signature_index(spark, "b_sig_index")
+    batch_sigs = _multi_table_buckets(
+        emb.withColumn("vec_id", F.col("vec_id") + 5000000),
+        "vec_id", "embedding", 16, 4, 64)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = batch_sigs.join(index, ["table", "bucket"])
+        p = plan_text(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in p, p
+    assert shuffles(p) == 1, p

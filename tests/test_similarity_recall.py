@@ -486,3 +486,86 @@ def test_distributed_gemm_family_string_keyed(spark):
                                        n_base_blocks=3).collect())
     assert got_gemm == want_top
     assert got_knn == want_top
+
+
+def test_incremental_semantic_dedup_daily_ingest(spark):
+    """The daily-ingest form of embedding near-dup removal (r6 — the
+    semantic twin of dedup.incremental_exact_dedup): day-1 corpus → index;
+    day-2 batch = replayed exact copies (identical vectors collide in
+    EVERY LSH table → deterministic recall 1.0, all must drop against the
+    index alone), sign-flipped vectors (cosine ≈ 0 to everything — all
+    must survive), and a planted within-batch duplicate pair (min id
+    survives). Replaying the same batch against the UPDATED index drops
+    everything — idempotent ingest."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        embedding_signature_index, incremental_semantic_dedup)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index = embedding_signature_index(emb)
+
+    replayed = (emb.filter(F.col("vec_id") % 7 == 0)
+                .withColumn("vec_id", F.col("vec_id") + 1000000))
+    flipped = (emb.filter(F.col("vec_id") % 11 == 0)
+               .withColumn("vec_id", F.col("vec_id") + 2000000)
+               .withColumn("embedding",
+                           F.transform(F.col("embedding"), lambda x: -x)))
+    new_vec = emb.limit(1).select(
+        F.transform(F.col("embedding"),
+                    lambda x: x + F.lit(37.5)).alias("embedding"))
+    in_batch_dup = new_vec.crossJoin(
+        spark.range(2).select((F.col("id") + 3000000).alias("vec_id")))
+    batch = (replayed.unionByName(flipped)
+             .unionByName(in_batch_dup.select("vec_id", "embedding")))
+
+    fresh, updated = incremental_semantic_dedup(batch, index)
+    fresh_ids = {r.vec_id for r in fresh.select("vec_id").collect()}
+
+    n_flip = flipped.count()
+    assert n_flip and replayed.count()
+    # replayed exact copies all dropped against the index
+    assert not any(1000000 <= i < 2000000 for i in fresh_ids)
+    # sign-flipped rows all survive (near-orthogonal to day-1 and each other)
+    assert {i for i in fresh_ids if 2000000 <= i < 3000000} == \
+        {r.vec_id for r in flipped.select("vec_id").collect()}
+    # within-batch duplicate: min id kept, twin dropped
+    assert 3000000 in fresh_ids and 3000001 not in fresh_ids
+
+    # updated index keepers = day-1 keepers + exactly the fresh ids
+    day1 = {r.vec_id for r in emb.select("vec_id").collect()}
+    keepers = {r.keep_id for r in updated.select("keep_id").distinct().collect()}
+    assert keepers == day1 | fresh_ids
+
+    # idempotence: replaying the batch against the updated index is empty
+    fresh2, _ = incremental_semantic_dedup(batch, updated)
+    assert fresh2.count() == 0
+
+
+def test_incremental_semantic_dedup_disk_index_roundtrip(spark):
+    """The on-disk (bucketed) signature index must drive incremental
+    semantic dedup to the exact same fresh set and updated keepers as the
+    in-memory index — the disk path is the production path (mirrors the
+    fingerprint-index roundtrip test)."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        embedding_signature_index, incremental_semantic_dedup,
+        read_signature_index, write_signature_index)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index_mem = embedding_signature_index(emb)
+    write_signature_index(index_mem, "rt_sig_index")
+    index_disk = read_signature_index(spark, "rt_sig_index")
+
+    batch = (emb.filter(F.col("vec_id") % 5 == 0)
+             .withColumn("vec_id", F.col("vec_id") + 1000000)
+             .unionByName(
+                 emb.filter(F.col("vec_id") % 9 == 0)
+                 .withColumn("vec_id", F.col("vec_id") + 2000000)
+                 .withColumn("embedding",
+                             F.transform(F.col("embedding"), lambda x: -x))))
+    fm, um = incremental_semantic_dedup(batch, index_mem)
+    fd, ud = incremental_semantic_dedup(batch, index_disk)
+    assert ({r.vec_id for r in fm.collect()}
+            == {r.vec_id for r in fd.collect()})
+    assert ({(r.table, r.bucket, r.keep_id) for r in
+             um.select("table", "bucket", "keep_id").collect()}
+            == {(r.table, r.bucket, r.keep_id) for r in
+                ud.select("table", "bucket", "keep_id").collect()})
