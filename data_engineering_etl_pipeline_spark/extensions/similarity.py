@@ -1200,6 +1200,17 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     persisted-index dedup: a batch row dropping against an indexed keeper
     is not re-examined when a later batch would have clustered them
     differently — ingest order is part of the semantics.
+
+    Why unit-covered rather than driver-oracle-checked (by decision, not
+    omission): the multi-table signatures come from a numpy MATMUL, whose
+    blocked/pairwise summation is not the left-associated index-order
+    accumulation a SQL literal chain evaluates — near-zero plane dots can
+    sign-flip by ulps between the two, so (unlike
+    ``hyperplane_lsh_buckets``'s fold form, whose bit-parity the
+    ``embedding_lsh_near_dup`` oracle proves) a DuckDB twin of this path
+    is not guaranteed bit-stable. The units pin the contracts that ARE
+    deterministic: exact copies drop (signature equality needs no
+    summation-order agreement), idempotent replay, disk==memory index.
     """
     from ..caching import pin
     from .dedup import dedup_clusters
