@@ -506,3 +506,71 @@ def test_dedup_stream_batch_tolerates_unorderable_columns(spark):
     assert got["k1"] == (t0, 1.0)
     assert got["k2"][1] == 3.0
     assert len(got) == 2
+
+
+def test_streaming_incremental_semantic_dedup_foreachbatch(spark, tmp_path):
+    """The semantic twin of the ingest-dedup e2e above (r6): micro-batches
+    of embeddings arrive as files; foreachBatch runs
+    incremental_semantic_dedup against a parquet-persisted signature
+    index, so every batch near-dup-dedups against everything seen so far
+    at index-join cost — the historical corpus is never rescanned. One-hot
+    test vectors make cross-id cosines exactly 0 and duplicates exactly 1,
+    so the expected survivor set is deterministic (identical vectors
+    collide in every LSH table)."""
+    import os
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        embedding_signature_index, incremental_semantic_dedup)
+
+    dim, planes, tables = 8, 8, 2
+    schema = "vec_id long, embedding array<double>"
+
+    def e(i, scale=1.0):
+        v = [0.0] * dim
+        v[i] = scale
+        return v
+
+    batches = [
+        [(1, e(0)), (2, e(1))],
+        [(3, e(0, 2.0)), (4, e(2)), (5, e(2, 3.0))],  # 3 dups 1; 5 dups 4
+        [(6, e(1)), (7, e(3))],                       # 6 dups 2
+    ]
+    stage = tmp_path / "src"
+    stage.mkdir()
+    for i, rows in enumerate(batches):
+        out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        src = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        dst = os.path.join(str(stage), f"{i:02d}.parquet")
+        os.rename(os.path.join(out, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    index_dir = str(tmp_path / "sig_index")
+    out_dir = str(tmp_path / "deduped")
+    embedding_signature_index(
+        spark.createDataFrame([], schema), n_planes=planes,
+        n_tables=tables, dim=dim).write.parquet(index_dir)
+
+    def sink(batch_df, batch_id):
+        index = batch_df.sparkSession.read.parquet(index_dir)
+        fresh, updated = incremental_semantic_dedup(
+            batch_df, index, threshold=0.95, n_planes=planes,
+            n_tables=tables, dim=dim)
+        fresh.write.mode("append").parquet(out_dir)
+        updated.write.mode("overwrite").parquet(index_dir + "_next")
+        batch_df.sparkSession.read.parquet(index_dir + "_next") \
+            .write.mode("overwrite").parquet(index_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    q.stop()
+
+    got = sorted(r["vec_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 4, 7]
+    idx = spark.read.parquet(index_dir)
+    assert sorted({r["keep_id"] for r in idx.collect()}) == [1, 2, 4, 7]
+    assert set(idx.columns) == {"table", "bucket", "keep_id", "keep_vec"}
