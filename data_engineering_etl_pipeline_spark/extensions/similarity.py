@@ -67,12 +67,19 @@ def _norm(a, dim: int | None = VECTOR_DIM):
 def with_vec_inv(df: DataFrame, vec_col: str, vec_out: str, inv_out: str,
                  dim: int = VECTOR_DIM) -> DataFrame:
     """Stage ``(double-cast vector, 1/L2-norm)`` columns. ``inv`` is null for
-    zero vectors, so their cosines are null and sort after every real score.
-    No unit-vector array is materialized (see module notes #3)."""
+    zero vectors AND NaN-norm vectors (a NaN component), so their cosines
+    are null and sort after every real score. The explicit ``~isnan`` guard
+    matters: Spark orders NaN ABOVE every number, so ``n > 0`` is TRUE for
+    a NaN norm and without the guard a NaN vector would get inv = NaN and
+    rank FIRST under ``cosine DESC`` — diverging from both the DuckDB twin
+    (where ``CASE WHEN sqrt(...) > 0`` is false for NaN) and the Arrow
+    kernels (where pandas ``isna`` treats it as missing) — r6 review
+    finding. No unit-vector array is materialized (see module notes #3)."""
     staged = df.withColumn(
         vec_out, F.transform(F.col(vec_col), lambda x: x.cast("double")))
     n = _norm(F.col(vec_out), dim)
-    return staged.withColumn(inv_out, F.when(n > 0, F.lit(1.0) / n))
+    return staged.withColumn(
+        inv_out, F.when((n > 0) & ~F.isnan(n), F.lit(1.0) / n))
 
 
 def _cosine(va, vb, ia, ib, dim: int) -> "F.Column":
@@ -111,6 +118,27 @@ def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, query_id_col, id_col, k)
 
 
+def _vec_matrix(series, dim: int) -> "np.ndarray":
+    """One (rows × dim) float64 matrix from an Arrow column of vectors —
+    NULL rows become zero rows (their NULL ``inv`` already excludes them
+    from every score). The ONE construction shared by all BLAS kernels, so
+    NULL handling has a single definition (r6 review finding)."""
+    if not len(series):
+        return np.zeros((0, dim))
+    return np.vstack([
+        np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
+        for row in series
+    ])
+
+
+def _unit_matrix(pdf: "pd.DataFrame", vec_name: str, inv_name: str,
+                 dim: int) -> "np.ndarray":
+    """Unit-vector rows: NULL-inv rows (zero/NULL/NaN vectors) scale to
+    zero rows."""
+    return (_vec_matrix(pdf[vec_name], dim)
+            * pdf[inv_name].fillna(0.0).to_numpy()[:, None])
+
+
 def _batch_sims(pdf: "pd.DataFrame", id_col: str, q_unit: "np.ndarray",
                 dim: int, k: int):
     """Score one Arrow batch of ``(id, v, i)`` rows against a unit-vector
@@ -119,13 +147,8 @@ def _batch_sims(pdf: "pd.DataFrame", id_col: str, q_unit: "np.ndarray",
     their k+1 smallest ids surfaced separately (one spare for
     self-exclusion) — they rank by NULL-cosine/id in the exact tail."""
     b_ids = pdf[id_col].to_numpy()
-    b_mat = np.vstack([
-        np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
-        for row in pdf["v"]
-    ])
     null_mask = pdf["i"].isna().to_numpy()
-    b_unit = b_mat * pdf["i"].fillna(0.0).to_numpy()[:, None]
-    sims = b_unit @ q_unit.T  # (batch, q)
+    sims = _unit_matrix(pdf, "v", "i", dim) @ q_unit.T  # (batch, q)
     sims[null_mask, :] = -np.inf
     return sims, b_ids, np.sort(b_ids[null_mask])[:k + 1]
 
@@ -205,11 +228,7 @@ def gemm_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
             "spark.sql.graft.blasBroadcastRows.")
     qpdf = qv.toPandas()
     q_ids = qpdf[query_id_col].to_numpy()
-    q_mat = np.vstack([
-        np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
-        for row in qpdf["vq"]
-    ]) if len(qpdf) else np.zeros((0, dim))
-    q_unit = q_mat * qpdf["iq"].fillna(0.0).to_numpy()[:, None]
+    q_unit = _unit_matrix(qpdf, "vq", "iq", dim)
     bc = spark.sparkContext.broadcast((q_ids, q_unit))
 
     def select_candidates(batches):
@@ -278,11 +297,7 @@ def knn_join(base: DataFrame, queries: DataFrame, k: int = 5,
             return pd.DataFrame({query_id_col: qpdf[query_id_col][:0],
                                  id_col: bpdf[id_col][:0]})
         q_ids = qpdf[query_id_col].to_numpy()
-        q_mat = np.vstack([
-            np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
-            for row in qpdf["vq"]
-        ])
-        q_unit = q_mat * qpdf["iq"].fillna(0.0).to_numpy()[:, None]
+        q_unit = _unit_matrix(qpdf, "vq", "iq", dim)
         sims, b_ids, null_ids = _batch_sims(bpdf, id_col, q_unit, dim, k)
         out_q, out_b = _select_topk_candidates(sims, b_ids, null_ids,
                                                q_ids, k)
@@ -346,12 +361,7 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
     # guard wildly underestimate bytes (r5 review finding)
     build = v.select(id_col, "v", "i").toPandas()
     ids = build[id_col].to_numpy()
-    mat = np.vstack([
-        np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
-        for row in build["v"]
-    ])
-    inv = build["i"].fillna(0.0).to_numpy()
-    unit = mat * inv[:, None]
+    unit = _unit_matrix(build, "v", "i", dim)
     bc = spark.sparkContext.broadcast((ids, unit))
     margin = threshold - 1e-6
 
@@ -359,12 +369,7 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
         b_ids, b_unit = bc.value
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy()
-            a_mat = np.vstack([
-                np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
-                for row in pdf["v"]
-            ])
-            a_inv = pdf["i"].fillna(0.0).to_numpy()
-            sims = (a_mat * a_inv[:, None]) @ b_unit.T
+            sims = _unit_matrix(pdf, "v", "i", dim) @ b_unit.T
             rows_i, cols_j = np.nonzero((sims >= margin)
                                         & (a_ids[:, None] < b_ids[None, :]))
             yield pd.DataFrame({"id_a": a_ids[rows_i], "id_b": b_ids[cols_j]})
@@ -415,11 +420,7 @@ def blocked_gemm_pairs(v: DataFrame, id_col: str, threshold: float,
             return empty
         g1, g2 = key
         ids = pdf[id_col].to_numpy()
-        mat = np.vstack([
-            np.zeros(dim) if row is None else np.asarray(row, dtype=np.float64)
-            for row in pdf["v"]
-        ])
-        unit = mat * pdf["i"].fillna(0.0).to_numpy()[:, None]
+        unit = _unit_matrix(pdf, "v", "i", dim)
         if g1 == g2:
             sims = unit @ unit.T
             ii, jj = np.nonzero((sims >= margin)
@@ -546,14 +547,18 @@ def hyperplane_lsh_buckets(df: DataFrame, id_col: str = "vec_id",
 
 
 def _multi_table_buckets(df: DataFrame, id_col: str, vec_col: str,
-                         n_planes: int, n_tables: int, dim: int) -> DataFrame:
-    """(id, table, bucket) for all LSH tables in ONE scan, via an
+                         n_planes: int, n_tables: int, dim: int,
+                         carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *carry, table, bucket) for all LSH tables in ONE scan, via an
     Arrow-vectorized pandas UDF: one numpy matmul per batch computes every
     plane dot for every table (a (batch × dim) @ (dim × planes·tables) BLAS
     call). The pure-expression alternative (n_tables × n_planes × dim
     multiply-add chains) is correct but Janino-compile-bound: ~2 s per extra
     table per stage at dim=64 — compile cost, not data cost. Map-only either
-    way; this keeps it constant-time in the plan."""
+    way; this keeps it constant-time in the plan. ``carry`` names extra
+    ``df`` columns to keep on the exploded rows (so callers like the
+    signature-index builder need no corpus-sized join-back — r6 review
+    finding)."""
     planes = []
     for t in range(n_tables):
         rnd = random.Random(100 + t)
@@ -564,18 +569,16 @@ def _multi_table_buckets(df: DataFrame, id_col: str, vec_col: str,
 
     @F.pandas_udf("array<long>")
     def sigs(emb: pd.Series) -> pd.Series:
-        m = np.vstack([
-            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
-            for v in emb
-        ])
+        m = _vec_matrix(emb, dim)
         d = m @ pmat.T                                   # n × (tables·planes)
         bits = (d >= 0).reshape(len(m), n_tables, n_planes)
         sig = (bits * weights).sum(axis=2)               # n × tables
         return pd.Series(list(sig))
 
-    tagged = df.select(F.col(id_col), sigs(F.col(vec_col)).alias("__sigs"))
+    tagged = df.select(F.col(id_col), *[F.col(c) for c in carry],
+                       sigs(F.col(vec_col)).alias("__sigs"))
     return (tagged.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in carry],
         F.posexplode(F.col("__sigs")).alias("table", "bucket")))
 
 
@@ -1121,6 +1124,12 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                     F.col("cluster_id").alias("keeper_id")))
 
 
+#: canonical column set of a persisted signature index (see
+#: :func:`embedding_signature_index`)
+_SIG_INDEX_COLS = ("table", "bucket", "keep_id", "keep_vec", "keep_inv",
+                   "planes", "tables")
+
+
 def embedding_signature_index(df: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding", n_planes: int = 16,
                               n_tables: int = 4,
@@ -1138,15 +1147,21 @@ def embedding_signature_index(df: DataFrame, id_col: str = "vec_id",
     post-dedup minority). The alternative — a separate ``(keep_id, vec)``
     store — saves that storage but pays a keeper-keyed shuffle join per
     ingest; this layout spends disk to keep the daily path map-only +
-    one bucket-aligned join."""
-    sigs = _multi_table_buckets(df, id_col, vec_col, n_planes, n_tables, dim)
-    vec = df.select(
-        F.col(id_col).alias("keep_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        .alias("keep_vec"))
-    return (sigs.select(F.col(id_col).alias("keep_id"), "table", "bucket")
-            .join(vec, "keep_id")
-            .select("table", "bucket", "keep_id", "keep_vec"))
+    one bucket-aligned join. ``keep_inv`` (the keeper's inverse norm) is
+    precomputed at build so ingest verification never re-evaluates the
+    norm chain, and the LSH config rides every row as constant
+    ``(planes, tables)`` columns (RLE ≈ free in parquet) so
+    ``incremental_semantic_dedup`` can REFUSE a config-mismatched index
+    instead of silently matching nothing (r6 review findings). Built
+    map-only: signatures and carried columns come from one scan, no
+    join-back."""
+    staged = with_vec_inv(df, vec_col, "keep_vec", "keep_inv", dim)
+    sigs = _multi_table_buckets(staged, id_col, vec_col, n_planes, n_tables,
+                                dim, carry=("keep_vec", "keep_inv"))
+    return sigs.select(
+        F.col(id_col).alias("keep_id"), "table", "bucket", "keep_vec",
+        "keep_inv", F.lit(n_planes).alias("planes"),
+        F.lit(n_tables).alias("tables"))
 
 
 def write_signature_index(index: DataFrame, table: str,
@@ -1159,8 +1174,8 @@ def write_signature_index(index: DataFrame, table: str,
     only engages when the join keys exactly cover the bucket columns."""
     from ..scale import write_bucketed
 
-    write_bucketed(index.select("table", "bucket", "keep_id", "keep_vec"),
-                   table, bucket_col=["table", "bucket"], n_buckets=n_buckets,
+    write_bucketed(index.select(*_SIG_INDEX_COLS), table,
+                   bucket_col=["table", "bucket"], n_buckets=n_buckets,
                    sort_col=["table", "bucket"])
 
 
@@ -1182,9 +1197,13 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     contract: returns ``(fresh, updated_index)`` where ``fresh`` is the
     batch minus (a) within-batch near-dup cluster non-keepers and (b) rows
     within ``threshold`` cosine of ANY indexed keeper sharing an LSH
-    bucket, and ``updated_index`` is the union index to persist for the
-    next batch. The historical corpus participates only through its
-    signature index — it is never rescanned.
+    bucket — PRESERVING every batch column, like the exact form — and
+    ``updated_index`` is the union index to persist for the next batch.
+    The historical corpus participates only through its signature index —
+    it is never rescanned. ``fresh`` comes back engine-pinned
+    (``caching.pin``) because the canonical sink writes it and then
+    derives the updated index from it — release via
+    ``caching.release_engine_pins()`` like every engine cache.
 
     Plan: ONE signature pass over the batch (``_multi_table_buckets``,
     pinned — it feeds the within-batch self-join, the cross-batch index
@@ -1215,45 +1234,67 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     from ..caching import pin
     from .dedup import dedup_clusters
 
-    batch = batch.select(F.col(id_col), F.col(vec_col))
-    sigs = pin(_multi_table_buckets(batch, id_col, vec_col, n_planes,
-                                    n_tables, dim))
+    # refuse a config-mismatched index: signatures from a different
+    # (n_planes, n_tables) silently match ~nothing in the (table, bucket)
+    # join and re-admit every indexed duplicate (r6 review finding). The
+    # config rides the index rows as constant columns; the probe is one
+    # KB-scale limit(1) job per (daily) ingest.
+    missing = [c for c in _SIG_INDEX_COLS if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"incremental_semantic_dedup: index is missing columns "
+            f"{missing} — build it with embedding_signature_index")
+    cfg = index.select("planes", "tables").limit(1).collect()
+    if cfg and (cfg[0]["planes"], cfg[0]["tables"]) != (n_planes, n_tables):
+        raise ValueError(
+            f"incremental_semantic_dedup: index was built with n_planes="
+            f"{cfg[0]['planes']}, n_tables={cfg[0]['tables']} but this call "
+            f"uses ({n_planes}, {n_tables}) — signatures would not match")
+
+    sigs = pin(_multi_table_buckets(
+        batch.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
+        n_planes, n_tables, dim))
     v = with_vec_inv(batch, vec_col, "v", "i", dim).select(
         F.col(id_col), "v", "i")
 
-    # (a) within-batch: bucket candidates -> exact pairs -> components
+    # (a) within-batch: bucket candidates -> exact pairs -> components.
+    # driver_budget: daily-batch pair lists are small; the exact driver
+    # union-find skips the iterative machinery's fixed multi-job overhead
+    # (the same composition choice as prepare_training_corpus).
     sa = sigs.select(F.col(id_col).alias("id_a"), "table", "bucket")
     sb = sigs.select(F.col(id_col).alias("id_b"), "table", "bucket")
     cand = (sa.join(sb, ["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
     pairs = _exact_verify_pairs(v, cand, id_col, threshold, dim)
-    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    comp = dedup_clusters(pairs.select("id_a", "id_b"),
+                          driver_budget=1_000_000)
     drops = (comp.filter(F.col("member_id") != F.col("cluster_id"))
              .select(F.col("member_id").alias(id_col)))
-    survivors = batch.join(F.broadcast(drops), id_col, "left_anti")
+    # no broadcast hints on drops/hit_ids: both are batch-derived with no
+    # size bound (a batch that heavily duplicates the index makes hit_ids
+    # approach batch size) — let AQE pick, like incremental_exact_dedup
+    survivors = batch.join(drops, id_col, "left_anti")
 
-    # (b) cross-batch: survivors vs indexed keepers sharing a bucket
+    # (b) cross-batch: survivors vs indexed keepers sharing a bucket; the
+    # keeper's inverse norm is precomputed on the index row
     surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
     xcand = (surv_sigs.join(index, ["table", "bucket"])
-             .select(F.col(id_col), "keep_id", "keep_vec")
+             .select(F.col(id_col), "keep_id", "keep_vec", "keep_inv")
              .dropDuplicates([id_col, "keep_id"]))
-    kinv = F.when(_norm(F.col("keep_vec"), dim) > 0,
-                  F.lit(1.0) / _norm(F.col("keep_vec"), dim))
-    cos = (_dot(F.col("v"), F.col("keep_vec"), dim) * F.col("i") * kinv)
+    cos = (_dot(F.col("v"), F.col("keep_vec"), dim) * F.col("i")
+           * F.col("keep_inv"))
     hit_ids = (xcand.join(v, id_col)
                .filter(cos >= threshold)
                .select(id_col).distinct())
-    fresh = survivors.join(F.broadcast(hit_ids), id_col, "left_anti")
+    # pinned: fresh feeds the caller's write AND the index update below —
+    # unpinned, the documented write-fresh-then-write-index pattern would
+    # run the cross-batch scoring twice (r6 review finding)
+    fresh = pin(survivors.join(hit_ids, id_col, "left_anti"))
 
-    # (c) index update: ONE new row per (fresh keeper, table)
-    fresh_rows = (sigs.join(fresh.select(id_col), id_col, "left_semi")
-                  .select(F.col(id_col).alias("keep_id"), "table", "bucket"))
-    fresh_vec = fresh.select(
-        F.col(id_col).alias("keep_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        .alias("keep_vec"))
-    updated = index.select("table", "bucket", "keep_id", "keep_vec") \
-        .unionByName(fresh_rows.join(fresh_vec, "keep_id")
-                     .select("table", "bucket", "keep_id", "keep_vec"))
+    # (c) index update: rebuild rows for fresh keepers map-only (one sig
+    # pass over the small fresh set — no join-back against `sigs`)
+    updated = index.select(*_SIG_INDEX_COLS).unionByName(
+        embedding_signature_index(fresh, id_col, vec_col, n_planes,
+                                  n_tables, dim))
     return fresh, updated

@@ -290,8 +290,10 @@ def embedding_smoke(mult: int) -> int:
     n_blocks = max(4, mult)
     out = {"metric": "embedding_gemm_smoke", "multiplier": mult,
            "vectors": n, "n_blocks": n_blocks}
+    # persist so the pair COUNT reads the timed run's result instead of
+    # re-executing the whole block-pair GEMM a second time
     pairs_d = cosine_near_dup_pairs(doubled, threshold=0.95,
-                                    n_blocks=n_blocks)
+                                    n_blocks=n_blocks).persist()
     out["pairs_blocked_seconds"] = run(pairs_d)
     out["pairs"] = pairs_d.count()
     # The collect-based twin materializes a (arrow-batch × n) float64 sims
@@ -299,11 +301,13 @@ def embedding_smoke(mult: int) -> int:
     # host, which is precisely the regime the blocked path exists for.
     # Run it for the comparison only where it is sane; report the skip.
     if n <= 50_000:
-        pairs_b = cosine_near_dup_pairs(doubled, threshold=0.95)
+        pairs_b = cosine_near_dup_pairs(doubled, threshold=0.95).persist()
         out["pairs_broadcast_seconds"] = run(pairs_b)
         assert pairs_b.count() == out["pairs"], "pair count diverged"
+        pairs_b.unpersist()
     else:
         out["pairs_broadcast_seconds"] = None  # skipped: batch sims blow-up
+    pairs_d.unpersist()
 
     q = (doubled.filter(F.col("vec_id") < 32)
          .select(F.col("vec_id").alias("query_id"), "embedding"))

@@ -569,3 +569,66 @@ def test_incremental_semantic_dedup_disk_index_roundtrip(spark):
              um.select("table", "bucket", "keep_id").collect()}
             == {(r.table, r.bucket, r.keep_id) for r in
                 ud.select("table", "bucket", "keep_id").collect()})
+
+
+def test_incremental_semantic_dedup_refuses_config_mismatch(spark):
+    """An index built at one (n_planes, n_tables) must be REFUSED at
+    another: signatures from a different config silently match nothing in
+    the (table, bucket) join and would re-admit every indexed duplicate
+    (r6 review finding — the config rides the index rows)."""
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        embedding_signature_index, incremental_semantic_dedup)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index = embedding_signature_index(emb, n_planes=8, n_tables=2)
+    with pytest.raises(ValueError, match="n_planes"):
+        incremental_semantic_dedup(emb, index)  # defaults (16, 4)
+
+
+def test_incremental_semantic_dedup_preserves_batch_columns(spark):
+    """fresh must carry EVERY batch column (the incremental_exact_dedup
+    contract this operator mirrors): payload projected away silently loses
+    data on the daily sink (r6 review finding)."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        embedding_signature_index, incremental_semantic_dedup)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index = embedding_signature_index(emb)
+    batch = (emb.filter(F.col("vec_id") % 11 == 0)
+             .withColumn("vec_id", F.col("vec_id") + 2000000)
+             .withColumn("embedding",
+                         F.transform(F.col("embedding"), lambda x: -x))
+             .withColumn("url", F.concat(F.lit("u://"),
+                                         F.col("vec_id").cast("string"))))
+    fresh, _ = incremental_semantic_dedup(batch, index)
+    assert set(fresh.columns) == {"vec_id", "embedding", "url"}
+    rows = fresh.select("vec_id", "url").collect()
+    assert rows and all(r.url == f"u://{r.vec_id}" for r in rows)
+
+
+def test_gemm_topk_nan_vector_parity(spark):
+    """A NaN-component vector must rank identically in brute and GEMM
+    paths. Spark orders NaN above every number, so an unguarded inv would
+    rank the NaN cosine FIRST in brute force while the Arrow kernel treats
+    it as missing — with_vec_inv now nulls NaN norms (matching the DuckDB
+    twin's CASE semantics), so both paths rank it with the NULL group
+    (r6 review finding)."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        gemm_cosine_topk)
+
+    rows = [(0, [1.0] * 64), (1, [0.9] * 64),
+            (2, [float("nan")] + [1.0] * 63), (3, [-1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    want = sorted(((r.query_id, r.vec_id, r.cosine, r.rank)
+                   for r in cosine_topk(emb, q, k=K, dim=64).collect()),
+                  key=lambda t: t[3])
+    got = sorted(((r.query_id, r.vec_id, r.cosine, r.rank)
+                  for r in gemm_cosine_topk(emb, q, k=K, dim=64).collect()),
+                 key=lambda t: t[3])
+    assert got == want
+    # the NaN vector ranks in the NULL-cosine group (last), not first
+    assert want[0][1] != 2 and want[-1][2] is None

@@ -573,4 +573,5 @@ def test_streaming_incremental_semantic_dedup_foreachbatch(spark, tmp_path):
     assert got == [1, 2, 4, 7]
     idx = spark.read.parquet(index_dir)
     assert sorted({r["keep_id"] for r in idx.collect()}) == [1, 2, 4, 7]
-    assert set(idx.columns) == {"table", "bucket", "keep_id", "keep_vec"}
+    assert set(idx.columns) == {"table", "bucket", "keep_id", "keep_vec",
+                                "keep_inv", "planes", "tables"}
