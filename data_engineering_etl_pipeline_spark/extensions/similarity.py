@@ -1205,14 +1205,16 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     derives the updated index from it — release via
     ``caching.release_engine_pins()`` like every engine cache.
 
-    Plan: ONE signature pass over the batch (``_multi_table_buckets``,
-    pinned — it feeds the within-batch self-join, the cross-batch index
-    join, and the index update); within-batch pairs = bucket-equi-join
-    candidates → shared exact-verify tail → pointer-jumping components →
+    Plan: ONE pinned signature pass over the batch feeds the within-batch
+    self-join and the cross-batch index join (the index update re-derives
+    signatures map-only over the small ``fresh`` set — cheaper than a
+    join-back against the pinned relation); within-batch pairs =
+    bucket-equi-join candidates → shared exact-verify tail →
+    connected components (driver union-find under the budget, like prep) →
     min-id keeper; cross-batch = candidate (row, keeper) pairs from the
     (table, bucket) equi-join, deduplicated before the exact cosine against
-    the carried ``keep_vec`` (unrounded ``>= threshold``, the verify-tail
-    convention). Recall follows the multi-table LSH config exactly like
+    the carried ``keep_vec``/``keep_inv`` (unrounded ``>= threshold``, the
+    verify-tail convention). Recall follows the multi-table LSH config exactly like
     the batch path (identical vectors collide in EVERY table —
     deterministic recall 1.0 for exact copies; near-copies at the
     ``n_planes``/``n_tables`` trade). Order caveat shared with every
