@@ -388,3 +388,43 @@ def test_blocked_gemm_pairs_equals_broadcast_property(spark, corpus,
                      df, threshold=threshold, dim=dim,
                      n_blocks=n_blocks).collect())
     assert got == want
+
+
+@SET
+@given(corpus=_vec_corpus_strategy,
+       k=st.integers(1, 6),
+       blocks=st.tuples(st.integers(1, 4), st.integers(1, 4)))
+def test_gemm_and_knn_topk_equal_brute_property(spark, corpus, k, blocks):
+    """The two candidate-pruned exact top-k machines ≡ brute force on
+    randomized corpora: any k, any block shape, duplicate vectors (mass
+    rounded-cosine ties), zero vectors, corpora smaller than k. Queries =
+    first three rows, so self-exclusion and query-as-duplicate cases
+    occur naturally."""
+    import random as _r
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_topk, gemm_cosine_topk, knn_join)
+
+    dim = 8
+    protos = [[_r.Random(200 + p).gauss(0, 1) for _ in range(dim)]
+              for p in range(4)]
+    rows = []
+    for i, (p, nb, zero) in enumerate(corpus):
+        if zero:
+            rows.append((i, [0.0] * dim))
+            continue
+        rnd = _r.Random(2000 * p + nb)
+        rows.append((i, [x + 0.15 * nb * rnd.gauss(0, 1) for x in protos[p]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (df.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    want = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                  for r in cosine_topk(df, q, k=k, dim=dim).collect())
+    got_g = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                   for r in gemm_cosine_topk(df, q, k=k, dim=dim).collect())
+    assert got_g == want
+    bq, bb = blocks
+    got_k = sorted((r.query_id, r.vec_id, r.cosine, r.rank)
+                   for r in knn_join(df, q, k=k, dim=dim, n_query_blocks=bq,
+                                     n_base_blocks=bb).collect())
+    assert got_k == want
