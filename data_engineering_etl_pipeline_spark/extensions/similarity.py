@@ -1124,6 +1124,133 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                     F.col("cluster_id").alias("keeper_id")))
 
 
+def cosine_cross_pairs(left: DataFrame, right: DataFrame,
+                       threshold: float = 0.95, left_id: str = "vec_id",
+                       right_id: str = "bench_id",
+                       vec_col: str = "embedding", dim: int = VECTOR_DIM,
+                       n_blocks: int | None = None) -> DataFrame:
+    """EXACT bipartite cosine pairs: every ``(left_id, right_id, cosine)``
+    with cosine ≥ threshold between two DIFFERENT relations — the
+    cross-corpus member of the GEMM family (self-all-pairs is
+    ``cosine_near_dup_pairs``). Powers :func:`semantic_decontamination`.
+
+    Default plan collects the RIGHT side as the GEMM build matrix (budget-
+    guarded like ``_blas_candidate_pairs`` — right is typically the small
+    benchmark). ``n_blocks=B`` switches to the cogrouped block-pair form
+    (the ``knn_join`` machinery with threshold emission instead of top-k):
+    nothing collected, per-task memory one (left-block × right-block)
+    cell, for the regime where BOTH sides are corpus-scale. Both paths
+    emit with the standard 1e-6 BLAS margin and share one exact codegen
+    verify tail — results are bit-identical to a theta cross-join.
+    """
+    if left_id == right_id:
+        raise ValueError(
+            "cosine_cross_pairs: left_id and right_id must be distinct "
+            "column names (the pair output carries both) — alias one side")
+    spark = left.sparkSession
+    lv = with_vec_inv(left, vec_col, "v", "i", dim).select(
+        F.col(left_id), "v", "i")
+    rv = with_vec_inv(right, vec_col, "vq", "iq", dim).select(
+        F.col(right_id), "vq", "iq")
+    margin = threshold - 1e-6
+    l_type = lv.schema[left_id].dataType.simpleString()
+    r_type = rv.schema[right_id].dataType.simpleString()
+    schema = f"{left_id} {l_type}, {right_id} {r_type}"
+
+    if n_blocks is not None:
+        B = int(n_blocks)
+        lrep = (lv.withColumn("__lg", F.pmod(F.xxhash64(F.col(left_id)),
+                                             F.lit(B)))
+                .withColumn("__rg", F.explode(
+                    F.sequence(F.lit(0), F.lit(B - 1)))))
+        rrep = (rv.withColumn("__rg", F.pmod(F.xxhash64(F.col(right_id)),
+                                             F.lit(B)))
+                .withColumn("__lg", F.explode(
+                    F.sequence(F.lit(0), F.lit(B - 1)))))
+
+        def score(_key, lpdf, rpdf):
+            if not len(lpdf) or not len(rpdf):
+                return pd.DataFrame({left_id: lpdf[left_id][:0],
+                                     right_id: rpdf[right_id][:0]})
+            sims = (_unit_matrix(lpdf, "v", "i", dim)
+                    @ _unit_matrix(rpdf, "vq", "iq", dim).T)
+            ii, jj = np.nonzero(sims >= margin)
+            return pd.DataFrame({
+                left_id: lpdf[left_id].to_numpy()[ii],
+                right_id: rpdf[right_id].to_numpy()[jj]})
+
+        cand = (lrep.groupBy("__lg", "__rg")
+                .cogroup(rrep.groupBy("__lg", "__rg"))
+                .applyInPandas(score, schema=schema))
+    else:
+        budget = int(spark.conf.get(
+            "spark.sql.graft.blasBroadcastRows", str(_BLAS_BROADCAST_ROWS)))
+        probe = rv.select(right_id).limit(budget + 1).count()
+        if probe > budget:
+            raise ValueError(
+                f"cosine_cross_pairs: right side exceeds the broadcast "
+                f"budget of {budget} rows — pass n_blocks= for the "
+                "cogrouped block form (no collect), or swap sides.")
+        rpdf = rv.toPandas()
+        r_ids = rpdf[right_id].to_numpy()
+        r_unit = _unit_matrix(rpdf, "vq", "iq", dim)
+        bc = spark.sparkContext.broadcast((r_ids, r_unit))
+
+        def score_stream(batches):
+            ids_r, ur = bc.value
+            for pdf in batches:
+                if not len(pdf) or not len(ids_r):
+                    continue
+                sims = _unit_matrix(pdf, "v", "i", dim) @ ur.T
+                ii, jj = np.nonzero(sims >= margin)
+                if len(ii):
+                    yield pd.DataFrame({
+                        left_id: pdf[left_id].to_numpy()[ii],
+                        right_id: ids_r[jj]})
+
+        cand = lv.mapInPandas(score_stream, schema=schema)
+
+    exact = (_dot(F.col("v"), F.col("vq"), dim) * F.col("i") * F.col("iq"))
+    return (cand.join(lv, left_id).join(rv, right_id)
+            .withColumn("__c", exact)
+            .filter(F.col("__c") >= threshold)
+            .select(left_id, right_id, F.round("__c", 6).alias("cosine")))
+
+
+def semantic_decontamination(corpus_emb: DataFrame, bench_emb: DataFrame,
+                             threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             bench_id_col: str = "bench_id",
+                             vec_col: str = "embedding",
+                             dim: int = VECTOR_DIM,
+                             n_blocks: int | None = None) -> DataFrame:
+    """Embedding-space benchmark decontamination — the SEMANTIC twin of
+    ``corpus.flag_contaminated``'s 13-gram recipe: flag every corpus
+    vector within ``threshold`` cosine of ANY benchmark vector (paraphrased
+    eval contamination that n-gram overlap misses; the standard companion
+    check in public LLM-data pipelines). Returns ``(id_col, contaminated)``
+    for every corpus row — filter with ``~F.col("contaminated")``.
+
+    Plan: :func:`cosine_cross_pairs` generates exact pairs (benchmark
+    broadcast-GEMM by default; ``n_blocks`` for corpus-scale benchmarks),
+    then one distinct on the hit-id set and a left join back — the corpus
+    pays one Arrow scoring pass and never shuffles, matching the n-gram
+    path's 'corpus never shuffles' contract. The hit set is broadcast by
+    the same deliberate trade as ``flag_contaminated``: it is
+    benchmark-overlap-sized in any sane deployment, and the hint is what
+    keeps the flag join map-side (a degenerate corpus that is MOSTLY
+    contaminated would want the hint removed)."""
+    hits = (cosine_cross_pairs(corpus_emb, bench_emb, threshold, id_col,
+                               bench_id_col, vec_col, dim, n_blocks)
+            .select(id_col).distinct()
+            .withColumn("__c", F.lit(True)))
+    return (corpus_emb.select(id_col)
+            .join(F.broadcast(hits), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__c"), F.lit(False))
+                    .alias("contaminated")))
+
+
 #: canonical column set of a persisted signature index (see
 #: :func:`embedding_signature_index`)
 _SIG_INDEX_COLS = ("table", "bucket", "keep_id", "keep_vec", "keep_inv",

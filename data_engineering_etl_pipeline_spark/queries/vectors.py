@@ -128,6 +128,21 @@ def embedding_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.ve, b.ve) * a.inv * b.inv >= 0.95
     UNION ALL
+    SELECT 'xpairs' AS stage, c.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(c.ve, b.ve) * c.inv * b.inv, 6) AS cosine,
+           CAST(NULL AS BIGINT) AS label, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS avg_norm, CAST(NULL AS DOUBLE) AS min_dim0,
+           CAST(NULL AS DOUBLE) AS max_dim0
+    FROM n c JOIN (
+      SELECT vec_id, ve,
+             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+                  THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+                     AS ve
+            FROM embeddings WHERE vec_id % 17 = 0)
+    ) b ON list_dot_product(c.ve, b.ve) * c.inv * b.inv >= 0.95
+    UNION ALL
     SELECT 'label_stats' AS stage, CAST(NULL AS BIGINT) AS id_a,
            CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cosine,
            CAST(label AS BIGINT) AS label, COUNT(*) AS n,
@@ -154,9 +169,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hyperplane-LSH bucketing) has its own oracle-checked row,
     ``embedding_lsh_near_dup``.
 
+    ``xpairs`` (late r6): the BIPARTITE machine — ``cosine_cross_pairs``
+    between the doubled corpus and a benchmark of every-17th vectors
+    scaled ×2 (scaling must cancel through the inverse norms, proving
+    normalization) — the exact pair engine behind
+    ``semantic_decontamination``, the embedding twin of the 13-gram
+    decontamination row.
+
     ``label_stats``: per-label vector counts, mean L2 norm, and
     first-dimension extrema — the fused-array-expression (no UDF) pattern."""
-    from ..extensions.similarity import cosine_near_dup_pairs
+    from ..extensions.similarity import (cosine_cross_pairs,
+                                         cosine_near_dup_pairs)
 
     emb = load_table(spark, sf_dir, "embeddings")
     doubled = emb.select("vec_id", "embedding").unionByName(
@@ -168,7 +191,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = (cosine_near_dup_pairs(doubled, threshold=0.95, n_blocks=4)
                .select(F.lit("pairs_blocked").alias("stage"),
                        "id_a", "id_b", "cosine"))
-    pairs = pairs.unionByName(blocked)
+    bench = (emb.filter(F.col("vec_id") % 17 == 0)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.transform(F.col("embedding"),
+                                 lambda x: x * F.lit(2.0)).alias("embedding")))
+    xpairs = (cosine_cross_pairs(doubled, bench, threshold=0.95)
+              .select(F.lit("xpairs").alias("stage"),
+                      F.col("vec_id").alias("id_a"),
+                      F.col("bench_id").alias("id_b"), "cosine"))
+    pairs = pairs.unionByName(blocked).unionByName(xpairs)
 
     lv = emb.withColumn(
         "__v", F.transform(F.col("embedding"), lambda x: x.cast("double")))

@@ -632,3 +632,58 @@ def test_gemm_topk_nan_vector_parity(spark):
     assert got == want
     # the NaN vector ranks in the NULL-cosine group (last), not first
     assert want[0][1] != 2 and want[-1][2] is None
+
+
+def test_cosine_cross_pairs_both_paths_equal_theta_join(spark):
+    """Bipartite exact pairs (r6): broadcast-GEMM and cogrouped block
+    paths must both reproduce the naive theta cross-join bit-for-bit."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        _cosine, cosine_cross_pairs, with_vec_inv)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    bench = (emb.filter(F.col("vec_id") % 13 == 0).limit(20)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("embedding")))
+    lv = with_vec_inv(emb, "embedding", "vl", "il", 64)
+    rv = with_vec_inv(bench, "embedding", "vr", "ir", 64)
+    naive = (lv.select("vec_id", "vl", "il")
+             .crossJoin(rv.select("bench_id", "vr", "ir"))
+             .withColumn("cosine", _cosine(F.col("vl"), F.col("vr"),
+                                           F.col("il"), F.col("ir"), 64))
+             .filter(F.col("cosine") >= 0.8)
+             .select("vec_id", "bench_id", "cosine"))
+    want = sorted((r.vec_id, r.bench_id, r.cosine) for r in naive.collect())
+    assert want  # bench ⊆ corpus → at least the self pairs at cosine 1.0
+    got_b = sorted((r.vec_id, r.bench_id, r.cosine)
+                   for r in cosine_cross_pairs(emb, bench, 0.8).collect())
+    got_k = sorted((r.vec_id, r.bench_id, r.cosine)
+                   for r in cosine_cross_pairs(emb, bench, 0.8,
+                                               n_blocks=3).collect())
+    assert got_b == want
+    assert got_k == want
+
+
+def test_semantic_decontamination_flags_planted(spark):
+    """Every corpus vector identical (or scaled-identical) to a benchmark
+    vector must flag; everything else on this near-orthogonal corpus must
+    not. Same id-name collision guard as the underlying pair op."""
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_cross_pairs, semantic_decontamination)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    bench = (emb.filter(F.col("vec_id") % 17 == 0)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.transform(F.col("embedding"),
+                                 lambda x: x * 2.0).alias("embedding")))
+    flags = {r.vec_id: r.contaminated
+             for r in semantic_decontamination(emb, bench, 0.95).collect()}
+    planted = {r.bench_id for r in bench.select("bench_id").collect()}
+    assert planted
+    assert flags.keys() == {r.vec_id for r in emb.select("vec_id").collect()}
+    for vid, flag in flags.items():
+        assert flag == (vid in planted), vid
+    with pytest.raises(ValueError, match="distinct column names"):
+        cosine_cross_pairs(emb, emb, 0.95, left_id="vec_id",
+                           right_id="vec_id")
