@@ -78,8 +78,14 @@ def with_vec_inv(df: DataFrame, vec_col: str, vec_out: str, inv_out: str,
     staged = df.withColumn(
         vec_out, F.transform(F.col(vec_col), lambda x: x.cast("double")))
     n = _norm(F.col(vec_out), dim)
+    # finite-positive guard: Inf norms would give inv = 0.0 and NaN
+    # cosines (inf·0) that Spark ranks FIRST and numpy drops — the same
+    # engine-divergence class as the NaN case, confirmed by probe. A
+    # non-finite-component vector has no meaningful cosine; NULL it.
     return staged.withColumn(
-        inv_out, F.when((n > 0) & ~F.isnan(n), F.lit(1.0) / n))
+        inv_out,
+        F.when((n > 0) & ~F.isnan(n) & (n < F.lit(float("inf"))),
+               F.lit(1.0) / n))
 
 
 def _cosine(va, vb, ia, ib, dim: int) -> "F.Column":
@@ -482,21 +488,35 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     return _exact_verify_pairs(v, cand, id_col, threshold, dim)
 
 
+def _exact_verify_tail(cand: DataFrame, a: DataFrame, b: DataFrame,
+                       a_id: str, b_id: str, threshold: float, dim: int,
+                       broadcast_cand: bool = False) -> DataFrame:
+    """THE exact-verification tail — one definition for the self-pair AND
+    bipartite candidate generators, so the verify-tail convention
+    (codegen'd flat dot chain, UNROUNDED ``>= threshold`` filter, rounded
+    projection — ADVICE r2) cannot drift between families. ``a`` must
+    carry ``(a_id, va, ia)``, ``b`` ``(b_id, vb, ib)``.
+    ``broadcast_cand`` hints the candidate side so a corpus-sized ``a``
+    streams map-side through the join (candidates are margin-hit-sized;
+    callers with unbounded candidate sets must NOT set it)."""
+    exact = _dot(F.col("va"), F.col("vb"), dim) * F.col("ia") * F.col("ib")
+    seed = F.broadcast(cand) if broadcast_cand else cand
+    return (seed.join(a, a_id).join(b, b_id)
+            .withColumn("__c", exact)
+            .filter(F.col("__c") >= threshold)
+            .select(a_id, b_id, F.round("__c", 6).alias("cosine")))
+
+
 def _exact_verify_pairs(v: DataFrame, cand: DataFrame, id_col: str,
                         threshold: float, dim: int) -> DataFrame:
-    """Shared exact-verification tail of every embedding near-dup candidate
-    generator: re-score candidate pairs with the codegen'd flat dot-product
-    chain. Unrounded filter, rounded projection (ADVICE r2). ``v`` must
-    carry ``(id_col, v, i)`` from ``with_vec_inv``."""
+    """Self-pair form of :func:`_exact_verify_tail`: both sides of every
+    candidate pair resolve against the SAME ``(id_col, v, i)`` relation
+    from ``with_vec_inv``."""
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                  F.col("i").alias("ia"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
                  F.col("i").alias("ib"))
-    exact = _dot(F.col("va"), F.col("vb"), dim) * F.col("ia") * F.col("ib")
-    return (cand.join(a, "id_a").join(b, "id_b")
-            .withColumn("__c", exact)
-            .filter(F.col("__c") >= threshold)
-            .select("id_a", "id_b", F.round("__c", 6).alias("cosine")))
+    return _exact_verify_tail(cand, a, b, "id_a", "id_b", threshold, dim)
 
 
 def hyperplanes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
@@ -1159,6 +1179,11 @@ def cosine_cross_pairs(left: DataFrame, right: DataFrame,
 
     if n_blocks is not None:
         B = int(n_blocks)
+        if B < 1:
+            # same guard as blocked_gemm_pairs/knn_join: pmod(x, 0) dies
+            # deep in the job under ANSI (or NULL-keys to an EMPTY result
+            # without it — a fully contaminated corpus reported clean)
+            raise ValueError("cosine_cross_pairs: n_blocks must be >= 1")
         lrep = (lv.withColumn("__lg", F.pmod(F.xxhash64(F.col(left_id)),
                                              F.lit(B)))
                 .withColumn("__rg", F.explode(
@@ -1210,11 +1235,15 @@ def cosine_cross_pairs(left: DataFrame, right: DataFrame,
 
         cand = lv.mapInPandas(score_stream, schema=schema)
 
-    exact = (_dot(F.col("v"), F.col("vq"), dim) * F.col("i") * F.col("iq"))
-    return (cand.join(lv, left_id).join(rv, right_id)
-            .withColumn("__c", exact)
-            .filter(F.col("__c") >= threshold)
-            .select(left_id, right_id, F.round("__c", 6).alias("cosine")))
+    # shared tail; candidates broadcast so the corpus-sized left streams
+    # map-side (margin-hit-sized candidate set — the flag_contaminated
+    # trade, keeping the 'corpus never shuffles' contract real)
+    a = lv.select(F.col(left_id), F.col("v").alias("va"),
+                  F.col("i").alias("ia"))
+    b = rv.select(F.col(right_id), F.col("vq").alias("vb"),
+                  F.col("iq").alias("ib"))
+    return _exact_verify_tail(cand, a, b, left_id, right_id, threshold, dim,
+                              broadcast_cand=True)
 
 
 def semantic_decontamination(corpus_emb: DataFrame, bench_emb: DataFrame,
@@ -1329,8 +1358,13 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     The historical corpus participates only through its signature index —
     it is never rescanned. ``fresh`` comes back engine-pinned
     (``caching.pin``) because the canonical sink writes it and then
-    derives the updated index from it — release via
-    ``caching.release_engine_pins()`` like every engine cache.
+    derives the updated index from it. A long-running caller — a
+    foreachBatch stream especially — MUST call
+    ``caching.release_engine_pins()`` (or wrap the batch in
+    ``caching.engine_pin_scope()``) after materializing both outputs:
+    each call pins two batch-sized relations, and an unreleased stream
+    accumulates one pinned full-payload batch per micro-batch (review
+    finding; the streaming e2e test is the reference pattern).
 
     Plan: ONE pinned signature pass over the batch feeds the within-batch
     self-join and the cross-batch index join (the index update re-derives
@@ -1373,12 +1407,21 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
         raise ValueError(
             f"incremental_semantic_dedup: index is missing columns "
             f"{missing} — build it with embedding_signature_index")
-    cfg = index.select("planes", "tables").limit(1).collect()
-    if cfg and (cfg[0]["planes"], cfg[0]["tables"]) != (n_planes, n_tables):
+    # distinct, not limit(1): a heterogeneous index (segments unioned from
+    # different configs) must be refused too — one matching sample row
+    # would let the mismatched segment silently match nothing (review
+    # finding). Column-pruned scan of two constant RLE columns — cheap.
+    cfg = [(r["planes"], r["tables"])
+           for r in index.select("planes", "tables").distinct().collect()]
+    if len(cfg) > 1:
         raise ValueError(
-            f"incremental_semantic_dedup: index was built with n_planes="
-            f"{cfg[0]['planes']}, n_tables={cfg[0]['tables']} but this call "
-            f"uses ({n_planes}, {n_tables}) — signatures would not match")
+            f"incremental_semantic_dedup: index mixes LSH configs {sorted(cfg)}"
+            " — rebuild the segments under one (n_planes, n_tables)")
+    if cfg and cfg[0] != (n_planes, n_tables):
+        raise ValueError(
+            f"incremental_semantic_dedup: index was built with (n_planes, "
+            f"n_tables)={cfg[0]} but this call uses "
+            f"({n_planes}, {n_tables}) — signatures would not match")
 
     sigs = pin(_multi_table_buckets(
         batch.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,

@@ -619,7 +619,8 @@ def test_gemm_topk_nan_vector_parity(spark):
         gemm_cosine_topk)
 
     rows = [(0, [1.0] * 64), (1, [0.9] * 64),
-            (2, [float("nan")] + [1.0] * 63), (3, [-1.0] * 64)]
+            (2, [float("nan")] + [1.0] * 63), (3, [-1.0] * 64),
+            (4, [float("inf")] + [1.0] * 63)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = (emb.filter(F.col("vec_id") == 0)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
@@ -630,8 +631,11 @@ def test_gemm_topk_nan_vector_parity(spark):
                   for r in gemm_cosine_topk(emb, q, k=K, dim=64).collect()),
                  key=lambda t: t[3])
     assert got == want
-    # the NaN vector ranks in the NULL-cosine group (last), not first
-    assert want[0][1] != 2 and want[-1][2] is None
+    # NaN AND Inf vectors rank in the NULL-cosine group (last), not first
+    # (Inf: norm=inf -> inv would be 0.0 -> NaN cosine ranked FIRST by
+    # Spark and dropped by numpy without the finite guard — r6 review)
+    assert want[0][1] not in (2, 4)
+    assert {t[1] for t in want if t[2] is None} == {2, 4}
 
 
 def test_cosine_cross_pairs_both_paths_equal_theta_join(spark):
@@ -687,3 +691,21 @@ def test_semantic_decontamination_flags_planted(spark):
     with pytest.raises(ValueError, match="distinct column names"):
         cosine_cross_pairs(emb, emb, 0.95, left_id="vec_id",
                            right_id="vec_id")
+
+
+def test_incremental_semantic_dedup_refuses_heterogeneous_index(spark):
+    """A UNION of segments built at different LSH configs must be refused —
+    a limit(1) probe would pass on a matching sample row while the other
+    segment silently matches nothing (r6 review finding)."""
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        embedding_signature_index, incremental_semantic_dedup)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    mixed = embedding_signature_index(emb).unionByName(
+        embedding_signature_index(
+            emb.withColumn("vec_id", F.col("vec_id") + 1000000),
+            n_planes=8, n_tables=2))
+    with pytest.raises(ValueError, match="mixes LSH configs"):
+        incremental_semantic_dedup(emb, mixed)

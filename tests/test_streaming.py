@@ -552,14 +552,22 @@ def test_streaming_incremental_semantic_dedup_foreachbatch(spark, tmp_path):
         n_tables=tables, dim=dim).write.parquet(index_dir)
 
     def sink(batch_df, batch_id):
-        index = batch_df.sparkSession.read.parquet(index_dir)
-        fresh, updated = incremental_semantic_dedup(
-            batch_df, index, threshold=0.95, n_planes=planes,
-            n_tables=tables, dim=dim)
-        fresh.write.mode("append").parquet(out_dir)
-        updated.write.mode("overwrite").parquet(index_dir + "_next")
-        batch_df.sparkSession.read.parquet(index_dir + "_next") \
-            .write.mode("overwrite").parquet(index_dir)
+        from data_engineering_etl_pipeline_spark.caching import (
+            engine_pin_scope)
+
+        # engine_pin_scope: each call pins two batch-sized relations
+        # (sigs + fresh); an unreleased stream would accumulate one pinned
+        # full-payload batch per micro-batch — this sink is the reference
+        # pattern the operator docstring points at
+        with engine_pin_scope():
+            index = batch_df.sparkSession.read.parquet(index_dir)
+            fresh, updated = incremental_semantic_dedup(
+                batch_df, index, threshold=0.95, n_planes=planes,
+                n_tables=tables, dim=dim)
+            fresh.write.mode("append").parquet(out_dir)
+            updated.write.mode("overwrite").parquet(index_dir + "_next")
+            batch_df.sparkSession.read.parquet(index_dir + "_next") \
+                .write.mode("overwrite").parquet(index_dir)
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(str(stage)))
