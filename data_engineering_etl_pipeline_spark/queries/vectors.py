@@ -178,14 +178,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``label_stats``: per-label vector counts, mean L2 norm, and
     first-dimension extrema — the fused-array-expression (no UDF) pattern."""
+    from ..caching import pin
     from ..extensions.similarity import (cosine_cross_pairs,
                                          cosine_near_dup_pairs)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    doubled = emb.select("vec_id", "embedding").unionByName(
+    # pinned: the doubled relation feeds FOUR pair machines, several with
+    # multiple actions of their own (probe count, toPandas collect, scan)
+    # — uncached each would re-run the union+scan; engine pin, released by
+    # bench/driver via caching.release_engine_pins like every engine cache
+    doubled = pin(emb.select("vec_id", "embedding").unionByName(
         emb.filter(F.col("vec_id") % 7 == 0)
         .select("vec_id", "embedding")
-        .withColumn("vec_id", F.col("vec_id") + 1000000))
+        .withColumn("vec_id", F.col("vec_id") + 1000000)))
     pairs = (cosine_near_dup_pairs(doubled, threshold=0.95)
              .select(F.lit("pairs").alias("stage"), "id_a", "id_b", "cosine"))
     blocked = (cosine_near_dup_pairs(doubled, threshold=0.95, n_blocks=4)
