@@ -1280,6 +1280,49 @@ def semantic_decontamination(corpus_emb: DataFrame, bench_emb: DataFrame,
                     .alias("contaminated")))
 
 
+def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
+                            n_clusters: int = 16, id_col: str = "vec_id",
+                            vec_col: str = "embedding", seed: int = 42,
+                            dim: int = VECTOR_DIM) -> DataFrame:
+    """Cluster-balanced curation sampling: partition the embedding space
+    with the k-means coarse quantizer and keep at most
+    ``quota_per_cluster`` rows per cluster — the standard flattening of
+    head-heavy topic distributions in embedding-curated corpora (the
+    cluster-then-sample step SemDeDup-style pipelines run after dedup,
+    so no one dense region dominates the training mix). Returns
+    ``(id_col, cid, kept)`` for EVERY input row — filter on ``kept`` or
+    audit the flag.
+
+    Determinism, precisely: the within-cluster selection ranks by the
+    engine's portable md5 convention over ``id_col`` + a salt (the
+    ``stratified_sample`` convention — NOT arrival order, which would
+    bias the sample toward early files), so GIVEN an assignment the kept
+    set is rerun-, repartition-, and engine-stable. The codebook fit is
+    seeded but trains on a Bernoulli SAMPLE whose composition follows the
+    input partitioning (shared property of all the IVF/PQ fits) — so
+    cluster ids are arbitrary labels, and a repartitioned input may draw
+    different boundaries and hence a different (equally valid) sample;
+    the quota cap and full-coverage flags hold under ANY assignment
+    (unit-pinned). Pin the input layout where byte-stable reruns across
+    relayouts matter. Plan: one shuffle
+    (the per-cluster ranking window); skew is bounded because no cluster
+    can KEEP more than the quota and the ranking key is hash-uniform
+    within the cluster."""
+    if quota_per_cluster < 0:
+        raise ValueError("cluster_balanced_sample: quota must be >= 0")
+    centroids = fit_ivf_centroids(df, vec_col, n_clusters, seed, dim=dim)
+    assign = _nearest_centroids(df.select(id_col, vec_col), id_col,
+                                vec_col, centroids, nprobe=1)
+    hv = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f"|cluster-balance-{seed}"))), 1, 8),
+        16, 10).cast("long")
+    w = Window.partitionBy("cid").orderBy(hv.asc(), F.col(id_col).asc())
+    return (assign.withColumn("__rn", F.row_number().over(w))
+            .select(F.col(id_col), F.col("cid"),
+                    (F.col("__rn") <= quota_per_cluster).alias("kept")))
+
+
 #: canonical column set of a persisted signature index (see
 #: :func:`embedding_signature_index`)
 _SIG_INDEX_COLS = ("table", "bucket", "keep_id", "keep_vec", "keep_inv",

@@ -709,3 +709,57 @@ def test_incremental_semantic_dedup_refuses_heterogeneous_index(spark):
             n_planes=8, n_tables=2))
     with pytest.raises(ValueError, match="mixes LSH configs"):
         incremental_semantic_dedup(emb, mixed)
+
+
+def test_cluster_balanced_sample_flattens_planted_clusters(spark):
+    """Three tight planted clusters of sizes 120/60/12 with quota 20:
+    the two head clusters must cap at 20 kept each and the tail keep all
+    12 — the flattening this sampler exists for. Deterministic: two runs
+    (and a repartitioned run) agree row-for-row; every row is flagged."""
+    import random as _random
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cluster_balanced_sample)
+
+    rnd = _random.Random(3)
+    protos = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(3)]
+    rows, i = [], 0
+    for p, size in enumerate((120, 60, 12)):
+        for _ in range(size):
+            r = _random.Random(10_000 + i)
+            rows.append((i, [x + 0.05 * r.gauss(0, 1) for x in protos[p]]))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_balanced_sample(emb, quota_per_cluster=20, n_clusters=3,
+                                  dim=16)
+    got = {(r.vec_id, r.cid, r.kept) for r in out.collect()}
+    assert len(got) == 192  # every row flagged exactly once
+
+    import pandas as pd_
+    pdf = pd_.DataFrame(sorted(got), columns=["vec_id", "cid", "kept"])
+    kept_per_cluster = pdf[pdf.kept].groupby("cid").size()
+    # head clusters cap at quota; the 12-row tail keeps everything
+    assert sorted(kept_per_cluster.tolist()) == [12, 20, 20], kept_per_cluster
+    # k-means actually separated the planted clusters (tight, well-spread
+    # prototypes): each true cluster maps to one cid
+    truth = pdf.assign(true=pdf.vec_id.apply(
+        lambda v: 0 if v < 120 else (1 if v < 180 else 2)))
+    assert (truth.groupby("true")["cid"].nunique() == 1).all()
+
+    # rerun on the SAME input: bit-stable
+    rerun = {(r.vec_id, r.cid, r.kept)
+             for r in cluster_balanced_sample(
+                 emb, quota_per_cluster=20, n_clusters=3, dim=16).collect()}
+    assert rerun == got
+    # repartitioned input: the codebook trains on a partition-dependent
+    # Bernoulli sample (shared property of the IVF/PQ fits), so both cid
+    # labels AND boundaries may shift — the invariants that survive any
+    # assignment are the quota cap per cluster and full row coverage
+    rp = cluster_balanced_sample(emb.repartition(7), quota_per_cluster=20,
+                                 n_clusters=3, dim=16).collect()
+    assert len({r.vec_id for r in rp}) == 192
+    by_cid: dict = {}
+    for r in rp:
+        by_cid[r.cid] = by_cid.get(r.cid, 0) + bool(r.kept)
+    assert all(v <= 20 for v in by_cid.values()), by_cid
