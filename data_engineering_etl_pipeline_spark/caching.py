@@ -23,15 +23,25 @@ This module makes the engine's pins first-class:
       with engine_pin_scope():
           prepare_training_corpus(...).write.parquet(out)
 
-Releasing a pin before the caller has executed the plan is always SAFE
-(Spark recomputes) — only the shared-scan speedup is lost — so
-``release_engine_pins`` needs no knowledge of what has or hasn't run.
-bench.py calls it between queries (plus ``clearCache`` for its own
-cold-data protocol).
+Releasing a pin before the caller has executed the plan is SAFE for
+DETERMINISTIC lineage (Spark recomputes; only the shared-scan speedup is
+lost). Plans with non-deterministic stages (an injected network fetcher,
+``rand()``) can recompute to DIFFERENT rows after an early release — so
+``release_engine_pins`` is a session-level operation for a quiesced
+driver (bench calls it BETWEEN queries), not something to fire while
+another thread is mid-plan over a pinned relation (r6 advisor finding:
+the old docstring claimed "always safe", which the live-refresh fetch
+pin exactly contradicts).
+
+Thread model (r6 advisor finding): the registry is lock-guarded, and
+:func:`engine_pin_scope` tracks per-thread — a scope exiting on one
+thread releases exactly the pins ITS thread took inside the window,
+never pins another pipeline's thread registered concurrently.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark import StorageLevel
@@ -44,6 +54,10 @@ from pyspark.sql import DataFrame
 #: to release. The list is bounded by the engine work between release
 #: calls and is cleared on every release.
 _PINNED: list[DataFrame] = []
+_LOCK = threading.RLock()
+#: per-thread stack of active engine_pin_scope collectors; pin() appends
+#: to the innermost one so a scope releases only its own thread's pins
+_SCOPES = threading.local()
 
 
 def pin(df: DataFrame,
@@ -53,37 +67,51 @@ def pin(df: DataFrame,
     100 TB an engine intermediate must spill like a shuffle write, not
     evict and recompute."""
     out = df.persist(level)
-    _PINNED.append(out)
+    with _LOCK:
+        _PINNED.append(out)
+        for collector in getattr(_SCOPES, "stack", ()):
+            collector.append(out)
     return out
+
+
+def _unpersist_quiet(df: DataFrame) -> bool:
+    try:
+        df.unpersist(blocking=False)
+        return True
+    except Exception:  # session already stopped — nothing to free
+        return False
 
 
 def release_engine_pins() -> int:
     """Unpersist every live engine pin (non-blocking) and forget them all.
-    Caller-owned persists are untouched. Returns how many were released."""
-    n = 0
-    for df in _PINNED:
-        try:
-            df.unpersist(blocking=False)
-            n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _PINNED.clear()
-    return n
+    Caller-owned persists are untouched. Returns how many were released.
+
+    Session-level: releases pins from EVERY thread. Call it from a
+    quiesced driver (between pipelines/queries) — releasing while another
+    thread is mid-plan over a pin forfeits that plan's shared-scan reuse
+    and, for non-deterministic lineage, its row stability."""
+    with _LOCK:
+        pins, _PINNED[:] = list(_PINNED), []
+    return sum(_unpersist_quiet(df) for df in pins)
 
 
 @contextmanager
 def engine_pin_scope():
-    """Release, on exit, exactly the engine pins taken INSIDE the scope —
-    for callers that fully materialize their result within it. Pins taken
-    before the scope are preserved."""
-    mark = len(_PINNED)
+    """Release, on exit, exactly the engine pins taken INSIDE the scope
+    BY THIS THREAD — for callers that fully materialize their result
+    within it. Pins taken before the scope, or by other threads while it
+    is open, are preserved."""
+    mine: list[DataFrame] = []
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    stack.append(mine)
     try:
         yield
     finally:
-        tail = _PINNED[mark:]
-        del _PINNED[mark:]
-        for df in tail:
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass
+        stack.remove(mine)
+        with _LOCK:
+            _PINNED[:] = [df for df in _PINNED
+                          if not any(df is m for m in mine)]
+        for df in mine:
+            _unpersist_quiet(df)

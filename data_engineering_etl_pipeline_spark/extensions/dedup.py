@@ -230,13 +230,23 @@ def incremental_exact_dedup(new_docs: DataFrame, index: DataFrame,
     # total (never NULL), so the semantics are identical — and only plain
     # keys let the planner use a bucketed index's layout (a <=> join
     # rewrites keys to coalesce/isnull and disables bucketing).
-    # MIGRATION (r6): indexes persisted BEFORE the fingerprint became
+    # MIGRATION GUARD (r6 advisor finding — mirror the semantic path's
+    # loud refusal): indexes persisted BEFORE the fingerprint became
     # total store the NULL-text group with __fplen NULL; plain equality
-    # would no longer match it and re-admit indexed NULL-text docs every
-    # batch. Patch old indexes once on read:
-    #   index.withColumn("__fplen", F.coalesce("__fplen", F.lit(-1)))
-    # (or rebuild via doc_fingerprints — text-derived indexes carry no
-    # other state).
+    # would no longer match it and silently re-admit indexed NULL-text
+    # duplicates every batch. Probe cost: one column-pruned scan that
+    # short-circuits on the first NULL (take(1)); per-DAILY-ingest, over a
+    # KB-per-million-docs index. Patching the column on read instead
+    # (coalesce(__fplen, -1)) would fix the match but WRAP the bucket
+    # column in an expression, silently disabling the exchange-free
+    # bucketed join this path exists for — hence refuse-and-rebuild.
+    if index.filter(F.col("__fplen").isNull()).take(1):
+        raise ValueError(
+            "incremental_exact_dedup: index contains NULL __fplen rows — "
+            "it predates the total fingerprint (NULL text → __fplen=-1). "
+            "Rebuild it with doc_fingerprints (text-derived indexes carry "
+            "no other state); patching __fplen on read would disable the "
+            "bucketed join layout.")
     fresh = with_fp.join(index.select("__fp", "__fplen"),
                          ["__fp", "__fplen"], "left_anti")
     fresh_index = (fresh.groupBy("__fp", "__fplen")
@@ -646,10 +656,41 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _resolve_checkpoint_backend(spark, checkpoint: str) -> bool:
+    """Pick the iterative-snapshot backend (r6 VERDICT item 1). Returns
+    True for RELIABLE ``DataFrame.checkpoint()`` (snapshot written to the
+    session checkpoint dir — replicated/durable storage, so a lost
+    executor mid-iteration re-reads the round's labels instead of killing
+    the job: ``localCheckpoint`` blocks are non-replicated executor state
+    with NO recompute path once lineage is truncated), False for the
+    single-JVM fast path ``localCheckpoint()`` (no filesystem round-trip;
+    executor loss ≡ JVM loss locally, so durability buys nothing).
+
+    ``auto`` = reliable exactly when the job is NOT on a local master and
+    a checkpoint dir is configured (``session.get_spark`` always sets one;
+    clusters should point SPARK_GRAFT_CHECKPOINT_DIR at the lake)."""
+    if checkpoint not in ("auto", "local", "reliable"):
+        raise ValueError(
+            f"checkpoint={checkpoint!r}: expected 'auto', 'local', or "
+            "'reliable'")
+    if checkpoint == "local":
+        return False
+    has_dir = spark.sparkContext.getCheckpointDir() is not None
+    if checkpoint == "reliable":
+        if not has_dir:
+            raise ValueError(
+                "checkpoint='reliable' needs a checkpoint dir — call "
+                "spark.sparkContext.setCheckpointDir(...) (session."
+                "get_spark sets one automatically)")
+        return True
+    return has_dir and not spark.sparkContext.master.startswith("local")
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 20,
                    driver_budget: int | None = None,
-                   stats: dict | None = None) -> DataFrame:
+                   stats: dict | None = None,
+                   checkpoint: str = "auto") -> DataFrame:
     """Connected components over near-dup pairs → (member_id, cluster_id)
     with cluster_id = min member id. The step production dedup needs after
     pair generation: each cluster keeps one representative.
@@ -684,6 +725,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     count per round. At a 100 TB corpus the pair list is the small
     relation here (near-dups are rare) — this never touches the full
     corpus.
+
+    ``checkpoint`` selects the per-round snapshot backend — ``'auto'``
+    (reliable on a non-local master with a checkpoint dir, else local),
+    ``'local'`` (single-JVM fast path), ``'reliable'`` (durable
+    ``DataFrame.checkpoint()`` — survives executor loss mid-loop; see
+    :func:`_resolve_checkpoint_backend`). Output is backend-independent
+    (unit-pinned).
     """
     if driver_budget is not None:
         # ONE pass decides AND fetches (a separate count probe would run
@@ -695,19 +743,42 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if len(pdf) <= driver_budget:
             return _driver_union_find(pairs, list(
                 zip(pdf[id_a].tolist(), pdf[id_b].tolist())), id_a)
+    # Snapshot backend (r6 VERDICT item 1): reliable checkpoint() on a
+    # cluster — each round's labels land on replicated/durable storage, so
+    # a lost executor re-reads them (localCheckpoint state would be
+    # unrecoverable: lineage is truncated, blocks unreplicated). Local
+    # single-JVM runs keep the zero-filesystem fast path. Reliable costs
+    # one extra compute per snapshot (the checkpoint job re-runs the
+    # round's plan to write files) — round plans are pair-graph-sized, the
+    # standard Spark iterative-algo durability trade. Superseded RELIABLE
+    # snapshot files are GC'd by the ContextCleaner
+    # (spark.cleaner.referenceTracking.cleanCheckpoints, set in
+    # session.get_spark); the explicit block release below applies to the
+    # local backend only.
+    reliable = _resolve_checkpoint_backend(pairs.sparkSession, checkpoint)
+
+    def snapshot(df: DataFrame, eager: bool) -> DataFrame:
+        return (df.checkpoint(eager=eager) if reliable
+                else df.localCheckpoint(eager=eager))
+
+    def release(df: DataFrame) -> None:
+        if not reliable:
+            _release_local_checkpoint(df)
+
     # The symmetrization union references `pairs` TWICE — without a cache
     # the whole upstream pair-generation plan (shingle explode, self-join,
     # verification) would execute once per branch. The pair relation is
     # near-dup-sized (tiny), so cache it for the one eager materialization
     # and release immediately after the checkpoint pins the edges.
     pairs_c = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    edges = (pairs_c.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .unionByName(pairs_c.select(F.col(id_b).alias("src"),
-                                         F.col(id_a).alias("dst")))
-             .distinct().localCheckpoint(eager=True))
+    edges = snapshot(
+        pairs_c.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs_c.select(F.col(id_b).alias("src"),
+                                    F.col(id_a).alias("dst")))
+        .distinct(), eager=True)
     pairs_c.unpersist()
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint(eager=True))
+    labels = snapshot(edges.select(F.col("src").alias("node")).distinct()
+                      .withColumn("label", F.col("node")), eager=True)
     # `snap` tracks the checkpointed snapshot backing `labels`; each round
     # frees the superseded one as soon as its successor is materialized, so
     # at most two pair-graph-sized snapshots are ever held (was: every
@@ -736,15 +807,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # lineage twice per round).
         hop = labels.select(F.col("node").alias("__jn"),
                             F.col("label").alias("__jl"))
-        # localCheckpoint (eager) rather than cache(): `labels` feeds THREE
+        # Checkpoint (eager=False) rather than cache(): `labels` feeds THREE
         # subtrees per round, so a cache-only loop grows the LOGICAL plan
         # 3^t — execution stays truncated but analyzer/optimizer time
         # explodes after ~4 rounds (measured 1 s → 57 s/round by round 5).
         # Checkpointing truncates the plan itself; each snapshot is
-        # pair-graph-sized. Trade-off (documented Spark iterative-algo
-        # practice, cf. GraphX/ML): executor loss during the loop fails the
-        # job instead of recomputing lineage — acceptable for a short
-        # post-pair-generation step.
+        # pair-graph-sized. Fault tolerance is the backend's (see
+        # `snapshot` above): reliable on clusters, local fast path on
+        # local[N].
         # LAZY checkpoint + count: the convergence count is the action that
         # materializes the snapshot, so each round makes ONE pass over the
         # label relation instead of two (eager-checkpoint pass + count
@@ -752,16 +822,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # (Locally the loop's wall time is dominated by AQE's
         # job-per-query-stage scheduling — ~28 jobs for a 2-round run —
         # so the saving shows at data scale, not on toy graphs.)
-        stepped = (adopted.join(hop, adopted["__l1"] == hop["__jn"], "left")
-                   .select(F.col("node"), F.col("__old"),
-                           F.least(F.col("__l1"),
-                                   F.coalesce(F.col("__jl"), F.col("__l1")))
-                           .alias("label")).localCheckpoint(eager=False))
+        stepped = snapshot(
+            adopted.join(hop, adopted["__l1"] == hop["__jn"], "left")
+            .select(F.col("node"), F.col("__old"),
+                    F.least(F.col("__l1"),
+                            F.coalesce(F.col("__jl"), F.col("__l1")))
+                    .alias("label")), eager=False)
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
         # stepped is materialized (the count above triggers the lazy
         # checkpoint): the previous round's snapshot is now unreferenced —
         # free its blocks.
-        _release_local_checkpoint(snap)
+        release(snap)
         snap = stepped
         labels = stepped.select("node", "label")
         if changed == 0:
@@ -773,14 +844,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     if changed != 0:
         # A component deeper than max_iter would return partially-propagated
         # labels — silently wrong clusters. Fail loudly instead.
-        _release_local_checkpoint(edges)
-        _release_local_checkpoint(snap)
+        release(edges)
+        release(snap)
         raise RuntimeError(
             f"dedup_clusters: min-label propagation did not converge in "
             f"{max_iter} rounds ({changed} labels still changing) — raise "
             "max_iter (component diameter exceeds it)")
     # The returned labels read from `snap` alone; the edge snapshot is done.
-    _release_local_checkpoint(edges)
+    release(edges)
     return labels.select(F.col("node").alias("member_id"),
                          F.col("label").alias("cluster_id"))
 

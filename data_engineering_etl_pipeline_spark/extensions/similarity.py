@@ -156,7 +156,11 @@ def _batch_sims(pdf: "pd.DataFrame", id_col: str, q_unit: "np.ndarray",
     null_mask = pdf["i"].isna().to_numpy()
     sims = _unit_matrix(pdf, "v", "i", dim) @ q_unit.T  # (batch, q)
     sims[null_mask, :] = -np.inf
-    return sims, b_ids, np.sort(b_ids[null_mask])[:k + 1]
+    # NULL ids can't be forwarded (and np.sort raises TypeError on a
+    # None-bearing object array — r6 advisor finding): drop them, matching
+    # the brute-force path, where `id != query_id` null-rejects such rows.
+    null_ids = b_ids[null_mask & ~pd.isna(b_ids)]
+    return sims, b_ids, np.sort(null_ids)[:k + 1]
 
 
 def _select_topk_candidates(sims, b_ids, null_ids, q_ids, k: int):

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
                 n_salts: int = 16, how: str = "inner",
-                row_id_col: str | None = None) -> DataFrame:
+                row_id_col: str | None = None,
+                allow_partition_salt: bool = False) -> DataFrame:
     """Equi-join robust to a skewed ``key`` distribution on ``big``.
 
     ``big`` rows get a deterministic salt from their full row hash; the
@@ -58,6 +59,12 @@ def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
     retry-proof. Byte-identical duplicate rows WITHIN one input partition
     share a salt — residual skew bounded by per-partition duplicate
     multiplicity; ``row_id_col`` removes that too.
+
+    Because the precondition is about LINEAGE — invisible at the API
+    boundary and unverifiable cheaply at plan time — the partition-id salt
+    is an explicit opt-in (r6 VERDICT item 7): pass ``row_id_col`` (the
+    retry-proof default), or assert the recomputation-stability
+    precondition yourself with ``allow_partition_salt=True``.
     """
     allowed = ("inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "left_anti", "leftanti")
@@ -65,6 +72,14 @@ def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
         raise ValueError(
             f"salted_join supports {allowed}; {how!r} would duplicate "
             f"unmatched replicated-side rows once per salt")
+    if row_id_col is None and not allow_partition_salt:
+        raise ValueError(
+            "salted_join: pass row_id_col (a stable unique id — retry-proof"
+            " under any lineage), or opt into the partition-id salt with "
+            "allow_partition_salt=True after checking that big's "
+            "partitioning is deterministic under task recomputation "
+            "(file scans / column hash-repartitions are; round-robin "
+            "repartition(n) is NOT)")
     disambiguator = (F.col(row_id_col) if row_id_col is not None
                      else F.spark_partition_id())
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns],

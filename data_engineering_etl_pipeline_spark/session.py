@@ -16,6 +16,7 @@ multi-executor cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -47,9 +48,23 @@ def get_spark(app_name: str = "data_engineering_etl_pipeline_spark",
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert (io.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reliable checkpoints (dedup.dedup_clusters' fault-tolerant
+        # backend) write per-round snapshot files; let the ContextCleaner
+        # delete them when the superseded RDD is GC'd instead of leaking
+        # one snapshot per iteration into the checkpoint dir.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # A checkpoint DIR makes the reliable (replicated, executor-loss-safe)
+    # backend available to iterative operators. tempdir is right for
+    # local[N]; a cluster deployment should point this at durable shared
+    # storage (the lake) via SPARK_GRAFT_CHECKPOINT_DIR — a lost executor
+    # can then re-read the snapshot instead of killing the job.
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+            or os.path.join(tempfile.gettempdir(), "spark-graft-checkpoints"))
     return spark
 
 

@@ -64,6 +64,44 @@ def test_clusters_on_real_pairs(spark):
     assert all(c <= m for m, c in got.items())
 
 
+def test_reliable_checkpoint_backend_equals_local(spark):
+    """r6 VERDICT item 1: the fault-tolerant RELIABLE checkpoint backend
+    (durable per-round snapshots — what a cluster run uses, where a lost
+    executor must not kill the loop) produces output identical to the
+    single-JVM localCheckpoint fast path, on a graph deep enough to
+    iterate several rounds."""
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+                 (20, 21), (21, 22), (30, 31)]
+    df = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    assert spark.sparkContext.getCheckpointDir() is not None  # session contract
+    rel_stats, loc_stats = {}, {}
+    rel = {(r.member_id, r.cluster_id)
+           for r in dedup_clusters(df, checkpoint="reliable",
+                                   stats=rel_stats).collect()}
+    loc = {(r.member_id, r.cluster_id)
+           for r in dedup_clusters(df, checkpoint="local",
+                                   stats=loc_stats).collect()}
+    assert rel == loc == set(union_find(edge_list).items())
+    # same convergence trajectory, not just the same fixed point
+    assert rel_stats["rounds"] == loc_stats["rounds"] > 1
+    # auto on a local master picks the local fast path (no files written)
+    auto = {(r.member_id, r.cluster_id) for r in dedup_clusters(df).collect()}
+    assert auto == loc
+
+
+def test_reliable_checkpoint_requires_dir(spark):
+    import pytest
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        _resolve_checkpoint_backend)
+
+    with pytest.raises(ValueError, match="'auto', 'local', or 'reliable'"):
+        _resolve_checkpoint_backend(spark, "bogus")
+    assert _resolve_checkpoint_backend(spark, "reliable") is True
+    assert _resolve_checkpoint_backend(spark, "local") is False
+    # local master + dir set -> auto stays on the fast path
+    assert _resolve_checkpoint_backend(spark, "auto") is False
+
+
 def test_driver_union_find_equals_distributed(spark):
     """dedup_clusters(driver_budget=N) must be bit-identical to the
     distributed pointer-jumping fixed point when pairs fit the budget —

@@ -29,9 +29,23 @@ def test_salted_join_equals_plain_join(spark):
     supp = load_table(spark, SF_DIR, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name")
     plain = li.join(supp, "l_suppkey")
-    salted = salted_join(li, supp, "l_suppkey", n_salts=8)
+    # file-scan lineage is recomputation-stable -> partition salt is legal
+    salted = salted_join(li, supp, "l_suppkey", n_salts=8,
+                         allow_partition_salt=True)
     cols = ["l_suppkey", "l_orderkey", "l_quantity", "s_name"]
     assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_salted_join_partition_salt_is_opt_in(spark):
+    """r6 VERDICT item 7: the partition-id salt's recomputation-stability
+    precondition is an explicit opt-in — no row_id_col and no
+    allow_partition_salt refuses loudly instead of silently relying on
+    lineage the API can't verify."""
+    li = load_table(spark, SF_DIR, "lineitem").limit(10)
+    supp = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    with pytest.raises(ValueError, match="allow_partition_salt"):
+        salted_join(li, supp, "l_suppkey", n_salts=4)
 
 
 def test_salted_distinct_count_equals_count_distinct(spark):
@@ -98,7 +112,8 @@ def test_salted_join_salt_is_deterministic(spark):
         "l_orderkey", "l_suppkey", "l_quantity")
     supp = load_table(spark, SF_DIR, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name")
-    salted = salted_join(li, supp, "l_suppkey", n_salts=8)
+    salted = salted_join(li, supp, "l_suppkey", n_salts=8,
+                         allow_partition_salt=True)
     plan = salted._jdf.queryExecution().analyzed().toString()
     assert "monotonically_increasing_id" not in plan, plan
     assert "rand(" not in plan, plan
