@@ -120,15 +120,121 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def _fs_for(spark, path: str):
+    """(jvm, fs, jpath) for a path string — the py4j Hadoop-FS triple."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(hconf), jpath
+
+
+def _list_part_files(spark, path: str) -> list[str]:
+    """All committed data files under ``path`` (recursive), skipping
+    hidden/underscore entries (_SUCCESS, _temporary, .crc). O(files) driver
+    listing — the same cost every parquet scan's file index pays."""
+    jvm, fs, jpath = _fs_for(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            out.append(p.toString())
+    return out
+
+
+def _manifest_versions(spark, root: str) -> list[tuple[int, str]]:
+    """Sorted (version_number, dir_name) under a manifest root."""
+    jvm, fs, jroot = _fs_for(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v-"):
+            try:
+                out.append((int(name[2:]), name))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _publish_manifest(manifest: DataFrame, root: str) -> str:
+    """Versioned manifest publish (r6 VERDICT item 6 — closes the old
+    delete→rename absence window): write ``<root>/v-<n+1>`` as a fresh
+    parquet dir (committed atomically by the _SUCCESS marker), then flip
+    the ``LATEST`` pointer FILE via create-temp → delete → rename. A
+    reader that hits the (file-sized) pointer gap falls back to the
+    highest _SUCCESS-committed version — which at that instant IS the new
+    manifest — so at every moment some complete manifest is readable
+    (concurrent-reader unit-pinned). Old versions are pruned down to the
+    previous one (a reader that resolved the pointer just before the flip
+    can still finish its scan); legacy flat-layout files at the root are
+    cleaned up once on first versioned publish."""
+    spark = manifest.sparkSession
+    versions = _manifest_versions(spark, root)
+    n = versions[-1][0] + 1 if versions else 1
+    vname = f"v-{n:08d}"
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{root}/{vname}")
+
+    jvm, fs, jroot = _fs_for(spark, root)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    tmp, latest = jpath(root, "LATEST.tmp"), jpath(root, "LATEST")
+    stream = fs.create(tmp, True)
+    stream.write(bytearray(vname.encode("utf-8")))
+    stream.close()
+    fs.delete(latest, False)
+    if not fs.rename(tmp, latest):
+        raise IOError(f"manifest publish failed: rename {tmp} -> {latest}")
+    # prune: superseded versions older than the previous, plus legacy flat
+    # parquet files from the pre-versioned layout (best-effort — a failed
+    # delete only leaks disk, never correctness)
+    for v, name in versions[:-1]:
+        fs.delete(jpath(root, name), True)
+    for st in fs.listStatus(jroot):
+        nm = st.getPath().getName()
+        if st.isFile() and nm not in ("LATEST",):
+            fs.delete(st.getPath(), False)
+    return vname
+
+
+def read_shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve the CURRENT manifest of a :func:`write_training_shards`
+    directory: follow the ``LATEST`` pointer; if a publish is mid-flip (or
+    the pointed-at version was pruned under a very slow reader), fall back
+    to the highest _SUCCESS-committed version; pre-versioned layouts read
+    the flat root directly."""
+    root = path.rstrip("/") + "_manifest"
+    jvm, fs, jroot = _fs_for(spark, root)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    latest = jpath(root, "LATEST")
+    if fs.exists(latest):
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(latest), "UTF-8"))
+        vname = reader.readLine()
+        reader.close()
+        if vname and fs.exists(jpath(root, vname)):
+            return spark.read.parquet(f"{root}/{vname}")
+    committed = [name for _, name in reversed(_manifest_versions(spark, root))
+                 if fs.exists(jpath(root, f"{name}/_SUCCESS"))]
+    if committed:
+        return spark.read.parquet(f"{root}/{committed[0]}")
+    # legacy flat layout (pre-r7), or no manifest at all — let the reader
+    # surface Spark's own path error in the latter case
+    return spark.read.parquet(root)
+
+
 def write_training_shards(df: DataFrame, path: str, shard_col: str = "shard",
                           max_rows_per_file: int | None = None,
                           mode: str = "overwrite") -> DataFrame:
     """Training-shard sink: write ``df`` partitioned by ``shard_col`` (the
     deterministic hash shard that ``corpus.pack_sequences`` assigns), one
     directory per shard, and return a shard MANIFEST DataFrame
-    ``(shard, n_rows, n_tokens)`` computed in the same job's lineage — the
-    sidecar a training loader reads to plan epoch mixing without listing
-    or scanning the shards.
+    ``(shard, n_rows, n_files, n_tokens)`` — the sidecar a training loader
+    reads (via :func:`read_shard_manifest`) to plan epoch mixing without
+    listing or scanning the shards.
 
     Scale shape: ``partitionBy(shard_col)`` keeps the write map-only when
     the upstream already clusters by shard (pack_sequences' window has
@@ -136,76 +242,70 @@ def write_training_shards(df: DataFrame, path: str, shard_col: str = "shard",
     ``maxRecordsPerFile``, bounding file sizes WITHOUT a repartition —
     the writer rolls files, no extra exchange.
 
-    Manifest maintenance (r5 advisor finding): ``mode='overwrite'``
-    aggregates the WRITTEN parquet back (one map-side-combinable groupBy
-    over a cheap columnar scan), never ``df``'s lineage — re-running the
-    upstream pipeline would double job cost and could diverge from the
-    files if any stage is nondeterministic. ``mode='append'`` instead
-    merges the PRIOR manifest with the batch's own counts — O(batch) per
-    ingest, not O(full accumulated history); the batch frame is persisted
-    across write+count so both read one materialization (released on every
-    exit path). Publish is write-to-temp, delete old, rename temp: a
-    reader never sees a TORN manifest, but in the delete→rename window (a
-    crash there, or a concurrent read) the manifest is briefly ABSENT —
-    the next append run detects the missing path and rebuilds from the
-    full directory, and readers should treat missing-manifest as
-    retry-or-rescan. (True atomic swap needs a filesystem with atomic
-    dir-rename-over — not portable across Hadoop FSes; the data-write →
-    manifest-publish pair also remains two operations, so a crash between
-    them leaves a one-batch-stale manifest.)"""
+    Every count in the manifest comes from the WRITTEN FILES, never from
+    ``df``'s lineage (r5+r6 advisor findings: a recomputed nondeterministic
+    upstream could diverge counts from disk). ``mode='overwrite'``
+    aggregates the directory back (one map-side-combinable groupBy over a
+    cheap columnar scan). ``mode='append'`` lists the directory before and
+    after the write and aggregates exactly the NEW files (``basePath``
+    keeps the shard partition column) — O(batch) scan per ingest — then
+    merges with the prior manifest. The per-shard ``n_files`` column makes
+    the prior manifest self-validating: if the pre-write listing disagrees
+    with the manifest's file total (a previous run crashed between data
+    write and manifest publish, leaving a stale manifest — the r6 advisor
+    hazard), the merge is abandoned and the manifest REBUILT from the full
+    directory, so staleness heals on the next ingest instead of
+    compounding forever. Publish is versioned + pointer-flip
+    (:func:`_publish_manifest`): readers never observe a missing or torn
+    manifest. Single-writer remains assumed (concurrent ingests need an
+    external lock — unchanged)."""
     spark = df.sparkSession
-    manifest_path = path.rstrip("/") + "_manifest"
-    tmp_path = manifest_path + ".tmp"
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(manifest_path)
-    fs = hpath.getFileSystem(hconf)
+    root = path.rstrip("/") + "_manifest"
 
     def _agg(frame: DataFrame):
-        agg = [F.count(F.lit(1)).alias("n_rows")]
+        # input_file_name() must be PROJECTED before the aggregate
+        # (nondeterministic expressions are rejected inside agg args)
+        staged = frame.withColumn("__file", F.input_file_name())
+        agg = [F.count(F.lit(1)).alias("n_rows"),
+               F.countDistinct("__file").alias("n_files")]
         if "n_tokens" in frame.columns:
             agg.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
-        return frame.groupBy(shard_col).agg(*agg)
+        return staged.groupBy(shard_col).agg(*agg)
 
-    appending = mode == "append" and fs.exists(hpath)
-    if appending:
-        # force the prior manifest onto the driver BEFORE any writes — it
-        # is one row per shard, and collecting it means the merge cannot
-        # lazily re-read a path we are about to replace
-        prior = spark.read.parquet(manifest_path)
-        prior_schema, prior_rows = prior.schema, prior.collect()
-        df = df.persist()
+    prior = None
+    before: set[str] = set()
+    if mode == "append":
+        _, fs, jroot = _fs_for(spark, root)
+        if fs.exists(jroot):
+            prior = read_shard_manifest(spark, path)
+            before = set(_list_part_files(spark, path))
 
-    try:
-        writer = df.write.mode(mode)
-        if max_rows_per_file:
-            writer = writer.option("maxRecordsPerFile",
-                                   int(max_rows_per_file))
-        writer.partitionBy(shard_col).parquet(path)
+    writer = df.write.mode(mode)
+    if max_rows_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
+    writer.partitionBy(shard_col).parquet(path)
 
-        if appending:
-            batch = _agg(df)
-            prior_df = spark.createDataFrame(prior_rows, schema=prior_schema)
-            both = prior_df.unionByName(batch, allowMissingColumns=True)
-            sums = [F.sum("n_rows").cast("long").alias("n_rows")]
+    merged = None
+    if prior is not None and "n_files" in prior.columns:
+        prior_files = prior.agg(F.sum("n_files")).first()[0] or 0
+        if int(prior_files) == len(before):
+            new_files = [f for f in _list_part_files(spark, path)
+                         if f not in before]
+            if not new_files:
+                return prior  # empty batch: manifest already current
+            batch = _agg(spark.read.option("basePath", path)
+                         .parquet(*new_files))
+            both = prior.unionByName(batch, allowMissingColumns=True)
+            sums = [F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("n_files").cast("long").alias("n_files")]
             if "n_tokens" in both.columns:
                 sums.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
-            manifest = both.groupBy(shard_col).agg(*sums)
-        else:
-            manifest = _agg(spark.read.parquet(path))
-
-        manifest.coalesce(1).write.mode("overwrite").parquet(tmp_path)
-    finally:
-        # release on EVERY path — a failed tmp-write must not leak a
-        # batch-sized cache per failed ingest (r6 review finding)
-        if appending:
-            df.unpersist()
-    tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    fs.delete(hpath, True)
-    if not fs.rename(tmp, hpath):
-        raise IOError(f"manifest publish failed: rename {tmp_path} -> "
-                      f"{manifest_path}")
-    return spark.read.parquet(manifest_path)
+            merged = both.groupBy(shard_col).agg(*sums)
+        # else: stale/diverged manifest detected — fall through to rebuild
+    manifest = merged if merged is not None else _agg(
+        spark.read.parquet(path))
+    _publish_manifest(manifest, root)
+    return read_shard_manifest(spark, path)
 
 
 _PARTITION_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {

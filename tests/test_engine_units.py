@@ -599,10 +599,11 @@ def test_incremental_exact_dedup_across_batches(spark):
 def test_write_training_shards_manifest_and_layout(spark, tmp_path):
     """The shard sink writes one directory per shard, bounds file sizes via
     maxRecordsPerFile without a repartition, and the manifest's per-shard
-    row/token counts equal the written data exactly."""
+    row/file/token counts equal the written data exactly."""
     import os
 
-    from data_engineering_etl_pipeline_spark.io import write_training_shards
+    from data_engineering_etl_pipeline_spark.io import (read_shard_manifest,
+                                                        write_training_shards)
 
     rows = [(i, i % 3, 10 + i % 7) for i in range(90)]
     df = spark.createDataFrame(rows, "doc_id long, shard int, n_tokens long")
@@ -615,18 +616,20 @@ def test_write_training_shards_manifest_and_layout(spark, tmp_path):
         n, tk = want.get(s, (0, 0))
         want[s] = (n + 1, tk + t)
     assert got == want
-    # layout: one directory per shard, files rolled at <=10 rows
+    # layout: one directory per shard, files rolled at <=10 rows; n_files
+    # in the manifest matches the directory exactly (it is the staleness
+    # validator)
+    n_files_got = {r["shard"]: r["n_files"] for r in manifest.collect()}
     for s in (0, 1, 2):
         d = os.path.join(out, f"shard={s}")
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) >= 3   # 30 rows / 10 per file
+        assert n_files_got[s] == len(files)
         assert spark.read.parquet(d).count() == 30
-    # manifest readable from the sidecar path
-    side = spark.read.parquet(out + "_manifest")
-    assert side.count() == 3
-    # append ingest: data accumulates, but the manifest is always REBUILT
-    # from the written directory — one row per shard, totals across both
-    # batches (a per-batch append manifest would hold partial counts)
+    # manifest readable through the pointer-resolving reader
+    assert read_shard_manifest(spark, out).count() == 3
+    # append ingest: the manifest merges the prior with counts aggregated
+    # from the BATCH'S OWN WRITTEN FILES (O(batch), never df lineage)
     more = spark.createDataFrame([(100, 0, 5), (101, 1, 6)],
                                  "doc_id long, shard int, n_tokens long")
     m2 = {r["shard"]: (r["n_rows"], r["n_tokens"]) for r in
@@ -634,7 +637,81 @@ def test_write_training_shards_manifest_and_layout(spark, tmp_path):
     assert m2[0] == (31, want[0][1] + 5)
     assert m2[1] == (31, want[1][1] + 6)
     assert m2[2] == want[2]
-    assert spark.read.parquet(out + "_manifest").count() == 3
+    assert read_shard_manifest(spark, out).count() == 3
+
+
+def test_shard_manifest_stale_heals_on_next_append(spark, tmp_path):
+    """r6 advisor finding: a crash between data write and manifest publish
+    used to leave the manifest one batch stale FOREVER (appends merged on
+    top of the stale prior). Now the prior manifest's n_files total is
+    validated against the pre-write directory listing — a mismatch
+    abandons the merge and rebuilds from the full directory."""
+    from data_engineering_etl_pipeline_spark.io import (read_shard_manifest,
+                                                        write_training_shards)
+
+    df = spark.createDataFrame([(i, i % 2, 3) for i in range(20)],
+                               "doc_id long, shard int, n_tokens long")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out)
+    # simulate the crashed ingest: data lands, manifest publish never runs
+    orphan = spark.createDataFrame([(100, 0, 7), (101, 1, 9)],
+                                   "doc_id long, shard int, n_tokens long")
+    orphan.write.mode("append").partitionBy("shard").parquet(out)
+    stale = {r["shard"]: r["n_rows"]
+             for r in read_shard_manifest(spark, out).collect()}
+    assert stale == {0: 10, 1: 10}  # manifest is stale, as after a crash
+    # next healthy ingest detects the file-count mismatch and rebuilds
+    batch = spark.createDataFrame([(200, 0, 1)],
+                                  "doc_id long, shard int, n_tokens long")
+    healed = {r["shard"]: (r["n_rows"], r["n_tokens"]) for r in
+              write_training_shards(batch, out, mode="append").collect()}
+    assert healed == {0: (12, 30 + 7 + 1), 1: (11, 30 + 9)}
+
+
+def test_shard_manifest_concurrent_reader_never_sees_gap(spark, tmp_path):
+    """r6 VERDICT item 6: during publishes a concurrent reader must always
+    resolve SOME complete manifest — never a missing path, never a torn
+    (partially-visible) one."""
+    import threading
+
+    from data_engineering_etl_pipeline_spark.io import (read_shard_manifest,
+                                                        write_training_shards)
+
+    df = spark.createDataFrame([(i, i % 3, 2) for i in range(30)],
+                               "doc_id long, shard int, n_tokens long")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out)
+
+    valid_totals = {30, 33, 36, 39, 42}  # after each committed append
+    errors: list[Exception] = []
+    seen: set[int] = set()
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                total = sum(r["n_rows"]
+                            for r in read_shard_manifest(spark, out).collect())
+                seen.add(total)
+            except Exception as e:  # noqa: BLE001 — the assertion target
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for b in range(4):
+            batch = spark.createDataFrame(
+                [(1000 + 10 * b + i, i, 2) for i in range(3)],
+                "doc_id long, shard int, n_tokens long")
+            write_training_shards(batch, out, mode="append")
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not errors, errors
+    assert seen <= valid_totals, seen
+    final = sum(r["n_rows"] for r in read_shard_manifest(spark, out).collect())
+    assert final == 42
 
 
 def test_daily_snapshot_restores_partition_overwrite_mode(spark, tmp_path):

@@ -105,3 +105,142 @@ def test_synthetic_fetch_shape():
     days = [r[1] for r in rows]
     assert days == sorted(days)
     assert all(len(r) == 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Real HTTP boundary (r6 VERDICT item 4): a local-socket stdlib fixture
+# server — no external network — exercises the fetcher seam end-to-end:
+# URL building, JSON (de)serialization in EXECUTOR processes, HTTP error
+# propagation into with_retry's 429 contract.
+# ---------------------------------------------------------------------------
+
+def _make_history_server(flaky_429s: int = 0):
+    """ThreadingHTTPServer on an ephemeral localhost port serving
+    ``/history?coin=..&start=..&n=..`` as JSON built from
+    ``synthetic_fetch`` (so HTTP results cross-check bit-for-bit against
+    the in-process fetcher). ``flaky_429s``: each distinct (coin, start)
+    key 429s that many times before succeeding — the reference's
+    rate-limit shape (universe_generation_pipeline.py:53-76)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    hits: dict = {}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            coin = q["coin"][0]
+            start, n = int(q["start"][0]), int(q["n"][0])
+            with lock:
+                seen = hits[(coin, start)] = hits.get((coin, start), 0) + 1
+            if seen <= flaky_429s:
+                self.send_response(429)
+                self.end_headers()
+                return
+            rows = [{"coin_id": c, "day": d.isoformat(), "price": p,
+                     "volume": v, "market_cap": m}
+                    for c, d, p, v, m in synthetic_fetch(coin, start, n)]
+            body = json.dumps({"data": rows}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", hits
+
+
+def _http_fetcher(base_url: str):
+    """A real (urllib) HTTP client with the pluggable-fetcher signature.
+    Closure over a plain string — cloudpickles to executor processes."""
+    def fetch(coin: str, start_day: int, n_days: int):
+        import datetime
+        import json
+        from urllib.request import urlopen
+
+        url = f"{base_url}/history?coin={coin}&start={start_day}&n={n_days}"
+        with urlopen(url, timeout=10) as resp:  # raises HTTPError on 429
+            payload = json.load(resp)
+        return [(r["coin_id"], datetime.date.fromisoformat(r["day"]),
+                 r["price"], r["volume"], r["market_cap"])
+                for r in payload["data"]]
+    return fetch
+
+
+def test_http_fetcher_distributed_matches_in_process(spark):
+    """fetch_history_distributed with a REAL http client (executors hit a
+    local fixture server concurrently, one request per page) returns
+    bit-identical rows to the in-process synthetic fetcher."""
+    srv, base, hits = _make_history_server()
+    try:
+        via_http = fetch_history_distributed(
+            spark, ["btc", "eth"], n_days=360, fetcher=_http_fetcher(base))
+        rows_http = sorted(map(tuple, via_http.collect()))
+    finally:
+        srv.shutdown()
+    want = sorted(map(tuple, fetch_history_distributed(
+        spark, ["btc", "eth"], n_days=360).collect()))
+    assert rows_http == want
+    # one request per (coin, chunk) page: ceil(360/179)=3 pages per coin
+    assert len(hits) == 6 and all(v == 1 for v in hits.values())
+
+
+def test_http_fetcher_429_retry_contract():
+    """with_retry around the HTTP client on the real boundary: urllib's
+    HTTPError for a 429 matches the default is_rate_limited probe, the
+    backoff sleeps fire, and the payload parses after recovery."""
+    srv, base, hits = _make_history_server(flaky_429s=2)
+    sleeps = []
+    try:
+        fetch = with_retry(_http_fetcher(base), retries=3, backoff_s=65.0,
+                           sleeper=sleeps.append)
+        rows = fetch("btc", 19000, 4)
+    finally:
+        srv.shutdown()
+    assert rows == synthetic_fetch("btc", 19000, 4)
+    assert sleeps == [65.0, 65.0]          # two rate-limited backoffs
+    assert hits[("btc", 19000)] == 3       # 429, 429, 200
+
+
+def test_http_fetcher_429_exhaustion_raises():
+    """More consecutive 429s than total attempts surfaces the HTTPError."""
+    from urllib.error import HTTPError
+
+    srv, base, _ = _make_history_server(flaky_429s=5)
+    sleeps = []
+    try:
+        fetch = with_retry(_http_fetcher(base), retries=3,
+                           sleeper=sleeps.append)
+        with pytest.raises(HTTPError):
+            fetch("btc", 19000, 2)
+    finally:
+        srv.shutdown()
+    assert sleeps == [65.0, 65.0]
+
+
+def test_http_fetcher_distributed_retry_on_executors(spark):
+    """The retry wrapper composes with the DISTRIBUTED fetch path: each
+    page's first request 429s, executors back off (tiny injected sleep)
+    and recover — rows still bit-identical to the in-process fetcher."""
+    import time as _time
+
+    srv, base, hits = _make_history_server(flaky_429s=1)
+    fetch = with_retry(_http_fetcher(base), retries=3, backoff_s=0.05,
+                       sleeper=_time.sleep)
+    try:
+        got = sorted(map(tuple, fetch_history_distributed(
+            spark, ["btc"], n_days=200, fetcher=fetch).collect()))
+    finally:
+        srv.shutdown()
+    want = sorted(map(tuple, fetch_history_distributed(
+        spark, ["btc"], n_days=200).collect()))
+    assert got == want
+    assert all(v == 2 for v in hits.values())  # one 429 + one success per page
