@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # text stats + corpus prep, sessionization, TA kernel (incl. Bollinger).
 BENCH_QUERIES = [
     "pricing_summary",
-    "region_revenue",
+    "cluster_balanced_sample",
     "monthly_top_customers",
     "pit_universe_history",
     "canonical_part_agg",

@@ -1284,10 +1284,59 @@ def semantic_decontamination(corpus_emb: DataFrame, bench_emb: DataFrame,
                     .alias("contaminated")))
 
 
+def planted_centroids(seed: int, n_clusters: int, dim: int) -> list[list[float]]:
+    """Seeded-Gaussian UNIT centroids — ONE generator shared by the Spark
+    fold-assignment expression and the DuckDB oracle builder
+    (queries/vectors.py), the ``hyperplanes`` convention: both engines
+    assign from literally identical constants, so an oracle row can check
+    the quota machinery without the sample-composition dependence of the
+    k-means fit."""
+    rnd = random.Random(seed)
+    out = []
+    for _ in range(n_clusters):
+        v = np.array([rnd.gauss(0.0, 1.0) for _ in range(dim)])
+        out.append([float(x) for x in v / np.linalg.norm(v)])
+    return out
+
+
+def _nearest_centroid_fold(df: DataFrame, id_col: str, vec_col: str,
+                           centroids: list[list[float]]) -> DataFrame:
+    """Exact-config assignment twin of :func:`_nearest_centroids` for
+    oracle-checkable configurations: each centroid dot is a fold-form
+    expression (the ``_plane_sign_bits`` convention — left-associated,
+    index-order accumulation, IEEE-identical to a SQL literal chain) and
+    the argmax is a sequential CASE with ties to the LOWER cid (matching
+    the production kernel's stable argsort). NULL vectors assign to cid 0,
+    exactly like the kernel's zero-row convention. Interpreted-expression
+    cost is the price of bit-portability — production assignment stays on
+    the BLAS kernel; this is the verification twin (the simhash64 /
+    md5-simhash pattern)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    k = len(centroids)
+    dots = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        dots.append(F.aggregate(F.zip_with(v, lit, lambda a, b: a * b),
+                                F.lit(0.0), lambda acc, x: acc + x))
+    staged = df.select(F.col(id_col), F.col(vec_col).alias("__nv"),
+                       *[dots[j].alias(f"__d{j}") for j in range(k)])
+    cid = F.lit(k - 1)
+    for j in range(k - 2, -1, -1):
+        cond = None
+        for m in range(j + 1, k):
+            ge = F.col(f"__d{j}") >= F.col(f"__d{m}")
+            cond = ge if cond is None else cond & ge
+        cid = F.when(cond, F.lit(j)).otherwise(cid)
+    cid = F.when(F.col("__nv").isNull(), F.lit(0)).otherwise(cid)
+    return staged.select(F.col(id_col), cid.alias("cid"))
+
+
 def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
                             n_clusters: int = 16, id_col: str = "vec_id",
                             vec_col: str = "embedding", seed: int = 42,
-                            dim: int = VECTOR_DIM) -> DataFrame:
+                            dim: int = VECTOR_DIM,
+                            centroids: list[list[float]] | None = None,
+                            assign: str = "gemm") -> DataFrame:
     """Cluster-balanced curation sampling: partition the embedding space
     with the k-means coarse quantizer and keep at most
     ``quota_per_cluster`` rows per cluster — the standard flattening of
@@ -1311,18 +1360,36 @@ def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
     relayouts matter. Plan: one shuffle
     (the per-cluster ranking window); skew is bounded because no cluster
     can KEEP more than the quota and the ranking key is hash-uniform
-    within the cluster."""
+    within the cluster.
+
+    ``centroids`` (r7): a caller-supplied codebook skips the fit — the
+    PLANTED-constants configuration (:func:`planted_centroids`) that makes
+    the row fully deterministic and SQL-expressible. ``assign='fold'``
+    swaps the BLAS kernel for the bit-portable fold-expression twin
+    (:func:`_nearest_centroid_fold`) so a DuckDB oracle reproduces every
+    assignment AND the quota ranking exactly; ``'gemm'`` (default) is the
+    production path — identical partition semantics, matmul-summation
+    ulps may flip exact centroid ties."""
     if quota_per_cluster < 0:
         raise ValueError("cluster_balanced_sample: quota must be >= 0")
-    centroids = fit_ivf_centroids(df, vec_col, n_clusters, seed, dim=dim)
-    assign = _nearest_centroids(df.select(id_col, vec_col), id_col,
-                                vec_col, centroids, nprobe=1)
+    if centroids is None:
+        centroids = fit_ivf_centroids(df, vec_col, n_clusters, seed, dim=dim)
+    if assign == "fold":
+        assigned = _nearest_centroid_fold(df.select(id_col, vec_col),
+                                          id_col, vec_col, centroids)
+    elif assign == "gemm":
+        assigned = _nearest_centroids(df.select(id_col, vec_col), id_col,
+                                      vec_col, centroids, nprobe=1)
+    else:
+        raise ValueError(
+            f"cluster_balanced_sample: assign={assign!r} (want 'gemm' or "
+            "'fold')")
     hv = F.conv(F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"),
                        F.lit(f"|cluster-balance-{seed}"))), 1, 8),
         16, 10).cast("long")
     w = Window.partitionBy("cid").orderBy(hv.asc(), F.col(id_col).asc())
-    return (assign.withColumn("__rn", F.row_number().over(w))
+    return (assigned.withColumn("__rn", F.row_number().over(w))
             .select(F.col(id_col), F.col("cid"),
                     (F.col("__rn") <= quota_per_cluster).alias("kept")))
 

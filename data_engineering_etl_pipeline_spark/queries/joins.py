@@ -16,9 +16,13 @@ from ..universe import monthly_top_n
 from . import register
 
 
-@register(
-    "region_revenue",
-    oracle="""
+#: region_revenue's value oracle — registry slot consolidated in r7 (the
+#: r6 VERDICT item 8 plan): the J1 five-frame stitch surface is covered on
+#: the driver record by ``sql_nation_revenue``'s enriched GROUPING SETS
+#: star query (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem, two
+#: grains); this query keeps its full value oracle as a unit
+#: (tests/test_queries_oracle.py) and stays in the library surface.
+REGION_REVENUE_ORACLE = """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
            COUNT(*) AS n_items
@@ -28,8 +32,9 @@ from . import register
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J4/J5 multi-join chain: big fact ⋈ broadcast dims, revenue rollup.
 

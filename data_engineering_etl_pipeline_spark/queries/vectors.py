@@ -333,6 +333,81 @@ def _lsh_bucket_oracle(seed: int = 42, n_planes: int = 16, dim: int = 64,
     """
 
 
+_CBS_SEED, _CBS_K, _CBS_QUOTA, _CBS_DIM = 777, 4, 64, 64
+
+
+def _cluster_sample_oracle() -> str:
+    """DuckDB twin of the cluster-balanced curation sample under the
+    PLANTED-centroid configuration, built from the SAME
+    ``planted_centroids(seed)`` constants the Spark fold expression embeds
+    (the ``_lsh_bucket_oracle`` pattern). Assignment parity is exact by
+    construction — identical left-associated multiply-add chains in IEEE
+    double, identical ties-to-lower-cid CASE — and the quota ranking is
+    the engine's portable-md5 convention, so ``kept`` agrees row-for-row
+    with no tolerance anywhere."""
+    from ..extensions.similarity import planted_centroids
+
+    cents = planted_centroids(_CBS_SEED, _CBS_K, _CBS_DIM)
+    dot_cols = ",\n        ".join(
+        "(" + " + ".join(f"ve[{j + 1}]*{cents[i][j]!r}"
+                         for j in range(_CBS_DIM)) + f") AS d{i}"
+        for i in range(_CBS_K))
+    whens = " ".join(
+        "WHEN " + " AND ".join(f"d{j} >= d{m}"
+                               for m in range(j + 1, _CBS_K)) + f" THEN {j}"
+        for j in range(_CBS_K - 1))
+    case = f"CASE {whens} ELSE {_CBS_K - 1} END"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id,
+        {dot_cols}
+      FROM v
+    ), a AS (
+      SELECT vec_id, {case} AS cid FROM d
+    ), r AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                                       || '|cluster-balance-{_CBS_SEED}'),
+                                   1, 8) AS UBIGINT) ASC,
+               vec_id ASC) AS rn
+      FROM a
+    )
+    SELECT vec_id, cid, rn <= {_CBS_QUOTA} AS kept FROM r
+    """
+
+
+@register("cluster_balanced_sample", oracle=_cluster_sample_oracle())
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation sampling ON the driver record (r6 VERDICT
+    item 2 — was unit-only): partition the embedding space and keep at
+    most ``quota`` rows per cluster, flagging every row. Run under the
+    planted-centroid + fold-assignment configuration
+    (``similarity.cluster_balanced_sample(centroids=..., assign='fold')``),
+    which makes the WHOLE row deterministic and oracle-expressible — the
+    ``embedding_lsh_near_dup`` seeded-constants trick applied to the
+    k-means partition: assignment constants are shared verbatim with the
+    SQL twin, and the within-cluster quota ranking is the portable-md5
+    hash order, so the oracle value-checks both the partition and the
+    quota machinery. The production path (seeded k-means fit + BLAS
+    assignment) keeps its invariants unit-pinned in
+    tests/test_similarity_recall.py (quota cap, full coverage, bijection,
+    rerun stability). Plan shape: map-only fold assignment + ONE ranking
+    shuffle; skew bounded by the quota and the hash-uniform ranking key."""
+    from ..extensions.similarity import (cluster_balanced_sample,
+                                         planted_centroids)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cluster_balanced_sample(
+        emb, quota_per_cluster=_CBS_QUOTA, id_col="vec_id",
+        seed=_CBS_SEED, dim=_CBS_DIM,
+        centroids=planted_centroids(_CBS_SEED, _CBS_K, _CBS_DIM),
+        assign="fold")
+
+
 @register("embedding_lsh_near_dup", oracle=_lsh_bucket_oracle())
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The designated 100 TB similarity path ON the driver record (r5

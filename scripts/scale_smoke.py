@@ -28,7 +28,6 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 QUERY_SET = [
     "pricing_summary",
-    "region_revenue",
     "monthly_top_customers",
     "canonical_part_agg",
     "rolling_price_stats",

@@ -42,12 +42,39 @@ def pushed_filters(plan: str) -> int:
 
 def test_region_revenue_broadcasts_all_dims(spark):
     """4-way dim join chain: every join must broadcast (dims are small at any
-    SF), zero sort-merge joins, and the only shuffle is the final agg."""
-    p = plan_of(spark, "region_revenue")
+    SF), zero sort-merge joins, and the only shuffle is the final agg.
+    (Library query since r7 — registry slot consolidated into
+    sql_nation_revenue's grouping-sets star; the plan contract holds.)"""
+    from data_engineering_etl_pipeline_spark.queries.joins import region_revenue
+
+    p = plan_text(region_revenue(spark, SF_DIR))
     assert p.count("BroadcastHashJoin") >= 3
     assert p.count("SortMergeJoin") == 0
     assert shuffles(p) == 1
     assert pushed_filters(p) >= 1
+
+
+def test_sql_nation_revenue_grouping_sets_one_agg_pass(spark):
+    """The r7 consolidation target: the enriched SQL star (five frames, two
+    grains) still broadcasts every dim, pushes the date filter, and plans
+    the GROUPING SETS as ONE expand+aggregate — a second grain must not
+    cost a second scan or join pass."""
+    p = plan_of(spark, "sql_nation_revenue")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert p.count("SortMergeJoin") == 0
+    assert "Expand" in p
+    assert shuffles(p) == 1
+    assert pushed_filters(p) >= 1
+
+
+def test_cluster_balanced_sample_map_only_plus_one_window_shuffle(spark):
+    """The r7 driver row: planted-centroid fold assignment is pure
+    expressions (no Python worker, no BatchEvalPython/ArrowEvalPython) and
+    the only exchange is the per-cluster ranking window's."""
+    p = plan_of(spark, "cluster_balanced_sample")
+    assert "EvalPython" not in p, p
+    assert shuffles(p) == 1
+    assert "Window" in p
 
 
 def test_pricing_summary_pushes_date_filter(spark):

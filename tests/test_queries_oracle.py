@@ -27,3 +27,15 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_region_revenue_library_query_matches_oracle(spark, duck):
+    """region_revenue left the driver registry in r7 (slot consolidated
+    into sql_nation_revenue's grouping-sets star) but remains library
+    surface — its full value oracle moves here so the J1 stitch keeps a
+    hash-checked twin."""
+    from data_engineering_etl_pipeline_spark.queries.joins import (
+        REGION_REVENUE_ORACLE, region_revenue)
+
+    assert_matches_oracle(region_revenue(spark, SF_DIR), duck,
+                          REGION_REVENUE_ORACLE, "region_revenue")
