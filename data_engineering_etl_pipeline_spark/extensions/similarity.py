@@ -1300,7 +1300,8 @@ def planted_centroids(seed: int, n_clusters: int, dim: int) -> list[list[float]]
 
 
 def _nearest_centroid_fold(df: DataFrame, id_col: str, vec_col: str,
-                           centroids: list[list[float]]) -> DataFrame:
+                           centroids: list[list[float]],
+                           keep: tuple[str, ...] = ()) -> DataFrame:
     """Exact-config assignment twin of :func:`_nearest_centroids` for
     oracle-checkable configurations: each centroid dot is a fold-form
     expression (the ``_plane_sign_bits`` convention — left-associated,
@@ -1310,7 +1311,9 @@ def _nearest_centroid_fold(df: DataFrame, id_col: str, vec_col: str,
     exactly like the kernel's zero-row convention. Interpreted-expression
     cost is the price of bit-portability — production assignment stays on
     the BLAS kernel; this is the verification twin (the simhash64 /
-    md5-simhash pattern)."""
+    md5-simhash pattern). ``keep`` forwards additional input columns
+    through the assignment (e.g. the vector itself for a centroid-update
+    consumer) without a join back."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     k = len(centroids)
     dots = []
@@ -1319,6 +1322,7 @@ def _nearest_centroid_fold(df: DataFrame, id_col: str, vec_col: str,
         dots.append(F.aggregate(F.zip_with(v, lit, lambda a, b: a * b),
                                 F.lit(0.0), lambda acc, x: acc + x))
     staged = df.select(F.col(id_col), F.col(vec_col).alias("__nv"),
+                       *[F.col(c) for c in keep if c != id_col],
                        *[dots[j].alias(f"__d{j}") for j in range(k)])
     cid = F.lit(k - 1)
     for j in range(k - 2, -1, -1):
@@ -1328,7 +1332,8 @@ def _nearest_centroid_fold(df: DataFrame, id_col: str, vec_col: str,
             cond = ge if cond is None else cond & ge
         cid = F.when(cond, F.lit(j)).otherwise(cid)
     cid = F.when(F.col("__nv").isNull(), F.lit(0)).otherwise(cid)
-    return staged.select(F.col(id_col), cid.alias("cid"))
+    return staged.select(F.col(id_col), cid.alias("cid"),
+                         *[F.col(c) for c in keep if c != id_col])
 
 
 def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
@@ -1336,7 +1341,8 @@ def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
                             vec_col: str = "embedding", seed: int = 42,
                             dim: int = VECTOR_DIM,
                             centroids: list[list[float]] | None = None,
-                            assign: str = "gemm") -> DataFrame:
+                            assign: str = "gemm",
+                            refine_iters: int = 0) -> DataFrame:
     """Cluster-balanced curation sampling: partition the embedding space
     with the k-means coarse quantizer and keep at most
     ``quota_per_cluster`` rows per cluster — the standard flattening of
@@ -1369,11 +1375,25 @@ def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
     (:func:`_nearest_centroid_fold`) so a DuckDB oracle reproduces every
     assignment AND the quota ranking exactly; ``'gemm'`` (default) is the
     production path — identical partition semantics, matmul-summation
-    ulps may flip exact centroid ties."""
+    ulps may flip exact centroid ties.
+
+    ``refine_iters`` (r7): run that many distributed Lloyd refinement
+    passes (:func:`kmeans_lloyd_refine`) over the FULL corpus before
+    assigning. With a partitioning-independent init (``centroids=``
+    :func:`planted_centroids` or a frozen prior codebook) this closes the
+    relayout caveat above: the refined boundaries are byte-stable under
+    any repartitioning AND minimize corpus-level (not sample-level)
+    quantization error. Costs ``refine_iters`` scans; each reduce is
+    codebook-sized."""
     if quota_per_cluster < 0:
         raise ValueError("cluster_balanced_sample: quota must be >= 0")
     if centroids is None:
         centroids = fit_ivf_centroids(df, vec_col, n_clusters, seed, dim=dim)
+    if refine_iters > 0:
+        centroids = kmeans_lloyd_refine(df.select(vec_col), centroids,
+                                        n_iters=refine_iters,
+                                        vec_col=vec_col, dim=dim,
+                                        assign=assign)
     if assign == "fold":
         assigned = _nearest_centroid_fold(df.select(id_col, vec_col),
                                           id_col, vec_col, centroids)
@@ -1392,6 +1412,143 @@ def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
     return (assigned.withColumn("__rn", F.row_number().over(w))
             .select(F.col(id_col), F.col("cid"),
                     (F.col("__rn") <= quota_per_cluster).alias("kept")))
+
+
+#: fixed-point scale for exact (order-independent) centroid accumulation:
+#: coordinates are floor-quantized to q = floor(x · 2^20) BIGINTs before the
+#: cross-row sum, so the reduce is exact integer arithmetic — identical
+#: under ANY partitioning, task retry, or engine (DuckDB twin included) —
+#: and the ~1e-6 quantization error is far below embedding noise.
+KMEANS_Q_SCALE = 1 << 20
+
+
+def _assign_with_vec(df: DataFrame, vec_col: str,
+                     centroids: list[list[float]],
+                     assign: str = "gemm") -> DataFrame:
+    """Map-only nearest-centroid (nprobe=1) assignment that CARRIES the
+    vector column through — ``(cid, vec_col)`` with no join back (the
+    update step consumes the vector in the same stage). ``'gemm'`` is the
+    production BLAS kernel; ``'fold'`` the bit-portable expression twin."""
+    if assign == "fold":
+        return _nearest_centroid_fold(
+            df.select(F.lit(0).alias("__rid"), vec_col),
+            "__rid", vec_col, centroids, keep=(vec_col,)).drop("__rid")
+    if assign != "gemm":
+        raise ValueError(f"_assign_with_vec: assign={assign!r} "
+                         "(want 'gemm' or 'fold')")
+    cmat = np.asarray(centroids, dtype=np.float64)
+    dim = cmat.shape[1]
+
+    @F.pandas_udf("int")
+    def probe1(emb: pd.Series) -> pd.Series:
+        m = np.vstack([
+            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+            for v in emb
+        ])
+        d = m @ cmat.T
+        # stable argsort convention of _nearest_centroids: ties → lower cid
+        idx = np.argsort(-d, axis=1, kind="stable")[:, 0].astype(np.int32)
+        return pd.Series(idx)
+
+    return df.select(probe1(F.col(vec_col)).alias("cid"), F.col(vec_col))
+
+
+def kmeans_update_exact(assigned: DataFrame, vec_col: str = "embedding",
+                        cid_col: str = "cid",
+                        q_scale: int = KMEANS_Q_SCALE,
+                        decimal_sums: bool = False) -> DataFrame:
+    """ONE exact Lloyd M-step, distributed: per-(cluster, coordinate)
+    member count, fixed-point coordinate sum, and the mean coordinate.
+
+    Returns ``(cid, pos, n_members, sum_q, coord)`` — k·dim rows — where
+    ``sum_q = Σ floor(x·q_scale)`` over the cluster's members (exact
+    integer arithmetic: the SAME value under any partitioning, AQE
+    re-plan, or task retry — float means are none of those) and
+    ``coord = sum_q / (n_members · q_scale)``, one float division per
+    output cell. NULL vectors contribute nothing (no direction to learn).
+
+    Plan shape: quantize + posexplode are map-only; the ONE exchange keys
+    on (cid, pos) — k·dim distinct keys, so map-side partial aggregation
+    collapses the shuffle to O(partitions · k · dim) rows no matter the
+    corpus size. This is the 100 TB M-step: the reduce is codebook-sized.
+
+    ``decimal_sums=True`` accumulates in DECIMAL(38,0) — needed only past
+    ~2^43 rows/cluster at the default scale (BIGINT sum of n·2^20·|x|max
+    would overflow); costs ~2× on the tiny reduce, nothing on the scan."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.transform(v, lambda x: F.floor(x * F.lit(float(q_scale))))
+    ex = (assigned.filter(F.col(vec_col).isNotNull())
+          .select(F.col(cid_col).alias("cid"),
+                  F.posexplode(q).alias("pos", "__q")))
+    acc = (F.col("__q").cast("decimal(38,0)") if decimal_sums
+           else F.col("__q"))
+    return (ex.groupBy("cid", "pos")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum(acc).alias("sum_q"))
+            .withColumn("coord",
+                        F.col("sum_q").cast("double")
+                        / (F.col("n_members") * F.lit(float(q_scale)))))
+
+
+def kmeans_lloyd_refine(df: DataFrame,
+                        init_centroids: list[list[float]],
+                        n_iters: int = 4, vec_col: str = "embedding",
+                        dim: int = VECTOR_DIM, assign: str = "gemm",
+                        normalize: bool = True,
+                        q_scale: int = KMEANS_Q_SCALE,
+                        decimal_sums: bool = False) -> list[list[float]]:
+    """Distributed Lloyd refinement over the FULL corpus: iterate
+    (map-only nearest-centroid assignment → exact fixed-point M-step →
+    collect the k·dim codebook) from a given initialization.
+
+    Where this sits vs :func:`fit_ivf_centroids`: the sample fit is the
+    right tool for CODEBOOKS (a few KB need only a sample), but its
+    training sample follows the input partitioning, so cluster boundaries
+    — and everything partitioned by them (``cluster_balanced_sample``,
+    SemDeDup cells) — can shift when the corpus is merely relaid out.
+    Refinement from a partitioning-independent init (seeded
+    :func:`planted_centroids`, or a FROZEN prior codebook) is fully
+    deterministic end-to-end: assignment is per-row (stable ties → lower
+    cid), the M-step is exact integer accumulation (order-independent),
+    and the per-iteration normalize is k·dim driver-side float ops — so
+    the refined codebook is byte-identical under ANY repartitioning,
+    retry, or cluster size (unit-pinned), while actually minimizing
+    corpus-level (not sample-level) quantization error.
+
+    Cost: n_iters full scans; each iteration's shuffle is the
+    codebook-sized (cid, pos) partial-agg reduce of
+    :func:`kmeans_update_exact` and the driver transfer is k·dim rows.
+    Empty clusters keep their previous centroid (the standard Lloyd
+    convention — deterministic, no reseeding RNG). ``normalize=True``
+    projects each new centroid to the unit sphere (spherical k-means, the
+    :func:`_fit_ivf_from_matrix` convention — max-dot assignment is only
+    a true nearest-centroid rule on the sphere); zero-norm means keep the
+    previous centroid."""
+    cents = [list(map(float, c)) for c in init_centroids]
+    k = len(cents)
+    for _ in range(max(0, int(n_iters))):
+        assigned = _assign_with_vec(df.select(vec_col), vec_col, cents,
+                                    assign=assign)
+        upd = kmeans_update_exact(assigned, vec_col=vec_col,
+                                  q_scale=q_scale,
+                                  decimal_sums=decimal_sums)
+        rows = upd.select("cid", "pos", "n_members", "sum_q").collect()
+        nxt = [list(c) for c in cents]
+        counts = {}
+        for r in rows:
+            if 0 <= r["cid"] < k and 0 <= r["pos"] < dim:
+                nxt[r["cid"]][r["pos"]] = (
+                    float(r["sum_q"]) / (r["n_members"] * float(q_scale)))
+                counts[r["cid"]] = r["n_members"]
+        for j in range(k):
+            if j not in counts:
+                nxt[j] = list(cents[j])  # empty cluster: keep centroid
+            elif normalize:
+                n = float(np.linalg.norm(np.asarray(nxt[j])))
+                nxt[j] = ([float(x) / n for x in nxt[j]] if n > 0
+                          else list(cents[j]))
+        cents = nxt
+    return cents
 
 
 #: canonical column set of a persisted signature index (see

@@ -344,8 +344,17 @@ def _cluster_sample_oracle() -> str:
     construction — identical left-associated multiply-add chains in IEEE
     double, identical ties-to-lower-cid CASE — and the quota ranking is
     the engine's portable-md5 convention, so ``kept`` agrees row-for-row
-    with no tolerance anywhere."""
-    from ..extensions.similarity import planted_centroids
+    with no tolerance anywhere.
+
+    The ``centroid`` stage (r7) reproduces one exact distributed Lloyd
+    M-step (``similarity.kmeans_update_exact``) over the SAME assignment:
+    per-(cid, pos) member counts, the fixed-point coordinate sum
+    ``Σ floor(x·2^20)`` (exact integer arithmetic — order-independent in
+    both engines, zero tolerance), and the mean coordinate as one float
+    division. This value-checks the scale-path M-step machinery —
+    quantize → posexplode → codebook-sized partial-agg reduce — that
+    ``kmeans_lloyd_refine`` iterates."""
+    from ..extensions.similarity import KMEANS_Q_SCALE, planted_centroids
 
     cents = planted_centroids(_CBS_SEED, _CBS_K, _CBS_DIM)
     dot_cols = ",\n        ".join(
@@ -357,6 +366,7 @@ def _cluster_sample_oracle() -> str:
                                for m in range(j + 1, _CBS_K)) + f" THEN {j}"
         for j in range(_CBS_K - 1))
     case = f"CASE {whens} ELSE {_CBS_K - 1} END"
+    q = float(KMEANS_Q_SCALE)
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -375,8 +385,26 @@ def _cluster_sample_oracle() -> str:
                                    1, 8) AS UBIGINT) ASC,
                vec_id ASC) AS rn
       FROM a
+    ), g AS (
+      SELECT a.cid, gs.pos, v.ve[gs.pos + 1] AS x
+      FROM a JOIN v USING (vec_id)
+      CROSS JOIN generate_series(0, {_CBS_DIM - 1}) AS gs(pos)
+      WHERE v.ve IS NOT NULL
+    ), cent AS (
+      SELECT cid, pos, COUNT(*) AS n_members,
+             CAST(SUM(CAST(FLOOR(x * {q!r}) AS BIGINT)) AS BIGINT) AS sum_q
+      FROM g GROUP BY cid, pos
     )
-    SELECT vec_id, cid, rn <= {_CBS_QUOTA} AS kept FROM r
+    SELECT 'sample' AS stage, vec_id, cid, rn <= {_CBS_QUOTA} AS kept,
+           CAST(NULL AS INT) AS pos, CAST(NULL AS BIGINT) AS n_members,
+           CAST(NULL AS BIGINT) AS sum_q, CAST(NULL AS DOUBLE) AS coord
+    FROM r
+    UNION ALL
+    SELECT 'centroid' AS stage, CAST(NULL AS BIGINT) AS vec_id, cid,
+           CAST(NULL AS BOOLEAN) AS kept, CAST(pos AS INT) AS pos,
+           n_members, sum_q,
+           CAST(sum_q AS DOUBLE) / (n_members * {q!r}) AS coord
+    FROM cent
     """
 
 
@@ -396,16 +424,45 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment) keeps its invariants unit-pinned in
     tests/test_similarity_recall.py (quota cap, full coverage, bijection,
     rerun stability). Plan shape: map-only fold assignment + ONE ranking
-    shuffle; skew bounded by the quota and the hash-uniform ranking key."""
-    from ..extensions.similarity import (cluster_balanced_sample,
+    shuffle; skew bounded by the quota and the hash-uniform ranking key.
+
+    ``centroid`` stage (r7, stage-tag extension — same slot): ONE exact
+    distributed Lloyd M-step (``similarity.kmeans_update_exact``) over the
+    same fold assignment — per-(cluster, coordinate) member counts, the
+    fixed-point sum ``Σ floor(x·2^20)`` and the mean coordinate. The
+    integer accumulation is order-independent, so Spark's partial-agg
+    reduce and DuckDB's serial sum agree BIT-FOR-BIT with no rounding
+    anywhere — the oracle-checked core of :func:`kmeans_lloyd_refine`,
+    the full-corpus refinement loop that makes the curation partition
+    repartition-stable (loop + spherical projection unit-pinned in
+    tests/test_similarity_recall.py). Plan shape: quantize + posexplode
+    map-only, ONE exchange on (cid, pos) — k·dim keys, so map-side
+    combine makes the shuffle codebook-sized at any corpus size."""
+    from ..extensions.similarity import (_nearest_centroid_fold,
+                                         cluster_balanced_sample,
+                                         kmeans_update_exact,
                                          planted_centroids)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cluster_balanced_sample(
+    cents = planted_centroids(_CBS_SEED, _CBS_K, _CBS_DIM)
+    sample = cluster_balanced_sample(
         emb, quota_per_cluster=_CBS_QUOTA, id_col="vec_id",
-        seed=_CBS_SEED, dim=_CBS_DIM,
-        centroids=planted_centroids(_CBS_SEED, _CBS_K, _CBS_DIM),
-        assign="fold")
+        seed=_CBS_SEED, dim=_CBS_DIM, centroids=cents, assign="fold")
+    assigned = _nearest_centroid_fold(emb, "vec_id", "embedding", cents,
+                                      keep=("embedding",))
+    cent = kmeans_update_exact(assigned, vec_col="embedding")
+    sample_rows = sample.select(
+        F.lit("sample").alias("stage"), "vec_id", "cid", "kept",
+        F.lit(None).cast("int").alias("pos"),
+        F.lit(None).cast("long").alias("n_members"),
+        F.lit(None).cast("long").alias("sum_q"),
+        F.lit(None).cast("double").alias("coord"))
+    cent_rows = cent.select(
+        F.lit("centroid").alias("stage"),
+        F.lit(None).cast("long").alias("vec_id"), "cid",
+        F.lit(None).cast("boolean").alias("kept"),
+        F.col("pos").cast("int").alias("pos"), "n_members", "sum_q", "coord")
+    return sample_rows.unionByName(cent_rows)
 
 
 @register("embedding_lsh_near_dup", oracle=_lsh_bucket_oracle())

@@ -69,12 +69,17 @@ def test_sql_nation_revenue_grouping_sets_one_agg_pass(spark):
 
 def test_cluster_balanced_sample_map_only_plus_one_window_shuffle(spark):
     """The r7 driver row: planted-centroid fold assignment is pure
-    expressions (no Python worker, no BatchEvalPython/ArrowEvalPython) and
-    the only exchange is the per-cluster ranking window's."""
+    expressions (no Python worker, no BatchEvalPython/ArrowEvalPython).
+    Two exchanges total, both value-bearing: the per-cluster ranking
+    window's, and the centroid stage's (cid, pos) aggregate — which MUST
+    show map-side partial aggregation (partial_count/partial_sum before
+    the exchange), the property that keeps the kmeans M-step shuffle
+    codebook-sized at any corpus scale."""
     p = plan_of(spark, "cluster_balanced_sample")
     assert "EvalPython" not in p, p
-    assert shuffles(p) == 1
+    assert shuffles(p) == 2, p
     assert "Window" in p
+    assert "partial_count" in p and "partial_sum" in p, p
 
 
 def test_pricing_summary_pushes_date_filter(spark):
