@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "doc_cleaning_suite",
     "doc_decontamination",
     "corpus_split_profile",
-    "bm25_scores",
+    "embedding_pca_moments",
     "ccnet_perplexity_mix",
     "dsir_select",
     "pack_sequences",

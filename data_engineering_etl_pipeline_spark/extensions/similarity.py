@@ -1551,6 +1551,197 @@ def kmeans_lloyd_refine(df: DataFrame,
     return cents
 
 
+def embedding_moments_exact(df: DataFrame, vec_col: str = "embedding",
+                            dim: int = VECTOR_DIM,
+                            q_scale: int = KMEANS_Q_SCALE,
+                            block: int = 256) -> DataFrame:
+    """Exact first + second moments of an embedding column, distributed:
+    ``(i, j, n, sum_q)`` where rows with ``j >= i`` carry the fixed-point
+    second-moment sums ``Σ floor(x_i·x_j·q_scale)`` (upper triangle) and
+    rows with ``j = -1`` the first-moment sums ``Σ floor(x_i·q_scale)``.
+
+    The same exactness contract as :func:`kmeans_update_exact`: per-row
+    quantization is deterministic IEEE (double product × a power of two,
+    floored), the cross-row reduce is integer arithmetic — so the moment
+    table is byte-identical under any partitioning, AQE re-plan, or task
+    retry, and a serial SQL engine reproduces it with ZERO tolerance.
+
+    Plan shape — the covariance scale path: an Arrow ``mapInPandas``
+    kernel computes each batch's d×d partial in vectorized numpy (the
+    O(n·d²) flops stay in C, nothing exploded row-wise) and emits ONE
+    d(d+1)/2 + d partial frame per batch; the only exchange carries those
+    codebook-sized partials to a (i, j) sum — O(batches · d²) rows no
+    matter the corpus size. NULL and wrong-length vectors are excluded
+    (no moment to contribute). ``block`` caps the b×d×d outer-product
+    scratch (256·64·64·8B ≈ 8 MB)."""
+    qf = float(q_scale)
+    iu = np.triu_indices(dim)
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]
+                    if v is not None and len(v) == dim]
+            if not vecs:
+                continue
+            x = np.vstack(vecs)
+            n = len(x)
+            acc2 = np.zeros((dim, dim), dtype=np.int64)
+            for s in range(0, n, block):
+                xb = x[s:s + block]
+                acc2 += (np.floor(np.einsum("bi,bj->bij", xb, xb) * qf)
+                         .astype(np.int64).sum(axis=0))
+            acc1 = np.floor(x * qf).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame({
+                "i": np.concatenate([iu[0], np.arange(dim)]).astype(np.int32),
+                "j": np.concatenate([iu[1],
+                                     np.full(dim, -1)]).astype(np.int32),
+                "n": np.int64(n),
+                "s": np.concatenate([acc2[iu], acc1]),
+            })
+
+    part = df.select(vec_col).mapInPandas(gen, "i int, j int, n long, s long")
+    return part.groupBy("i", "j").agg(F.sum("n").alias("n"),
+                                      F.sum("s").alias("sum_q"))
+
+
+def covariance_exact(df: DataFrame, vec_col: str = "embedding",
+                     dim: int = VECTOR_DIM,
+                     q_scale: int = KMEANS_Q_SCALE,
+                     block: int = 256) -> DataFrame:
+    """Upper-triangle covariance cells
+    ``(i, j, n, sum_q, sum_qi, sum_qj, cov)`` with
+    ``cov = sum_q/(n·Q) − (sum_qi/(n·Q))·(sum_qj/(n·Q))`` — every float op
+    a fixed-order function of exact integers, so the cell values (not just
+    their rounding) are engine-portable.
+
+    Single-pass: the Arrow kernel carries each cell's two first-moment
+    partials ON the triangle row (d² extra BIGINTs per batch — codebook
+    noise), so the plan is ONE kernel pass + ONE (i, j) reduce + a
+    projection. The naive compose-from-:func:`embedding_moments_exact`
+    shape needed two self-joins, and Catalyst does not dedupe the common
+    kernel subplan — it would re-run the O(n·d²) scan kernel THREE times
+    (caught by the plan pin, tests/test_plans.py)."""
+    qf = float(q_scale)
+    iu = np.triu_indices(dim)
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]
+                    if v is not None and len(v) == dim]
+            if not vecs:
+                continue
+            x = np.vstack(vecs)
+            n = len(x)
+            acc2 = np.zeros((dim, dim), dtype=np.int64)
+            for s in range(0, n, block):
+                xb = x[s:s + block]
+                acc2 += (np.floor(np.einsum("bi,bj->bij", xb, xb) * qf)
+                         .astype(np.int64).sum(axis=0))
+            acc1 = np.floor(x * qf).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame({
+                "i": iu[0].astype(np.int32), "j": iu[1].astype(np.int32),
+                "n": np.int64(n), "s": acc2[iu],
+                "si": acc1[iu[0]], "sj": acc1[iu[1]],
+            })
+
+    part = df.select(vec_col).mapInPandas(
+        gen, "i int, j int, n long, s long, si long, sj long")
+    agg = (part.groupBy("i", "j")
+           .agg(F.sum("n").alias("n"), F.sum("s").alias("sum_q"),
+                F.sum("si").alias("sum_qi"), F.sum("sj").alias("sum_qj")))
+    denom = F.col("n") * F.lit(qf)
+    return agg.select("i", "j", "n", "sum_q", "sum_qi", "sum_qj",
+                      (F.col("sum_q").cast("double") / denom
+                       - (F.col("sum_qi").cast("double") / denom)
+                       * (F.col("sum_qj").cast("double") / denom))
+                      .alias("cov"))
+
+
+def fit_pca_exact(df: DataFrame, vec_col: str = "embedding",
+                  n_components: int = 8, dim: int = VECTOR_DIM,
+                  q_scale: int = KMEANS_Q_SCALE) -> dict:
+    """PCA fit over the FULL corpus via the exact distributed moment table
+    (not a driver sample): collect the d(d+1)/2 + d moment cells, build
+    the covariance in numpy, ``eigh``, keep the top ``n_components``.
+
+    Byte-stable end-to-end (unit-pinned): the moment table is exact
+    integers under any layout, the eigendecomposition runs on the driver
+    from an identical matrix, and each component's sign is fixed by
+    convention (the largest-|coordinate| entry is made positive; ties →
+    the lowest index), so two fits of a relaid-out corpus return the
+    identical model. Whitening/rotation before cosine dedup or PQ (OPQ-ish
+    preprocessing) needs exactly this kind of reproducibility: at 100 TB
+    the fit is one scan with a codebook-sized shuffle, and a model refit
+    after a lossless relayout is guaranteed to be a no-op.
+
+    Returns ``{"mean", "components" (n_components×dim, row-major),
+    "eigvals", "n"}``."""
+    rows = embedding_moments_exact(df, vec_col, dim, q_scale).collect()
+    if not rows:
+        raise ValueError("fit_pca_exact: no non-null vectors to fit on")
+    qf = float(q_scale)
+    n = rows[0]["n"]
+    s1 = np.zeros(dim)
+    s2 = np.zeros((dim, dim))
+    for r in rows:
+        if r["j"] == -1:
+            s1[r["i"]] = r["sum_q"]
+        else:
+            s2[r["i"], r["j"]] = r["sum_q"]
+            s2[r["j"], r["i"]] = r["sum_q"]
+    mu = s1 / (n * qf)
+    cov = s2 / (n * qf) - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(-w, kind="stable")[:n_components]
+    comps = []
+    for idx in order:
+        c = v[:, idx]
+        pivot = int(np.argmax(np.abs(c)))  # first max wins: deterministic
+        if c[pivot] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return {"mean": [float(x) for x in mu],
+            "components": comps,
+            "eigvals": [float(w[idx]) for idx in order],
+            "n": int(n)}
+
+
+def apply_pca(df: DataFrame, model: dict, vec_col: str = "embedding",
+              out_col: str = "pca", whiten: bool = False,
+              eps: float = 1e-12) -> DataFrame:
+    """Map-only PCA projection: ``y = (x − mean) @ componentsᵀ``, optionally
+    whitened (each output dim scaled by 1/√eigval, variance-1 outputs —
+    the preprocessing that makes Euclidean ≈ Mahalanobis for downstream
+    ANN/dedup). Arrow-batched matmul per batch, model broadcast in the
+    closure (KB-scale); embarrassingly parallel over a 100 TB scan — no
+    shuffle, no collect. NULL/wrong-length vectors project to NULL."""
+    mu = np.asarray(model["mean"], dtype=np.float64)
+    wmat = np.asarray(model["components"], dtype=np.float64).T  # dim×k
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(np.asarray(model["eigvals"],
+                                                    dtype=np.float64), eps))
+        wmat = wmat * scale[None, :]
+    dim = mu.shape[0]
+
+    @F.pandas_udf("array<double>")
+    def proj(emb: pd.Series) -> pd.Series:
+        out = []
+        ok_rows = [v for v in emb if v is not None and len(v) == dim]
+        if ok_rows:
+            y = (np.vstack([np.asarray(v, dtype=np.float64)
+                            for v in ok_rows]) - mu) @ wmat
+        k = 0
+        for v in emb:
+            if v is not None and len(v) == dim:
+                out.append([float(x) for x in y[k]])
+                k += 1
+            else:
+                out.append(None)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
 #: canonical column set of a persisted signature index (see
 #: :func:`embedding_signature_index`)
 _SIG_INDEX_COLS = ("table", "bucket", "keep_id", "keep_vec", "keep_inv",

@@ -29,13 +29,11 @@ _MD5_32 = """list_sum(list_transform(range(0, 8), i ->
              AS BIGINT) << CAST((7 - i) * 4 AS INT)))"""
 
 
-@register(
-    "bm25_scores",
-    oracle="""
-    WITH base AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
-      FROM documents
-    ),
+# BM25 SQL twin, consumed by the consolidated dsir_select row below (the
+# standalone `bm25_scores` row was stage-tagged into it in r7 — headroom
+# plan consolidation #2; the freed slot registered embedding_pca_moments).
+# References a shared `base` CTE of (doc_id, lang, t).
+_BM25_CTES = """
     stats AS (
       SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM base
     ),
@@ -47,22 +45,15 @@ _MD5_32 = """list_sum(list_transform(range(0, 8), i ->
     ),
     dfreq AS (
       SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
-    )
-    SELECT doc_id,
-           ROUND(SUM(LN(1 + (n - df + 0.5) / (df + 0.5))
-                     * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
-                 6) AS bm25
-    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-    GROUP BY doc_id
-    """,
-)
-def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 ranked retrieval over the documents corpus for a fixed
-    bag-of-words query (extensions/corpus.py bm25_scores; the exploded
-    token stream is filtered to the query terms BEFORE any exchange, so
-    shuffles carry the query's postings, not the corpus)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return corpus.bm25_scores(docs, _QUERY_TERMS)
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             ROUND(SUM(LN(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS bm25
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )"""
 
 
 # The standalone `lm_cross_entropy` row was folded into
@@ -144,7 +135,7 @@ def ccnet_perplexity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
       FROM documents
-    ), featarr AS (
+    ),""" + _BM25_CTES + """, featarr AS (
       SELECT doc_id, lang,
              list_concat(t, list_transform(range(1, len(t)),
                                            i -> t[i] || ' ' || t[i+1])) AS f
@@ -168,25 +159,51 @@ def ccnet_perplexity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), lw AS (
       SELECT doc_id, ROUND(SUM(lr), 6) AS logw
       FROM rawf JOIN ratio USING (b) GROUP BY 1
-    )
-    SELECT doc_id, logw,
-           ROUND(logw + -(LN(-LN((""" + _MD5_32.format(
+    ), dsir AS (
+      SELECT doc_id, logw,
+             ROUND(logw + -(LN(-LN((""" + _MD5_32.format(
         arg="CAST(doc_id AS VARCHAR) || '|dsir-v1'") + """
-             + 1) / 4294967297.0))), 6) AS dsir_score
-    FROM lw ORDER BY dsir_score DESC, doc_id LIMIT 50
+               + 1) / 4294967297.0))), 6) AS dsir_score
+      FROM lw ORDER BY dsir_score DESC, doc_id LIMIT 50
+    )
+    SELECT 'bm25' AS stage, doc_id, bm25,
+           CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS dsir_score
+    FROM bm25
+    UNION ALL
+    SELECT 'dsir' AS stage, doc_id, CAST(NULL AS DOUBLE) AS bm25,
+           logw, dsir_score
+    FROM dsir
     """,
 )
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection (Xie et al. 2023): importance log-weights of
-    every doc vs the English-documents target distribution over 512
-    hashed unigram+bigram buckets, then a deterministic Gumbel-top-50
-    sample ∝ exp(logw) (extensions/corpus.py dsir_topk — KB-scale
-    broadcast count tables, map-only scoring, TakeOrdered ranking; the
-    oracle reproduces weights, Gumbel noise, and the selected set
-    bit-for-bit)."""
+    """Two query/target-conditioned corpus scorers in one stage-tagged row
+    (r7 consolidation of the former standalone ``bm25_scores`` row —
+    headroom plan #2; the freed slot registered ``embedding_pca_moments``;
+    both value surfaces stay fully hash-checked):
+
+    ``bm25``: Okapi BM25 ranked retrieval for a fixed bag-of-words query
+    (extensions/corpus.py bm25_scores; the exploded token stream is
+    filtered to the query terms BEFORE any exchange, so shuffles carry
+    the query's postings, not the corpus).
+
+    ``dsir``: DSIR data selection (Xie et al. 2023): importance
+    log-weights of every doc vs the English-documents target distribution
+    over 512 hashed unigram+bigram buckets, then a deterministic
+    Gumbel-top-50 sample ∝ exp(logw) (extensions/corpus.py dsir_topk —
+    KB-scale broadcast count tables, map-only scoring, TakeOrdered
+    ranking; the oracle reproduces weights, Gumbel noise, and the
+    selected set bit-for-bit)."""
     docs = load_table(spark, sf_dir, "documents")
-    return corpus.dsir_topk(docs, docs.filter(F.col("lang") == "en"),
-                            k=50, buckets=512)
+    bm = (corpus.bm25_scores(docs, _QUERY_TERMS)
+          .select(F.lit("bm25").alias("stage"), "doc_id", "bm25",
+                  F.lit(None).cast("double").alias("logw"),
+                  F.lit(None).cast("double").alias("dsir_score")))
+    ds = (corpus.dsir_topk(docs, docs.filter(F.col("lang") == "en"),
+                           k=50, buckets=512)
+          .select(F.lit("dsir").alias("stage"), "doc_id",
+                  F.lit(None).cast("double").alias("bm25"),
+                  "logw", "dsir_score"))
+    return bm.unionByName(ds)
 
 
 @register(

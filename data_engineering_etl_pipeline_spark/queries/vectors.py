@@ -465,6 +465,66 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_rows.unionByName(cent_rows)
 
 
+_PCA_DIM, _PCA_Q = 64, float(1 << 20)
+
+_PCA_MOMENTS_ORACLE = f"""
+    WITH v AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {_PCA_DIM}
+    ), m1 AS (
+      SELECT gi.i, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(ve[gi.i + 1] * {_PCA_Q!r}) AS BIGINT))
+                  AS BIGINT) AS s1
+      FROM v CROSS JOIN generate_series(0, {_PCA_DIM - 1}) AS gi(i)
+      GROUP BY gi.i
+    ), m2 AS (
+      SELECT gi.i, gj.j, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(ve[gi.i + 1] * ve[gj.j + 1] * {_PCA_Q!r})
+                           AS BIGINT)) AS BIGINT) AS sum_q
+      FROM v CROSS JOIN generate_series(0, {_PCA_DIM - 1}) AS gi(i)
+             CROSS JOIN generate_series(0, {_PCA_DIM - 1}) AS gj(j)
+      WHERE gi.i <= gj.j
+      GROUP BY gi.i, gj.j
+    )
+    SELECT CAST(m2.i AS INT) AS i, CAST(m2.j AS INT) AS j, m2.n, m2.sum_q,
+           a.s1 AS sum_qi, b.s1 AS sum_qj,
+           CAST(m2.sum_q AS DOUBLE) / (m2.n * {_PCA_Q!r})
+           - (CAST(a.s1 AS DOUBLE) / (m2.n * {_PCA_Q!r}))
+             * (CAST(b.s1 AS DOUBLE) / (m2.n * {_PCA_Q!r})) AS cov
+    FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i
+    """
+
+
+@register("embedding_pca_moments", oracle=_PCA_MOMENTS_ORACLE)
+def embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed covariance of the embedding corpus — the fit
+    surface of the r7 PCA/whitening operator (``similarity.fit_pca_exact``
+    / ``apply_pca``, the OPQ-ish rotation step embedding-curation
+    pipelines run before cosine dedup or PQ): upper-triangle cells
+    ``(i, j, n, sum_q, sum_qi, sum_qj, cov)``.
+
+    The moment machinery is the ``kmeans_update_exact`` exactness contract
+    applied to second moments: per-row fixed-point quantization
+    ``floor(x_i·x_j·2^20)`` (deterministic IEEE), cross-row reduce in
+    integer arithmetic — order-independent, so the Arrow GEMM-batched
+    kernel (``embedding_moments_exact``: O(n·d²) flops in vectorized
+    numpy, ONE codebook-sized partial frame per batch) must agree with
+    DuckDB's serial cross-join twin BIT-FOR-BIT, zero tolerance, no
+    rounding anywhere. The eigendecomposition itself is k·d driver-side
+    work verified against a numpy twin in tests/test_pca.py (byte-stable
+    fit under relayout, orthonormal components, whitened covariance = I).
+
+    Plan shape (pinned): one mapInPandas pass, ONE exchange on (i, j) —
+    d(d+1)/2 + d keys with map-side partial sums, so the covariance
+    shuffle is codebook-sized at ANY corpus scale; two broadcast joins
+    stitch the first-moment column on."""
+    from ..extensions.similarity import covariance_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_exact(emb, "embedding", dim=_PCA_DIM)
+
+
 @register("embedding_lsh_near_dup", oracle=_lsh_bucket_oracle())
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The designated 100 TB similarity path ON the driver record (r5

@@ -82,6 +82,23 @@ def test_cluster_balanced_sample_map_only_plus_one_window_shuffle(spark):
     assert "partial_count" in p and "partial_sum" in p, p
 
 
+def test_pca_moments_one_codebook_sized_exchange(spark):
+    """The r7 covariance row: exactly ONE Arrow mapInPandas kernel pass
+    (the compose-from-moments shape re-ran the O(n·d²) kernel three times
+    — Catalyst does not dedupe common subplans), ONE non-broadcast
+    exchange (the (i, j) reduce — d(d+1)/2 keys, map-side combined so the
+    covariance shuffle is codebook-sized at any corpus scale), and no
+    join anywhere (first-moment partials ride the triangle rows)."""
+    p = plan_of(spark, "embedding_pca_moments")
+    kernel_nodes = sum(1 for line in p.splitlines()
+                       if line.strip().startswith("(")
+                       and "MapInPandas" in line)
+    assert kernel_nodes == 1, p
+    assert shuffles(p) == 1, p
+    assert "partial_sum" in p, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+
+
 def test_pricing_summary_pushes_date_filter(spark):
     """The shipdate predicate must reach the parquet scan (row-group
     pruning), and the agg is one partial+final shuffle."""
