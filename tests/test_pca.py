@@ -120,6 +120,31 @@ def test_apply_matches_numpy_and_propagates_null(spark):
             assert np.allclose(np.asarray(r["pca"]), want, atol=1e-12)
 
 
+def test_pca_projection_composes_with_near_dup_stack(spark):
+    """apply_pca output is drop-in for the similarity machinery: planted
+    exact duplicates stay cosine-1.0 neighbors in the full-rank PCA space
+    (rotation preserves cosine of centered vectors only — so the check
+    plants EXACT copies, whose projections coincide, the invariant any
+    rotation+translation preserves)."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        cosine_near_dup_pairs)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id",
+                                                         "embedding")
+    doubled = emb.unionByName(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000))
+    model = fit_pca_exact(doubled, n_components=16, dim=64)
+    proj = (apply_pca(doubled, model, out_col="pca")
+            .select("vec_id", F.col("pca").alias("embedding")))
+    pairs = cosine_near_dup_pairs(proj, threshold=0.999, id_col="vec_id",
+                                  vec_col="embedding", dim=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(r["vec_id"], r["vec_id"] + 1000000)
+               for r in emb.filter(F.col("vec_id") % 7 == 0).collect()}
+    assert planted <= got, planted - got
+
+
 def test_covariance_exact_cell_identity(spark):
     """cov cells must equal the closed-form from the integer sums — the
     exact float-op sequence the oracle reproduces."""

@@ -583,3 +583,60 @@ def test_streaming_incremental_semantic_dedup_foreachbatch(spark, tmp_path):
     assert sorted({r["keep_id"] for r in idx.collect()}) == [1, 2, 4, 7]
     assert set(idx.columns) == {"table", "bucket", "keep_id", "keep_vec",
                                 "keep_inv", "planes", "tables"}
+
+
+def test_streaming_covariance_accumulator_matches_batch_bitwise(spark,
+                                                                tmp_path):
+    """The exact-moment machinery is STREAMING-COMPOSABLE with zero drift:
+    integer fixed-point sums are associative/commutative, so maintaining
+    the covariance over micro-batches (complete-mode agg on the same
+    kernel) ends bit-identical to the one-shot batch computation — the
+    property float accumulators cannot give an incremental pipeline."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        covariance_exact)
+    from data_engineering_etl_pipeline_spark.streaming import (
+        run_stream_to_memory)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding")
+    src = os.path.join(str(tmp_path), "emb_stream")
+    emb.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_stream_to_memory(covariance_exact(stream, dim=64),
+                         "cov_stream", output_mode="complete")
+    got = {(r["i"], r["j"]): (r["n"], r["sum_q"], r["sum_qi"],
+                              r["sum_qj"], r["cov"])
+           for r in spark.table("cov_stream").collect()}
+    want = {(r["i"], r["j"]): (r["n"], r["sum_q"], r["sum_qi"],
+                               r["sum_qj"], r["cov"])
+            for r in covariance_exact(emb, dim=64).collect()}
+    assert got == want  # bit equality, floats included
+
+
+def test_streaming_kmeans_update_matches_batch_bitwise(spark, tmp_path):
+    """Same associativity property for the Lloyd M-step: fold assignment
+    is a stateless expression, the update's integer sums merge across
+    micro-batches — streaming centroid maintenance equals batch."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        _assign_with_vec, kmeans_update_exact, planted_centroids)
+    from data_engineering_etl_pipeline_spark.streaming import (
+        run_stream_to_memory)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding")
+    cents = planted_centroids(42, 4, 64)
+    src = os.path.join(str(tmp_path), "emb_stream_km")
+    emb.repartition(3).write.parquet(src)
+
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    upd = kmeans_update_exact(
+        _assign_with_vec(stream, "embedding", cents, assign="fold"))
+    run_stream_to_memory(upd, "km_stream", output_mode="complete")
+    got = {(r["cid"], r["pos"]): (r["n_members"], r["sum_q"], r["coord"])
+           for r in spark.table("km_stream").collect()}
+    want = {(r["cid"], r["pos"]): (r["n_members"], r["sum_q"], r["coord"])
+            for r in kmeans_update_exact(
+                _assign_with_vec(emb, "embedding", cents,
+                                 assign="fold")).collect()}
+    assert got == want
