@@ -326,6 +326,61 @@ def embedding_smoke(mult: int) -> int:
     return 0
 
 
+def moments_smoke(mult: int) -> int:
+    """Exact-moment family scaling (r7: covariance_exact / fit_pca_exact /
+    kmeans_lloyd_refine): inflate embeddings ``mult``× with the sign-flip
+    recipe (identical within-replica geometry, deterministic) and time the
+    covariance kernel, the full PCA fit (kernel + collect + eigh), and one
+    distributed Lloyd refinement iteration. All three are map-dominated
+    with a codebook-sized shuffle, so wall time should scale ~linearly in
+    rows and the reduce stays constant-size — the 100 TB design claim."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        covariance_exact, fit_pca_exact, kmeans_lloyd_refine,
+        planted_centroids)
+    from data_engineering_etl_pipeline_spark.io import load_table
+    from data_engineering_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("moments-smoke")
+    rep = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(mult - 1).cast("long"))
+    ).alias("__rep")
+    base = (load_table(spark, SRC, "embeddings")
+            .select("vec_id", "embedding", rep))
+    flipped = F.zip_with(
+        F.col("embedding"),
+        F.transform(F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: F.when(
+                        F.pmod(F.xxhash64(F.col("__rep"), i), F.lit(2)) == 0,
+                        F.lit(1.0)).otherwise(F.lit(-1.0))),
+        lambda x, s: x * s)
+    emb = (base
+           .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * KEY_SHIFT)
+           .withColumn("embedding", flipped)
+           .drop("__rep")
+           .repartition(32).persist())
+    n = emb.count()
+
+    out = {"metric": "moments_smoke", "multiplier": mult, "vectors": n}
+    cov = covariance_exact(emb)
+    cov.count()  # warm pass: JVM/codegen outside the measurement
+    t0 = time.time()
+    cov.write.format("noop").mode("overwrite").save()
+    out["covariance_seconds"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    model = fit_pca_exact(emb, n_components=16)
+    out["pca_fit_seconds"] = round(time.time() - t0, 3)
+    out["pca_top_eigval"] = round(model["eigvals"][0], 6)
+
+    cents = planted_centroids(42, 8, 64)
+    t0 = time.time()
+    kmeans_lloyd_refine(emb, cents, n_iters=1)
+    out["kmeans_refine_iter_seconds"] = round(time.time() - t0, 3)
+    emb.unpersist()
+    print(json.dumps(out))
+    return 0
+
+
 def dedup_inflate_only(spark, mult: int, out_dir: str) -> None:
     """Token-salted document inflation shared by dedup/bpe smokes."""
     from data_engineering_etl_pipeline_spark.io import load_table
@@ -491,6 +546,8 @@ def main() -> int:
         return dedup_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     if len(sys.argv) > 1 and sys.argv[1] == "--embedding":
         return embedding_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    if len(sys.argv) > 1 and sys.argv[1] == "--moments":
+        return moments_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     out_dir = f"/tmp/etl_spark_scale_smoke/x{mult}"
     from data_engineering_etl_pipeline_spark.queries import QUERIES
