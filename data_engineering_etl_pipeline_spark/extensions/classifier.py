@@ -1,0 +1,158 @@
+"""Learned quality classifier: distributed logistic regression with EXACT
+fixed-point gradient accumulation (SURVEY.md north-star extension — the
+GPT-3/CCNet-style curated-vs-raw quality filter, trained ON the cluster).
+
+The standard pipeline (GPT-3 appendix A; CCNet; LLaMA) trains a linear
+classifier to distinguish a curated reference corpus from raw web text and
+keeps documents the classifier scores as reference-like. The features here
+are this repo's ``hashed_tfidf_vectors`` output (or any dense
+``array<float>`` column), so the whole filter — vectorize → fit → score →
+threshold — runs as DataFrame plans.
+
+Exactness contract (shared with ``kmeans_update_exact`` /
+``embedding_moments_exact``): each row's gradient contribution is
+quantized ``floor(g·2^20)`` to BIGINTs inside the Arrow kernel, and the
+cross-row reduce is integer arithmetic — order-independent, so the fitted
+weights are BYTE-IDENTICAL under any partitioning, AQE re-plan, or task
+retry (float-sum gradient reducers give none of that; retrained models
+that differ in ulps flip downstream keep/drop decisions near the
+threshold, which at 100 TB means irreproducible corpora). The per-row
+sigmoid uses numpy's libm; on a homogeneous cluster (one numpy build) the
+per-row values are identical everywhere, which is the only requirement —
+the REDUCE never touches floats.
+
+Why no DuckDB driver-oracle row: the construction needs exp(), and libm
+exp differs across engines in the last ulp — a floor() boundary can flip,
+so the zero-tolerance hash contract cannot be met cross-engine (the same
+documented reason ``incremental_semantic_dedup`` is unit-verified). The
+verification surface is the numpy-twin bit-equality + relayout-stability
+units in tests/test_classifier.py.
+
+Plan shape per iteration: ONE map-only Arrow kernel pass over the corpus
+(weights broadcast in the closure, KB-scale), each batch emitting one
+(dim+2)-row partial frame (gradient cells + bias + quantized log-loss);
+ONE exchange over dim+2 keys with map-side combine — the reduce is
+model-sized at any corpus scale; a dim+2-row driver collect updates the
+weights. n_iters full scans total, the same cost envelope as
+``kmeans_lloyd_refine``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for exact gradient/loss accumulation
+LOGREG_Q_SCALE = 1 << 20
+
+
+def _grad_partials(df: DataFrame, vec_col: str, label_col: str,
+                   w: np.ndarray, b: float, dim: int,
+                   q_scale: int) -> DataFrame:
+    """One epoch's quantized gradient/loss partials: rows ``(pos, n, s)``
+    with pos in [0, dim) the weight gradient cells, pos = dim the bias
+    cell, pos = dim+1 the summed quantized log-loss. NULL vectors,
+    wrong-length vectors, and NULL labels are excluded."""
+    qf = float(q_scale)
+    wl = w.copy()
+    bl = float(b)
+
+    def gen(batches):
+        for pdf in batches:
+            keep = [(v, y) for v, y in zip(pdf[vec_col], pdf[label_col])
+                    if v is not None and len(v) == dim and y is not None
+                    and not (isinstance(y, float) and math.isnan(y))]
+            if not keep:
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v, _ in keep])
+            y = np.asarray([float(t) for _, t in keep], dtype=np.float64)
+            n = len(x)
+            z = x @ wl + bl
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y                                   # dlogloss/dz
+            gw = np.floor((x * r[:, None]) * qf).astype(np.int64).sum(axis=0)
+            gb = int(np.floor(r * qf).astype(np.int64).sum())
+            # per-row quantized log-loss (clipped for the planted-separable
+            # case where p reaches exactly 0/1 in float)
+            pc = np.clip(p, 1e-15, 1.0 - 1e-15)
+            ll = np.floor(-(y * np.log(pc) + (1.0 - y) * np.log1p(-pc))
+                          * qf).astype(np.int64).sum()
+            yield pd.DataFrame({
+                "pos": np.concatenate([np.arange(dim),
+                                       [dim, dim + 1]]).astype(np.int32),
+                "n": np.int64(n),
+                "s": np.concatenate([gw, [gb, int(ll)]]),
+            })
+
+    part = df.select(vec_col, label_col).mapInPandas(
+        gen, "pos int, n long, s long")
+    return part.groupBy("pos").agg(F.sum("n").alias("n"),
+                                   F.sum("s").alias("sum_q"))
+
+
+def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
+                     label_col: str = "label", dim: int = 64,
+                     n_iters: int = 20, lr: float = 1.0, l2: float = 0.0,
+                     q_scale: int = LOGREG_Q_SCALE) -> dict:
+    """Full-batch gradient-descent logistic regression over the corpus.
+
+    Full-batch (not SGD) is the deliberate choice: the gradient is a pure
+    aggregation, so determinism needs no sample ordering, and at 100 TB
+    one pass per step is the same scan the rest of the engine's fits pay.
+    Returns ``{"weights", "bias", "losses", "n"}`` where ``losses`` is the
+    per-iteration mean log-loss (from the exact quantized sums — itself
+    byte-stable, and non-increasing on any data for a small enough lr;
+    unit-pinned on the planted fixture)."""
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    losses: list[float] = []
+    n = 0
+    qf = float(q_scale)
+    for _ in range(max(0, int(n_iters))):
+        rows = {r["pos"]: r for r in
+                _grad_partials(df, vec_col, label_col, w, b, dim,
+                               q_scale).collect()}
+        if not rows:
+            raise ValueError("fit_logreg_exact: no labeled vectors to fit")
+        n = rows[0]["n"]
+        grad = np.asarray([rows[i]["sum_q"] for i in range(dim)],
+                          dtype=np.float64) / (n * qf)
+        gb = rows[dim]["sum_q"] / (n * qf)
+        losses.append(rows[dim + 1]["sum_q"] / (n * qf))
+        if l2:
+            grad = grad + l2 * w
+        w = w - lr * grad
+        b = b - lr * gb
+    return {"weights": [float(t) for t in w], "bias": float(b),
+            "losses": losses, "n": int(n)}
+
+
+def score_logreg(df: DataFrame, model: dict, vec_col: str = "embedding",
+                 out_col: str = "quality_prob") -> DataFrame:
+    """Map-only scoring: appends ``out_col`` = σ(w·x + b) — the
+    probability the document is reference-like. NULL/wrong-length vectors
+    score NULL (they carry no evidence; a downstream quality floor treats
+    NULL as its own policy decision, same convention as quality_score).
+    Embarrassingly parallel over a 100 TB scan — weights ride the closure,
+    no shuffle, no collect."""
+    w = np.asarray(model["weights"], dtype=np.float64)
+    b = float(model["bias"])
+    dim = w.shape[0]
+
+    @F.pandas_udf("double")
+    def prob(emb: pd.Series) -> pd.Series:
+        out = np.full(len(emb), np.nan)
+        ok = [i for i, v in enumerate(emb)
+              if v is not None and len(v) == dim]
+        if ok:
+            x = np.vstack([np.asarray(emb.iloc[i], dtype=np.float64)
+                           for i in ok])
+            out[ok] = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, prob(F.col(vec_col)))

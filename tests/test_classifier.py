@@ -1,0 +1,118 @@
+"""Distributed logistic-regression quality classifier
+(extensions/classifier.py): exact fixed-point gradient accumulation.
+
+Pins: byte-stable fits under relayout; bit-equality with a driver-side
+numpy twin of the identical quantize→sum→update convention; learning on a
+planted separable fixture (loss strictly decreases, perfect accuracy);
+NULL/wrong-length handling; end-to-end composition with the hashed TF-IDF
+vectorizer (the curated-vs-raw quality-filter recipe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.extensions.classifier import (
+    LOGREG_Q_SCALE, fit_logreg_exact, score_logreg)
+
+DIM = 8
+
+
+def _blobs_df(spark, n_per=60, gap=2.0, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [float(x) for x in rng.normal(-gap / 2, 0.5, DIM)],
+                     0))
+        rows.append((n_per + i,
+                     [float(x) for x in rng.normal(gap / 2, 0.5, DIM)], 1))
+    return spark.createDataFrame(
+        rows, "id long, embedding array<float>, label int")
+
+
+def test_learns_separable_blobs_and_loss_decreases(spark):
+    df = _blobs_df(spark)
+    model = fit_logreg_exact(df, dim=DIM, n_iters=15, lr=1.0)
+    losses = model["losses"]
+    assert all(losses[i] > losses[i + 1] for i in range(len(losses) - 1)), \
+        losses
+    scored = score_logreg(df, model)
+    acc = scored.filter(
+        (F.col("quality_prob") >= 0.5) == (F.col("label") == 1)
+    ).count() / df.count()
+    assert acc == 1.0
+
+
+def test_fit_is_byte_stable_under_relayout(spark):
+    df = _blobs_df(spark)
+    a = fit_logreg_exact(df.repartition(13), dim=DIM, n_iters=5)
+    b = fit_logreg_exact(df.coalesce(1), dim=DIM, n_iters=5)
+    c = fit_logreg_exact(df.repartition(3, F.rand(7)), dim=DIM, n_iters=5)
+    assert a == b == c  # weights, bias, losses: byte equality
+
+
+def test_fit_matches_driver_numpy_twin(spark):
+    df = _blobs_df(spark)
+    model = fit_logreg_exact(df, dim=DIM, n_iters=7, lr=0.5)
+
+    rows = df.select("embedding", "label").collect()
+    x = np.vstack([np.asarray(list(r["embedding"]), dtype=np.float64)
+                   for r in rows])
+    y = np.asarray([float(r["label"]) for r in rows])
+    q = float(LOGREG_Q_SCALE)
+    n = len(x)
+    w = np.zeros(DIM)
+    b = 0.0
+    for _ in range(7):
+        r = 1.0 / (1.0 + np.exp(-(x @ w + b))) - y
+        gw = np.floor((x * r[:, None]) * q).sum(axis=0) / (n * q)
+        gb = np.floor(r * q).sum() / (n * q)
+        w = w - 0.5 * gw
+        b = b - 0.5 * gb
+    assert model["weights"] == [float(t) for t in w]
+    assert model["bias"] == float(b)
+
+
+def test_null_and_wrong_length_rows_excluded_from_fit_null_scores(spark):
+    df = _blobs_df(spark, n_per=20)
+    extra = spark.createDataFrame(
+        [(10 ** 6, None, 1), (10 ** 6 + 1, [1.0], 0),
+         (10 ** 6 + 2, [0.5] * DIM, None)],
+        "id long, embedding array<float>, label int")
+    clean = fit_logreg_exact(df, dim=DIM, n_iters=3)
+    dirty = fit_logreg_exact(df.unionByName(extra), dim=DIM, n_iters=3)
+    assert clean == dirty  # degenerate rows contribute nothing
+    scored = {r["id"]: r["quality_prob"]
+              for r in score_logreg(extra, clean).collect()}
+    assert scored[10 ** 6] is None and scored[10 ** 6 + 1] is None
+    assert scored[10 ** 6 + 2] is not None
+
+
+def test_quality_filter_composes_with_tfidf_vectorizer(spark):
+    """The full curated-vs-raw recipe: texts with the curated marker
+    vocabulary vs noise texts → hashed TF-IDF → fit → the classifier
+    separates held-out texts of both kinds."""
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        fit_tfidf_idf, hashed_tfidf_vectors)
+
+    cur = [f"curated {w} prose with careful structure and citations"
+           for w in ("alpha", "beta", "gamma", "delta", "epsilon",
+                     "zeta", "eta", "theta")]
+    raw = [f"buy now {w} click here spam spam free offer"
+           for w in ("one", "two", "three", "four", "five", "six",
+                     "seven", "eight")]
+    rows = ([(i, t, 1) for i, t in enumerate(cur)]
+            + [(100 + i, t, 0) for i, t in enumerate(raw)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    idf = fit_tfidf_idf(docs, dim=32)  # FROZEN: train and apply must share it
+    vecs = hashed_tfidf_vectors(docs, dim=32, idf=idf).join(
+        docs.select("doc_id", "label"), "doc_id")
+    model = fit_logreg_exact(vecs, dim=32, n_iters=25, lr=2.0)
+    held = spark.createDataFrame(
+        [(0, "curated gamma prose with citations"),
+         (1, "click here free spam offer")], "doc_id long, text string")
+    hv = hashed_tfidf_vectors(held, dim=32, idf=idf)
+    got = {r["doc_id"]: r["quality_prob"]
+           for r in score_logreg(hv, model).collect()}
+    assert got[0] > 0.5 > got[1], got
