@@ -46,13 +46,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import _guard_q_magnitude
+
 #: fixed-point scale for exact gradient/loss accumulation
 LOGREG_Q_SCALE = 1 << 20
 
 
 def _grad_partials(df: DataFrame, vec_col: str, label_col: str,
                    w: np.ndarray, b: float, dim: int,
-                   q_scale: int) -> DataFrame:
+                   q_scale: int, decimal_sums: bool = False) -> DataFrame:
     """One epoch's quantized gradient/loss partials: rows ``(pos, n, s)``
     with pos in [0, dim) the weight gradient cells, pos = dim the bias
     cell, pos = dim+1 the summed quantized log-loss. NULL vectors,
@@ -75,7 +77,9 @@ def _grad_partials(df: DataFrame, vec_col: str, label_col: str,
             z = x @ wl + bl
             p = 1.0 / (1.0 + np.exp(-z))
             r = p - y                                   # dlogloss/dz
-            gw = np.floor((x * r[:, None]) * qf).astype(np.int64).sum(axis=0)
+            gq = (x * r[:, None]) * qf
+            _guard_q_magnitude(gq, "fit_logreg_exact")
+            gw = np.floor(gq).astype(np.int64).sum(axis=0)
             gb = int(np.floor(r * qf).astype(np.int64).sum())
             # per-row quantized log-loss (clipped for the planted-separable
             # case where p reaches exactly 0/1 in float)
@@ -91,14 +95,16 @@ def _grad_partials(df: DataFrame, vec_col: str, label_col: str,
 
     part = df.select(vec_col, label_col).mapInPandas(
         gen, "pos int, n long, s long")
+    acc = F.col("s").cast("decimal(38,0)") if decimal_sums else F.col("s")
     return part.groupBy("pos").agg(F.sum("n").alias("n"),
-                                   F.sum("s").alias("sum_q"))
+                                   F.sum(acc).alias("sum_q"))
 
 
 def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
                      label_col: str = "label", dim: int = 64,
                      n_iters: int = 20, lr: float = 1.0, l2: float = 0.0,
-                     q_scale: int = LOGREG_Q_SCALE) -> dict:
+                     q_scale: int = LOGREG_Q_SCALE,
+                     decimal_sums: bool = False) -> dict:
     """Full-batch gradient-descent logistic regression over the corpus.
 
     Full-batch (not SGD) is the deliberate choice: the gradient is a pure
@@ -116,7 +122,7 @@ def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
     for _ in range(max(0, int(n_iters))):
         rows = {r["pos"]: r for r in
                 _grad_partials(df, vec_col, label_col, w, b, dim,
-                               q_scale).collect()}
+                               q_scale, decimal_sums).collect()}
         if not rows:
             raise ValueError("fit_logreg_exact: no labeled vectors to fit")
         n = rows[0]["n"]

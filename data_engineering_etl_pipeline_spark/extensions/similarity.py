@@ -708,13 +708,19 @@ def _fit_ivf_from_matrix(x: np.ndarray, n_centroids: int, seed: int,
 
 
 def _nearest_centroids(df: DataFrame, id_col: str, vec_col: str,
-                       centroids: list[list[float]], nprobe: int) -> DataFrame:
+                       centroids: list[list[float]], nprobe: int,
+                       keep: tuple[str, ...] = ()) -> DataFrame:
     """Top-``nprobe`` centroid ids per vector by dot product — the vector
     need NOT be normalized (positive scaling preserves the ranking), so this
     reads the raw vector column. Map-only Arrow-vectorized pandas UDF: one
     (batch × dim) @ codebookᵀ matmul + stable argsort per batch (same
     compile-cost rationale as _multi_table_buckets). No shuffle — assignment
-    stays embarrassingly parallel over a 100 TB scan."""
+    stays embarrassingly parallel over a 100 TB scan. ``keep`` forwards
+    additional input columns through the assignment (the
+    ``_nearest_centroid_fold`` convention — ONE kernel for every consumer,
+    so the tie/ulp behavior cannot drift between copies). NULL and
+    wrong-length vectors assign like zero vectors (cid 0 under the stable
+    tie-break) — callers with a stricter policy filter upstream."""
     cmat = np.asarray(centroids, dtype=np.float64)
     dim = cmat.shape[1]
     npb = min(nprobe, len(centroids))
@@ -722,7 +728,8 @@ def _nearest_centroids(df: DataFrame, id_col: str, vec_col: str,
     @F.pandas_udf("array<int>")
     def probe(emb: pd.Series) -> pd.Series:
         m = np.vstack([
-            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+            np.zeros(dim) if v is None or len(v) != dim
+            else np.asarray(v, dtype=np.float64)
             for v in emb
         ])
         d = m @ cmat.T
@@ -730,9 +737,11 @@ def _nearest_centroids(df: DataFrame, id_col: str, vec_col: str,
         idx = np.argsort(-d, axis=1, kind="stable")[:, :npb].astype(np.int32)
         return pd.Series(list(idx))
 
-    tagged = df.select(F.col(id_col), probe(F.col(vec_col)).alias("__cids"))
+    tagged = df.select(F.col(id_col), probe(F.col(vec_col)).alias("__cids"),
+                       *[F.col(c) for c in keep if c != id_col])
     return tagged.select(F.col(id_col),
-                         F.explode(F.col("__cids")).alias("cid"))
+                         F.explode(F.col("__cids")).alias("cid"),
+                         *[F.col(c) for c in keep if c != id_col])
 
 
 def ivf_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
@@ -1428,35 +1437,34 @@ def _assign_with_vec(df: DataFrame, vec_col: str,
     """Map-only nearest-centroid (nprobe=1) assignment that CARRIES the
     vector column through — ``(cid, vec_col)`` with no join back (the
     update step consumes the vector in the same stage). ``'gemm'`` is the
-    production BLAS kernel; ``'fold'`` the bit-portable expression twin."""
+    production BLAS kernel (shared with :func:`_nearest_centroids` via its
+    ``keep=`` — one kernel, one tie convention); ``'fold'`` the
+    bit-portable expression twin. NULL and wrong-length vectors are
+    DROPPED here (they carry no direction for the M-step; leaving them in
+    would crash the BLAS vstack or, on the fold path, silently vote their
+    truncated coordinates into cluster k-1 — the hazard the PQ kernels'
+    shape checks guard)."""
+    dim = len(centroids[0])
+    clean = df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(F.col(vec_col)) == dim))
     if assign == "fold":
         return _nearest_centroid_fold(
-            df.select(F.lit(0).alias("__rid"), vec_col),
+            clean.select(F.lit(0).alias("__rid"), vec_col),
             "__rid", vec_col, centroids, keep=(vec_col,)).drop("__rid")
     if assign != "gemm":
         raise ValueError(f"_assign_with_vec: assign={assign!r} "
                          "(want 'gemm' or 'fold')")
-    cmat = np.asarray(centroids, dtype=np.float64)
-    dim = cmat.shape[1]
-
-    @F.pandas_udf("int")
-    def probe1(emb: pd.Series) -> pd.Series:
-        m = np.vstack([
-            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
-            for v in emb
-        ])
-        d = m @ cmat.T
-        # stable argsort convention of _nearest_centroids: ties → lower cid
-        idx = np.argsort(-d, axis=1, kind="stable")[:, 0].astype(np.int32)
-        return pd.Series(idx)
-
-    return df.select(probe1(F.col(vec_col)).alias("cid"), F.col(vec_col))
+    return _nearest_centroids(
+        clean.select(F.lit(0).alias("__rid"), vec_col),
+        "__rid", vec_col, centroids, nprobe=1,
+        keep=(vec_col,)).drop("__rid")
 
 
 def kmeans_update_exact(assigned: DataFrame, vec_col: str = "embedding",
                         cid_col: str = "cid",
                         q_scale: int = KMEANS_Q_SCALE,
-                        decimal_sums: bool = False) -> DataFrame:
+                        decimal_sums: bool = False,
+                        dim: int | None = None) -> DataFrame:
     """ONE exact Lloyd M-step, distributed: per-(cluster, coordinate)
     member count, fixed-point coordinate sum, and the mean coordinate.
 
@@ -1474,10 +1482,19 @@ def kmeans_update_exact(assigned: DataFrame, vec_col: str = "embedding",
 
     ``decimal_sums=True`` accumulates in DECIMAL(38,0) — needed only past
     ~2^43 rows/cluster at the default scale (BIGINT sum of n·2^20·|x|max
-    would overflow); costs ~2× on the tiny reduce, nothing on the scan."""
+    would overflow); costs ~2× on the tiny reduce, nothing on the scan.
+
+    ``dim``: when given, wrong-length vectors are excluded along with
+    NULLs (a truncated vector would otherwise contribute to fewer (cid,
+    pos) cells than it has members — silently inconsistent n_members).
+    The refinement loop always passes it; raw callers that guarantee
+    fixed-width input may skip the comparison."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = F.transform(v, lambda x: F.floor(x * F.lit(float(q_scale))))
-    ex = (assigned.filter(F.col(vec_col).isNotNull())
+    valid = F.col(vec_col).isNotNull()
+    if dim is not None:
+        valid = valid & (F.size(F.col(vec_col)) == dim)
+    ex = (assigned.filter(valid)
           .select(F.col(cid_col).alias("cid"),
                   F.posexplode(q).alias("pos", "__q")))
     acc = (F.col("__q").cast("decimal(38,0)") if decimal_sums
@@ -1507,13 +1524,25 @@ def kmeans_lloyd_refine(df: DataFrame,
     — and everything partitioned by them (``cluster_balanced_sample``,
     SemDeDup cells) — can shift when the corpus is merely relaid out.
     Refinement from a partitioning-independent init (seeded
-    :func:`planted_centroids`, or a FROZEN prior codebook) is fully
+    :func:`planted_centroids`, or a FROZEN prior codebook) is
     deterministic end-to-end: assignment is per-row (stable ties → lower
     cid), the M-step is exact integer accumulation (order-independent),
     and the per-iteration normalize is k·dim driver-side float ops — so
-    the refined codebook is byte-identical under ANY repartitioning,
-    retry, or cluster size (unit-pinned), while actually minimizing
-    corpus-level (not sample-level) quantization error.
+    the refined codebook is byte-identical under repartitioning, retry,
+    or cluster resize (unit-pinned across three layouts), while actually
+    minimizing corpus-level (not sample-level) quantization error.
+    Byte-stability precision: the REDUCE is unconditionally
+    order-independent (integers). The per-row dots of the default
+    ``assign='gemm'`` kernel are single-row BLAS accumulations with no
+    cross-row term; their values are batch-shape-invariant in practice
+    but not IEEE-GUARANTEED across BLAS kernel-path changes — a vector
+    whose top-2 centroid dots sit within one ulp could in principle flip.
+    Where byte-stability must be a guarantee rather than a measurement
+    (audit replays, the oracle row), use ``assign='fold'`` — literal
+    index-order folds, bit-portable by construction (the documented
+    `cluster_balanced_sample` ulp caveat, same trade). NULL and
+    wrong-length vectors are dropped before assignment (no direction to
+    learn; see :func:`_assign_with_vec`).
 
     Cost: n_iters full scans; each iteration's shuffle is the
     codebook-sized (cid, pos) partial-agg reduce of
@@ -1531,7 +1560,7 @@ def kmeans_lloyd_refine(df: DataFrame,
                                     assign=assign)
         upd = kmeans_update_exact(assigned, vec_col=vec_col,
                                   q_scale=q_scale,
-                                  decimal_sums=decimal_sums)
+                                  decimal_sums=decimal_sums, dim=dim)
         rows = upd.select("cid", "pos", "n_members", "sum_q").collect()
         nxt = [list(c) for c in cents]
         counts = {}
@@ -1551,10 +1580,25 @@ def kmeans_lloyd_refine(df: DataFrame,
     return cents
 
 
+def _guard_q_magnitude(scaled: "np.ndarray", what: str) -> None:
+    """Quantization-overflow guard shared by the exact-accumulation
+    kernels: ``astype(int64)`` of a float ≥ 2^63 wraps silently to
+    INT64_MIN (numpy raises nothing), which would poison an 'exact' sum
+    with no symptom. Refuse loudly instead — the fix is a smaller
+    q_scale (or pre-normalized vectors), and the message says so."""
+    m = float(np.abs(scaled).max()) if scaled.size else 0.0
+    if m >= float(1 << 62):
+        raise ValueError(
+            f"{what}: quantized magnitude {m:.3g} >= 2^62 — the int64 "
+            "cast would wrap silently. Lower q_scale or normalize the "
+            "vector column first.")
+
+
 def embedding_moments_exact(df: DataFrame, vec_col: str = "embedding",
                             dim: int = VECTOR_DIM,
                             q_scale: int = KMEANS_Q_SCALE,
-                            block: int = 256) -> DataFrame:
+                            block: int = 256,
+                            decimal_sums: bool = False) -> DataFrame:
     """Exact first + second moments of an embedding column, distributed:
     ``(i, j, n, sum_q)`` where rows with ``j >= i`` carry the fixed-point
     second-moment sums ``Σ floor(x_i·x_j·q_scale)`` (upper triangle) and
@@ -1573,7 +1617,15 @@ def embedding_moments_exact(df: DataFrame, vec_col: str = "embedding",
     codebook-sized partials to a (i, j) sum — O(batches · d²) rows no
     matter the corpus size. NULL and wrong-length vectors are excluded
     (no moment to contribute). ``block`` caps the b×d×d outer-product
-    scratch (256·64·64·8B ≈ 8 MB)."""
+    scratch (256·64·64·8B ≈ 8 MB).
+
+    Overflow policy (shared across the exact-accumulation family):
+    per-cell quantized magnitudes ≥ 2^62 are REFUSED loudly in the kernel
+    (a silent int64 wrap would poison an 'exact' table);
+    ``decimal_sums=True`` switches the cross-batch reduce to
+    DECIMAL(38,0) for corpora past ~2^43 valid rows at the default scale
+    — same escape hatch as :func:`kmeans_update_exact`, same cost (only
+    the codebook-sized reduce pays)."""
     qf = float(q_scale)
     iu = np.triu_indices(dim)
 
@@ -1588,9 +1640,12 @@ def embedding_moments_exact(df: DataFrame, vec_col: str = "embedding",
             acc2 = np.zeros((dim, dim), dtype=np.int64)
             for s in range(0, n, block):
                 xb = x[s:s + block]
-                acc2 += (np.floor(np.einsum("bi,bj->bij", xb, xb) * qf)
-                         .astype(np.int64).sum(axis=0))
-            acc1 = np.floor(x * qf).astype(np.int64).sum(axis=0)
+                prod = np.einsum("bi,bj->bij", xb, xb) * qf
+                _guard_q_magnitude(prod, "embedding_moments_exact")
+                acc2 += np.floor(prod).astype(np.int64).sum(axis=0)
+            x1 = x * qf
+            _guard_q_magnitude(x1, "embedding_moments_exact")
+            acc1 = np.floor(x1).astype(np.int64).sum(axis=0)
             yield pd.DataFrame({
                 "i": np.concatenate([iu[0], np.arange(dim)]).astype(np.int32),
                 "j": np.concatenate([iu[1],
@@ -1600,14 +1655,17 @@ def embedding_moments_exact(df: DataFrame, vec_col: str = "embedding",
             })
 
     part = df.select(vec_col).mapInPandas(gen, "i int, j int, n long, s long")
+    acc = (F.col("s").cast("decimal(38,0)") if decimal_sums
+           else F.col("s"))
     return part.groupBy("i", "j").agg(F.sum("n").alias("n"),
-                                      F.sum("s").alias("sum_q"))
+                                      F.sum(acc).alias("sum_q"))
 
 
 def covariance_exact(df: DataFrame, vec_col: str = "embedding",
                      dim: int = VECTOR_DIM,
                      q_scale: int = KMEANS_Q_SCALE,
-                     block: int = 256) -> DataFrame:
+                     block: int = 256,
+                     decimal_sums: bool = False) -> DataFrame:
     """Upper-triangle covariance cells
     ``(i, j, n, sum_q, sum_qi, sum_qj, cov)`` with
     ``cov = sum_q/(n·Q) − (sum_qi/(n·Q))·(sum_qj/(n·Q))`` — every float op
@@ -1635,9 +1693,12 @@ def covariance_exact(df: DataFrame, vec_col: str = "embedding",
             acc2 = np.zeros((dim, dim), dtype=np.int64)
             for s in range(0, n, block):
                 xb = x[s:s + block]
-                acc2 += (np.floor(np.einsum("bi,bj->bij", xb, xb) * qf)
-                         .astype(np.int64).sum(axis=0))
-            acc1 = np.floor(x * qf).astype(np.int64).sum(axis=0)
+                prod = np.einsum("bi,bj->bij", xb, xb) * qf
+                _guard_q_magnitude(prod, "covariance_exact")
+                acc2 += np.floor(prod).astype(np.int64).sum(axis=0)
+            x1 = x * qf
+            _guard_q_magnitude(x1, "covariance_exact")
+            acc1 = np.floor(x1).astype(np.int64).sum(axis=0)
             yield pd.DataFrame({
                 "i": iu[0].astype(np.int32), "j": iu[1].astype(np.int32),
                 "n": np.int64(n), "s": acc2[iu],
@@ -1646,9 +1707,14 @@ def covariance_exact(df: DataFrame, vec_col: str = "embedding",
 
     part = df.select(vec_col).mapInPandas(
         gen, "i int, j int, n long, s long, si long, sj long")
+
+    def acc(c):
+        return F.col(c).cast("decimal(38,0)") if decimal_sums else F.col(c)
+
     agg = (part.groupBy("i", "j")
-           .agg(F.sum("n").alias("n"), F.sum("s").alias("sum_q"),
-                F.sum("si").alias("sum_qi"), F.sum("sj").alias("sum_qj")))
+           .agg(F.sum("n").alias("n"), F.sum(acc("s")).alias("sum_q"),
+                F.sum(acc("si")).alias("sum_qi"),
+                F.sum(acc("sj")).alias("sum_qj")))
     denom = F.col("n") * F.lit(qf)
     return agg.select("i", "j", "n", "sum_q", "sum_qi", "sum_qj",
                       (F.col("sum_q").cast("double") / denom
@@ -1659,7 +1725,8 @@ def covariance_exact(df: DataFrame, vec_col: str = "embedding",
 
 def fit_pca_exact(df: DataFrame, vec_col: str = "embedding",
                   n_components: int = 8, dim: int = VECTOR_DIM,
-                  q_scale: int = KMEANS_Q_SCALE) -> dict:
+                  q_scale: int = KMEANS_Q_SCALE,
+                  decimal_sums: bool = False) -> dict:
     """PCA fit over the FULL corpus via the exact distributed moment table
     (not a driver sample): collect the d(d+1)/2 + d moment cells, build
     the covariance in numpy, ``eigh``, keep the top ``n_components``.
@@ -1676,7 +1743,8 @@ def fit_pca_exact(df: DataFrame, vec_col: str = "embedding",
 
     Returns ``{"mean", "components" (n_components×dim, row-major),
     "eigvals", "n"}``."""
-    rows = embedding_moments_exact(df, vec_col, dim, q_scale).collect()
+    rows = embedding_moments_exact(df, vec_col, dim, q_scale,
+                                   decimal_sums=decimal_sums).collect()
     if not rows:
         raise ValueError("fit_pca_exact: no non-null vectors to fit on")
     qf = float(q_scale)

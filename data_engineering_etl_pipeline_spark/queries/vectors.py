@@ -389,7 +389,7 @@ def _cluster_sample_oracle() -> str:
       SELECT a.cid, gs.pos, v.ve[gs.pos + 1] AS x
       FROM a JOIN v USING (vec_id)
       CROSS JOIN generate_series(0, {_CBS_DIM - 1}) AS gs(pos)
-      WHERE v.ve IS NOT NULL
+      WHERE v.ve IS NOT NULL AND len(v.ve) = {_CBS_DIM}
     ), cent AS (
       SELECT cid, pos, COUNT(*) AS n_members,
              CAST(SUM(CAST(FLOOR(x * {q!r}) AS BIGINT)) AS BIGINT) AS sum_q
@@ -450,7 +450,7 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_CBS_SEED, dim=_CBS_DIM, centroids=cents, assign="fold")
     assigned = _nearest_centroid_fold(emb, "vec_id", "embedding", cents,
                                       keep=("embedding",))
-    cent = kmeans_update_exact(assigned, vec_col="embedding")
+    cent = kmeans_update_exact(assigned, vec_col="embedding", dim=_CBS_DIM)
     sample_rows = sample.select(
         F.lit("sample").alias("stage"), "vec_id", "cid", "kept",
         F.lit(None).cast("int").alias("pos"),

@@ -162,3 +162,38 @@ def test_cluster_balanced_sample_refine_iters_keeps_invariants(spark):
         if r["kept"]:
             per[r["cid"]] = per.get(r["cid"], 0) + 1
     assert per and all(v <= 3 for v in per.values()), per
+
+
+def test_degenerate_vectors_dropped_from_refine_both_kernels(spark):
+    """r7 review finding: a wrong-length vector crashed the gemm vstack
+    and silently voted truncated coordinates into cluster k-1 on the fold
+    path. Both kernels must now produce the codebook of the clean corpus
+    with NULL/short/long rows present, and agree with each other."""
+    df = _blob_df(spark)
+    dirty = df.unionByName(spark.createDataFrame(
+        [(10 ** 6, 0, None), (10 ** 6 + 1, 0, [1.0, 2.0]),
+         (10 ** 6 + 2, 0, [0.5] * (DIM + 3))],
+        "vec_id long, blob int, embedding array<float>"))
+    init = [_unit([1, 0.1, 0, 0]), _unit([0.1, 1, 0, 0]),
+            _unit([0, 0.1, 1, 0])]
+    clean = kmeans_lloyd_refine(df, init, n_iters=2, dim=DIM)
+    for kernel in ("gemm", "fold"):
+        got = kmeans_lloyd_refine(dirty, init, n_iters=2, dim=DIM,
+                                  assign=kernel)
+        assert got == clean, kernel
+
+
+def test_quantization_overflow_refused_loudly(spark):
+    """r7 review finding: astype(int64) of a float >= 2^63 wraps silently
+    to INT64_MIN — the exact-accumulation kernels must refuse instead."""
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        covariance_exact, embedding_moments_exact)
+
+    df = spark.createDataFrame([([1e25, 1.0],), ([1.0, 1.0],)],
+                               "embedding array<float>")
+    with pytest.raises(Exception, match="2\\^62"):
+        embedding_moments_exact(df, dim=2).collect()
+    with pytest.raises(Exception, match="2\\^62"):
+        covariance_exact(df, dim=2).collect()
