@@ -49,6 +49,7 @@ def prepare_training_corpus(docs: DataFrame,
                             near_dup_max_df: int | None = 10000,
                             apply_gopher: bool = False,
                             gopher_first: bool = False,
+                            quality_clf: dict | None = None,
                             train_frac: float = 0.9,
                             pack_budget: int = 2048,
                             n_shards: int = 64,
@@ -72,7 +73,18 @@ def prepare_training_corpus(docs: DataFrame,
     in terminal punctuation — so the bullet/ellipsis line rules are
     vacuous and Gopher effectively reduces to its word-count / word-length
     / symbol / alpha / stop-word rules. ``gopher_first=True`` IMPLIES the
-    filter is on (passing it alone would otherwise be a silent no-op)."""
+    filter is on (passing it alone would otherwise be a silent no-op).
+
+    ``quality_clf`` (r7): the LEARNED quality filter (GPT-3/CCNet
+    curated-vs-raw recipe) as an additional stage-6 gate —
+    ``{"model": fit_logreg_exact output, "idf": the FROZEN fit_tfidf_idf
+    table the model was trained under, "dim": hashing dim,
+    "threshold": keep-probability floor (default 0.5)}``. Applied AFTER
+    the heuristic floor, map-only (frozen-idf vectorize → score —
+    no fit pass inside prep). Optional and off by default: the heuristic
+    floor keeps prep's chained DuckDB oracle intact, while the classifier
+    stage is unit-verified (extensions/classifier.py documents why libm
+    exp cannot meet the cross-engine zero-tolerance hash)."""
     if gopher_first:
         apply_gopher = True
         docs = docs.filter(gopher_keep(text_col))
@@ -137,6 +149,20 @@ def prepare_training_corpus(docs: DataFrame,
         quality_score(text_col, toks=F.col("__toks")) >= min_quality)
     if apply_gopher and not gopher_first:
         kept = kept.filter(gopher_keep(text_col))
+    if quality_clf is not None:
+        from .classifier import score_logreg
+        from .corpus import hashed_tfidf_vectors
+
+        thr = float(quality_clf.get("threshold", 0.5))
+        vecs = hashed_tfidf_vectors(kept, id_col=id_col, text_col=text_col,
+                                    dim=int(quality_clf["dim"]),
+                                    idf=quality_clf["idf"])
+        keep_ids = (score_logreg(vecs, quality_clf["model"])
+                    .filter(F.col("quality_prob") >= thr)
+                    .select(id_col))
+        # docs-sized semi join on the already-shrunk corpus; the scored
+        # side is map-only off `kept`'s pinned lineage
+        kept = kept.join(keep_ids, id_col, "left_semi")
 
     # 7. Deterministic content-hash split (train_frac of the 32-bit hash
     #    space → train). THE SAME portable-md5 helper as stratified_sample /

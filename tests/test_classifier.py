@@ -116,3 +116,50 @@ def test_quality_filter_composes_with_tfidf_vectorizer(spark):
     got = {r["doc_id"]: r["quality_prob"]
            for r in score_logreg(hv, model).collect()}
     assert got[0] > 0.5 > got[1], got
+
+
+def test_prep_pipeline_with_learned_quality_gate(spark):
+    """prepare_training_corpus(quality_clf=...) applies the learned filter
+    as stage 6b: planted spam docs (which pass the heuristic floor) are
+    dropped, curated docs survive every stage, and the default path
+    (quality_clf=None) keeps both — proving the stage is additive."""
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        fit_tfidf_idf, hashed_tfidf_vectors)
+    from data_engineering_etl_pipeline_spark.extensions.prep import (
+        prepare_training_corpus)
+
+    # three sentences per doc (the C4 page floor), every line >= 5 words
+    cur = [f"The curated {w} corpus reads like careful prose. "
+           f"Each {w} section cites sources and explains context fully. "
+           "Structure and complete sentences appear throughout the text."
+           for w in ("alpha", "beta", "gamma", "delta", "epsilon",
+                     "zeta", "eta", "theta")]
+    raw = [f"Buy now {w} click here for spam offers. "
+           f"Win big {w} prizes now with this limited deal. "
+           "Click the spam link to claim free offers."
+           for w in ("one", "two", "three", "four", "five", "six",
+                     "seven", "eight")]
+    rows = ([(i, t, 1) for i, t in enumerate(cur)]
+            + [(100 + i, t, 0) for i, t in enumerate(raw)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    idf = fit_tfidf_idf(docs, dim=32)
+    vecs = hashed_tfidf_vectors(docs, dim=32, idf=idf).join(
+        docs.select("doc_id", "label"), "doc_id")
+    from data_engineering_etl_pipeline_spark.extensions.classifier import (
+        fit_logreg_exact)
+    model = fit_logreg_exact(vecs, dim=32, n_iters=25, lr=2.0)
+
+    corpus = docs.select("doc_id", "text")
+    base_ids = {r["doc_id"] for r in
+                prepare_training_corpus(corpus, min_quality=0.0)
+                .select("doc_id").collect()}
+    assert base_ids >= {0, 100}, base_ids  # both kinds pass the heuristics
+
+    clf = {"model": model, "idf": idf, "dim": 32, "threshold": 0.5}
+    got_ids = {r["doc_id"] for r in
+               prepare_training_corpus(corpus, min_quality=0.0,
+                                       quality_clf=clf)
+               .select("doc_id").collect()}
+    assert all(i < 100 for i in got_ids), got_ids   # every spam doc dropped
+    assert got_ids, "curated docs must survive"
+    assert got_ids <= base_ids
