@@ -428,3 +428,63 @@ def test_gemm_and_knn_topk_equal_brute_property(spark, corpus, k, blocks):
                    for r in knn_join(df, q, k=k, dim=dim, n_query_blocks=bq,
                                      n_base_blocks=bb).collect())
     assert got_k == want
+
+
+# (cid, vector) assignments with ragged magnitudes incl. negatives/zeros
+assigned_strategy = st.lists(
+    st.tuples(st.integers(0, 2),
+              st.lists(st.floats(-8.0, 8.0, allow_nan=False,
+                                 width=32), min_size=3, max_size=3)),
+    min_size=1, max_size=30)
+
+
+@SET
+@given(rows=assigned_strategy)
+def test_kmeans_update_exact_properties(spark, rows):
+    """The exact M-step on randomized inputs: (1) bit-identical under a
+    relayout; (2) additive — the update of a concatenation equals the
+    cell-wise integer sum of the parts' updates (the associativity that
+    makes it streaming-composable); (3) equals an independent pandas
+    recomputation of the quantize→sum convention."""
+    import math
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        KMEANS_Q_SCALE, kmeans_update_exact)
+
+    df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in rows],
+        "cid int, embedding array<float>")
+
+    def cells(frame):
+        return {(r["cid"], r["pos"]): (r["n_members"], r["sum_q"])
+                for r in kmeans_update_exact(frame, dim=3).collect()}
+
+    got = cells(df)
+    assert got == cells(df.repartition(5))            # relayout-stable
+
+    # independent per-row recomputation (float32 round-trip like Spark's
+    # array<float> storage, then double math)
+    import numpy as np
+    want: dict = {}
+    q = KMEANS_Q_SCALE
+    for c, v in rows:
+        v32 = np.asarray(v, dtype=np.float32)
+        for pos, x in enumerate(np.asarray(v32, dtype=np.float64)):
+            n, s = want.get((c, pos), (0, 0))
+            want[(c, pos)] = (n + 1, s + math.floor(x * q))
+    assert got == want
+
+    # additivity across a split (first row vs rest)
+    if len(rows) > 1:
+        a = cells(spark.createDataFrame(
+            [(rows[0][0], [float(x) for x in rows[0][1]])],
+            "cid int, embedding array<float>"))
+        b = cells(spark.createDataFrame(
+            [(c, [float(x) for x in v]) for c, v in rows[1:]],
+            "cid int, embedding array<float>"))
+        merged: dict = {}
+        for part in (a, b):
+            for k2, (n, s) in part.items():
+                pn, ps = merged.get(k2, (0, 0))
+                merged[k2] = (pn + n, ps + s)
+        assert merged == got
