@@ -104,7 +104,9 @@ def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
                      label_col: str = "label", dim: int = 64,
                      n_iters: int = 20, lr: float = 1.0, l2: float = 0.0,
                      q_scale: int = LOGREG_Q_SCALE,
-                     decimal_sums: bool = False) -> dict:
+                     decimal_sums: bool = False,
+                     init_weights: list[float] | None = None,
+                     init_bias: float = 0.0) -> dict:
     """Full-batch gradient-descent logistic regression over the corpus.
 
     Full-batch (not SGD) is the deliberate choice: the gradient is a pure
@@ -113,9 +115,21 @@ def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
     Returns ``{"weights", "bias", "losses", "n"}`` where ``losses`` is the
     per-iteration mean log-loss (from the exact quantized sums — itself
     byte-stable, and non-increasing on any data for a small enough lr;
-    unit-pinned on the planted fixture)."""
-    w = np.zeros(dim, dtype=np.float64)
-    b = 0.0
+    unit-pinned on the planted fixture).
+
+    ``init_weights``/``init_bias`` are the resume hatch (the
+    ``kmeans_lloyd_refine(init_centroids=...)`` convention): the entire
+    loop state is the KB-scale model, so a job killed after k of n
+    iterations restarts with the last recorded weights and runs the
+    remaining n−k — and because every step is exact-deterministic, the
+    resumed trajectory is byte-identical to the uninterrupted one
+    (unit-pinned)."""
+    w = (np.zeros(dim, dtype=np.float64) if init_weights is None
+         else np.asarray(init_weights, dtype=np.float64).copy())
+    if w.shape != (dim,):
+        raise ValueError(f"fit_logreg_exact: init_weights length "
+                         f"{w.shape[0]} != dim {dim}")
+    b = float(init_bias)
     losses: list[float] = []
     n = 0
     qf = float(q_scale)

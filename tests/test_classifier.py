@@ -163,3 +163,18 @@ def test_prep_pipeline_with_learned_quality_gate(spark):
     assert all(i < 100 for i in got_ids), got_ids   # every spam doc dropped
     assert got_ids, "curated docs must survive"
     assert got_ids <= base_ids
+
+
+def test_resume_equals_uninterrupted_fit(spark):
+    """Kill-and-resume determinism: 3 iterations then 4 more from the
+    recorded weights == 7 straight — byte equality (the whole loop state
+    is the KB-scale model; every step is exact-deterministic)."""
+    df = _blobs_df(spark)
+    straight = fit_logreg_exact(df, dim=DIM, n_iters=7, lr=0.5)
+    part = fit_logreg_exact(df, dim=DIM, n_iters=3, lr=0.5)
+    resumed = fit_logreg_exact(df, dim=DIM, n_iters=4, lr=0.5,
+                               init_weights=part["weights"],
+                               init_bias=part["bias"])
+    assert resumed["weights"] == straight["weights"]
+    assert resumed["bias"] == straight["bias"]
+    assert part["losses"] + resumed["losses"] == straight["losses"]
