@@ -1774,6 +1774,62 @@ def fit_pca_exact(df: DataFrame, vec_col: str = "embedding",
             "n": int(n)}
 
 
+def planted_projection(seed: int, n_components: int,
+                       dim: int) -> dict:
+    """Seeded deterministic PCA-shaped model — mean + ORTHONORMAL
+    components via Gram-Schmidt over seeded Gaussians (the
+    ``planted_centroids`` convention): ONE generator shared by the Spark
+    fold-projection expression and the DuckDB oracle builder, so a driver
+    row can value-check the projection machinery without the
+    data-dependence of a real eigendecomposition (eigvecs of a real fit
+    cannot be oracle literals — they depend on the corpus)."""
+    rnd = random.Random(seed)
+    basis: list[np.ndarray] = []
+    while len(basis) < n_components:
+        v = np.array([rnd.gauss(0.0, 1.0) for _ in range(dim)])
+        for u in basis:
+            v = v - np.dot(v, u) * u
+        nv = np.linalg.norm(v)
+        if nv > 1e-6:
+            basis.append(v / nv)
+    mean = [rnd.gauss(0.0, 0.1) for _ in range(dim)]
+    return {"mean": [float(x) for x in mean],
+            "components": [[float(x) for x in u] for u in basis],
+            "eigvals": [1.0] * n_components, "n": 0}
+
+
+def project_fold(df: DataFrame, model: dict, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Bit-portable projection twin of :func:`apply_pca` for
+    oracle-checkable configurations: each component score is a fold-form
+    ``Σ_i (x_i − μ_i)·w_ki`` in index order (left-associated from 0.0 —
+    the ``_nearest_centroid_fold`` convention), IEEE-identical to a SQL
+    literal chain. Output long-form ``(id, pos, coord)`` — one row per
+    (vector, component). NULL/wrong-length vectors are dropped (the
+    :func:`apply_pca` NULL-out convention has no row to carry here).
+    Production projection stays on the BLAS kernel; this is the
+    verification twin."""
+    mu = model["mean"]
+    comps = model["components"]
+    dim = len(mu)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    centered = F.zip_with(v, mu_lit, lambda a, b: a - b)
+    clean = df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(F.col(vec_col)) == dim))
+    scores = []
+    for w in comps:
+        wl = F.array(*[F.lit(float(x)) for x in w])
+        scores.append(
+            F.aggregate(F.zip_with(centered, wl, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x))
+    # ONE scan: all component folds in a single projection, then a
+    # posexplode over the k scores (k rows out per vector)
+    staged = clean.select(F.col(id_col), F.array(*scores).alias("__ys"))
+    return staged.select(F.col(id_col),
+                         F.posexplode(F.col("__ys")).alias("pos", "coord"))
+
+
 def apply_pca(df: DataFrame, model: dict, vec_col: str = "embedding",
               out_col: str = "pca", whiten: bool = False,
               eps: float = 1e-12) -> DataFrame:

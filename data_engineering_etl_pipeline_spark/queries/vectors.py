@@ -466,12 +466,43 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCA_DIM, _PCA_Q = 64, float(1 << 20)
+_PCA_PROJ_SEED, _PCA_PROJ_K = 2024, 4
+
+
+def _pca_project_sql() -> str:
+    """Projection-stage SQL legs from the SAME ``planted_projection``
+    constants the Spark fold expression embeds: per component k, the
+    explicit left-associated chain ``(ve[1]−μ_0)·w_k0 + …`` — IEEE-
+    identical to the fold, zero tolerance (the ``_lsh_bucket_oracle``
+    convention)."""
+    from ..extensions.similarity import planted_projection
+
+    m = planted_projection(_PCA_PROJ_SEED, _PCA_PROJ_K, _PCA_DIM)
+    legs = []
+    for k, w in enumerate(m["components"]):
+        chain = " + ".join(
+            f"(ve[{i + 1}] - {m['mean'][i]!r})*{w[i]!r}"
+            for i in range(_PCA_DIM))
+        legs.append(
+            "SELECT 'project' AS stage, CAST(NULL AS INT) AS i,\n"
+            "       CAST(NULL AS INT) AS j, vec_id,\n"
+            "       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_q,\n"
+            "       CAST(NULL AS BIGINT) AS sum_qi,\n"
+            "       CAST(NULL AS BIGINT) AS sum_qj,\n"
+            "       CAST(NULL AS DOUBLE) AS cov,\n"
+            f"       CAST({k} AS INT) AS pos,\n"
+            f"       {chain} AS coord\n"
+            "FROM vp")
+    return "\nUNION ALL\n".join(legs)
+
 
 _PCA_MOMENTS_ORACLE = f"""
-    WITH v AS (
-      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+    WITH vp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = {_PCA_DIM}
+    ), v AS (
+      SELECT ve FROM vp
     ), m1 AS (
       SELECT gi.i, COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(ve[gi.i + 1] * {_PCA_Q!r}) AS BIGINT))
@@ -487,13 +518,16 @@ _PCA_MOMENTS_ORACLE = f"""
       WHERE gi.i <= gj.j
       GROUP BY gi.i, gj.j
     )
-    SELECT CAST(m2.i AS INT) AS i, CAST(m2.j AS INT) AS j, m2.n, m2.sum_q,
+    SELECT 'moment' AS stage, CAST(m2.i AS INT) AS i, CAST(m2.j AS INT) AS j,
+           CAST(NULL AS BIGINT) AS vec_id, m2.n, m2.sum_q,
            a.s1 AS sum_qi, b.s1 AS sum_qj,
            CAST(m2.sum_q AS DOUBLE) / (m2.n * {_PCA_Q!r})
            - (CAST(a.s1 AS DOUBLE) / (m2.n * {_PCA_Q!r}))
-             * (CAST(b.s1 AS DOUBLE) / (m2.n * {_PCA_Q!r})) AS cov
+             * (CAST(b.s1 AS DOUBLE) / (m2.n * {_PCA_Q!r})) AS cov,
+           CAST(NULL AS INT) AS pos, CAST(NULL AS DOUBLE) AS coord
     FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i
-    """
+    UNION ALL
+    """ + _pca_project_sql()
 
 
 @register("embedding_pca_moments", oracle=_PCA_MOMENTS_ORACLE)
@@ -517,12 +551,43 @@ def embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (pinned): one mapInPandas pass, ONE exchange on (i, j) —
     d(d+1)/2 + d keys with map-side partial sums, so the covariance
-    shuffle is codebook-sized at ANY corpus scale; two broadcast joins
-    stitch the first-moment column on."""
-    from ..extensions.similarity import covariance_exact
+    shuffle is codebook-sized at ANY corpus scale; first-moment partials
+    ride the triangle rows, no join.
+
+    ``project`` stage (late r7, stage-tag extension — same slot): the
+    APPLY surface. A planted deterministic model
+    (:func:`planted_projection` — seeded Gram-Schmidt orthonormal
+    components + seeded mean, constants shared verbatim with the SQL
+    twin) is projected over the whole corpus by the bit-portable fold
+    twin (``project_fold`` — index-order ``Σ (x_i−μ_i)·w_ki`` chains,
+    one scan, posexplode to (vec_id, pos, coord)). Production projection
+    stays on the BLAS kernel (``apply_pca``, numpy-twin unit); this
+    stage value-checks the centered-projection machinery with zero
+    tolerance — the ``cluster_balanced_sample`` planted-constants trick
+    applied to the PCA apply path."""
+    from ..extensions.similarity import (covariance_exact,
+                                         planted_projection, project_fold)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return covariance_exact(emb, "embedding", dim=_PCA_DIM)
+    cov = covariance_exact(emb, "embedding", dim=_PCA_DIM)
+    moments = cov.select(
+        F.lit("moment").alias("stage"), "i", "j",
+        F.lit(None).cast("long").alias("vec_id"),
+        "n", "sum_q", "sum_qi", "sum_qj", "cov",
+        F.lit(None).cast("int").alias("pos"),
+        F.lit(None).cast("double").alias("coord"))
+    model = planted_projection(_PCA_PROJ_SEED, _PCA_PROJ_K, _PCA_DIM)
+    proj = (project_fold(emb.select("vec_id", "embedding"), model)
+            .select(F.lit("project").alias("stage"),
+                    F.lit(None).cast("int").alias("i"),
+                    F.lit(None).cast("int").alias("j"), "vec_id",
+                    F.lit(None).cast("long").alias("n"),
+                    F.lit(None).cast("long").alias("sum_q"),
+                    F.lit(None).cast("long").alias("sum_qi"),
+                    F.lit(None).cast("long").alias("sum_qj"),
+                    F.lit(None).cast("double").alias("cov"),
+                    F.col("pos").cast("int").alias("pos"), "coord"))
+    return moments.unionByName(proj)
 
 
 @register("embedding_lsh_near_dup", oracle=_lsh_bucket_oracle())

@@ -154,3 +154,28 @@ def test_covariance_exact_cell_identity(spark):
         d = r["n"] * q
         assert r["cov"] == (r["sum_q"] / d
                             - (r["sum_qi"] / d) * (r["sum_qj"] / d))
+
+
+def test_project_fold_matches_blas_apply(spark):
+    """The bit-portable fold projection twin and the production BLAS
+    kernel agree to float precision on the planted orthonormal model
+    (different summation orders — allclose, not byte equality; the byte
+    contract is fold-vs-SQL, held by the driver row's zero-tolerance
+    hash)."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        planted_projection, project_fold)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id",
+                                                         "embedding")
+    model = planted_projection(2024, 4, 64)
+    fold = {(r["vec_id"], r["pos"]): r["coord"]
+            for r in project_fold(emb, model).collect()}
+    blas = apply_pca(emb, model, out_col="pca").collect()
+    n_checked = 0
+    for r in blas:
+        if r["pca"] is None:
+            continue
+        for k, y in enumerate(r["pca"]):
+            assert abs(fold[(r["vec_id"], k)] - y) < 1e-9
+            n_checked += 1
+    assert n_checked > 0 and len(fold) == n_checked
