@@ -353,7 +353,17 @@ def _cluster_sample_oracle() -> str:
     both engines, zero tolerance), and the mean coordinate as one float
     division. This value-checks the scale-path M-step machinery —
     quantize → posexplode → codebook-sized partial-agg reduce — that
-    ``kmeans_lloyd_refine`` iterates."""
+    ``kmeans_lloyd_refine`` iterates.
+
+    The ``centroid2`` stage (late r7) closes the LOOP: iteration-2
+    REASSIGNMENT against the iteration-1 means (each mean is one
+    CAST/multiply/divide from the exact integer sums — bit-identical
+    doubles in both engines, so the fold chains against them are too),
+    then a second exact M-step. With both iterations on the record, the
+    full E-step → M-step → E-step → M-step cycle of distributed Lloyd is
+    value-verified cross-engine with zero tolerance — including the
+    data-dependent second assignment, which no planted-constants trick
+    could cover."""
     from ..extensions.similarity import KMEANS_Q_SCALE, planted_centroids
 
     cents = planted_centroids(_CBS_SEED, _CBS_K, _CBS_DIM)
@@ -367,6 +377,17 @@ def _cluster_sample_oracle() -> str:
         for j in range(_CBS_K - 1))
     case = f"CASE {whens} ELSE {_CBS_K - 1} END"
     q = float(KMEANS_Q_SCALE)
+    # iteration-2 dot chains against the iteration-1 means (mv lists per
+    # cid, pivoted as one-row CTEs) — same left-associated index order as
+    # the Spark fold against the collected-and-re-embedded mean literals
+    mtabs = ",\n    ".join(
+        f"m{j} AS (SELECT list(m ORDER BY pos) AS mv FROM cm "
+        f"WHERE cid = {j})" for j in range(_CBS_K))
+    dot2 = ",\n        ".join(
+        "(" + " + ".join(f"ve[{i + 1}]*m{j}.mv[{i + 1}]"
+                         for i in range(_CBS_DIM)) + f") AS d{j}"
+        for j in range(_CBS_K))
+    cross = " ".join(f"CROSS JOIN m{j}" for j in range(_CBS_K))
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -394,6 +415,27 @@ def _cluster_sample_oracle() -> str:
       SELECT cid, pos, COUNT(*) AS n_members,
              CAST(SUM(CAST(FLOOR(x * {q!r}) AS BIGINT)) AS BIGINT) AS sum_q
       FROM g GROUP BY cid, pos
+    ), cm AS (
+      SELECT cid, pos,
+             CAST(sum_q AS DOUBLE) / (n_members * {q!r}) AS m
+      FROM cent
+    ),
+    {mtabs},
+    d2 AS (
+      SELECT v.vec_id,
+        {dot2}
+      FROM v {cross}
+      WHERE v.ve IS NOT NULL AND len(v.ve) = {_CBS_DIM}
+    ), a2 AS (
+      SELECT vec_id, {case} AS cid FROM d2
+    ), g2 AS (
+      SELECT a2.cid, gs.pos, v.ve[gs.pos + 1] AS x
+      FROM a2 JOIN v USING (vec_id)
+      CROSS JOIN generate_series(0, {_CBS_DIM - 1}) AS gs(pos)
+    ), cent2 AS (
+      SELECT cid, pos, COUNT(*) AS n_members,
+             CAST(SUM(CAST(FLOOR(x * {q!r}) AS BIGINT)) AS BIGINT) AS sum_q
+      FROM g2 GROUP BY cid, pos
     )
     SELECT 'sample' AS stage, vec_id, cid, rn <= {_CBS_QUOTA} AS kept,
            CAST(NULL AS INT) AS pos, CAST(NULL AS BIGINT) AS n_members,
@@ -405,6 +447,12 @@ def _cluster_sample_oracle() -> str:
            n_members, sum_q,
            CAST(sum_q AS DOUBLE) / (n_members * {q!r}) AS coord
     FROM cent
+    UNION ALL
+    SELECT 'centroid2' AS stage, CAST(NULL AS BIGINT) AS vec_id, cid,
+           CAST(NULL AS BOOLEAN) AS kept, CAST(pos AS INT) AS pos,
+           n_members, sum_q,
+           CAST(sum_q AS DOUBLE) / (n_members * {q!r}) AS coord
+    FROM cent2
     """
 
 
@@ -438,7 +486,8 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_recall.py). Plan shape: quantize + posexplode
     map-only, ONE exchange on (cid, pos) — k·dim keys, so map-side
     combine makes the shuffle codebook-sized at any corpus size."""
-    from ..extensions.similarity import (_nearest_centroid_fold,
+    from ..extensions.similarity import (KMEANS_Q_SCALE,
+                                         _nearest_centroid_fold,
                                          cluster_balanced_sample,
                                          kmeans_update_exact,
                                          planted_centroids)
@@ -451,18 +500,49 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _nearest_centroid_fold(emb, "vec_id", "embedding", cents,
                                       keep=("embedding",))
     cent = kmeans_update_exact(assigned, vec_col="embedding", dim=_CBS_DIM)
+
+    # iteration 2: collect the k·dim iteration-1 means (each one
+    # CAST/multiply/divide from the exact integer sums — the identical
+    # doubles the SQL twin computes), re-embed them as fold literals,
+    # reassign, and run the M-step again. The planted config fills every
+    # cluster at any SF; an empty one would make the SQL pivot lists
+    # short, so refuse loudly rather than silently diverge.
+    qf = float(KMEANS_Q_SCALE)
+    cents1 = [[0.0] * _CBS_DIM for _ in range(_CBS_K)]
+    seen: set = set()
+    for r in cent.select("cid", "pos", "n_members", "sum_q").collect():
+        cents1[r["cid"]][r["pos"]] = (
+            float(r["sum_q"]) / (r["n_members"] * qf))
+        seen.add(r["cid"])
+    if seen != set(range(_CBS_K)):
+        raise ValueError(
+            f"cluster_balanced_sample row: iteration-1 clusters {seen} "
+            f"!= {{0..{_CBS_K - 1}}} — planted config no longer fills "
+            "every cluster; the centroid2 oracle assumes full coverage")
+    clean = emb.filter(F.col("embedding").isNotNull()
+                       & (F.size(F.col("embedding")) == _CBS_DIM))
+    assigned2 = _nearest_centroid_fold(clean, "vec_id", "embedding",
+                                       cents1, keep=("embedding",))
+    cent2 = kmeans_update_exact(assigned2, vec_col="embedding",
+                                dim=_CBS_DIM)
+
     sample_rows = sample.select(
         F.lit("sample").alias("stage"), "vec_id", "cid", "kept",
         F.lit(None).cast("int").alias("pos"),
         F.lit(None).cast("long").alias("n_members"),
         F.lit(None).cast("long").alias("sum_q"),
         F.lit(None).cast("double").alias("coord"))
-    cent_rows = cent.select(
-        F.lit("centroid").alias("stage"),
-        F.lit(None).cast("long").alias("vec_id"), "cid",
-        F.lit(None).cast("boolean").alias("kept"),
-        F.col("pos").cast("int").alias("pos"), "n_members", "sum_q", "coord")
-    return sample_rows.unionByName(cent_rows)
+
+    def cent_stage(df, tag):
+        return df.select(
+            F.lit(tag).alias("stage"),
+            F.lit(None).cast("long").alias("vec_id"), "cid",
+            F.lit(None).cast("boolean").alias("kept"),
+            F.col("pos").cast("int").alias("pos"), "n_members", "sum_q",
+            "coord")
+
+    return (sample_rows.unionByName(cent_stage(cent, "centroid"))
+            .unionByName(cent_stage(cent2, "centroid2")))
 
 
 _PCA_DIM, _PCA_Q = 64, float(1 << 20)
