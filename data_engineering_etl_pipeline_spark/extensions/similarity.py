@@ -1314,7 +1314,9 @@ def _nearest_centroid_fold(df: DataFrame, id_col: str, vec_col: str,
     """Exact-config assignment twin of :func:`_nearest_centroids` for
     oracle-checkable configurations: each centroid dot is a fold-form
     expression (the ``_plane_sign_bits`` convention — left-associated,
-    index-order accumulation, IEEE-identical to a SQL literal chain) and
+    index-order accumulation; r7 note: SQL engines may reassociate long
+    float chains by ~ulps, so parity is of the COMPARISONS these dots
+    feed, not the raw values — see ``_lsh_bucket_oracle``) and
     the argmax is a sequential CASE with ties to the LOWER cid (matching
     the production kernel's stable argsort). NULL vectors assign to cid 0,
     exactly like the kernel's zero-row convention. Interpreted-expression
@@ -1799,16 +1801,32 @@ def planted_projection(seed: int, n_components: int,
 
 
 def project_fold(df: DataFrame, model: dict, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """Bit-portable projection twin of :func:`apply_pca` for
-    oracle-checkable configurations: each component score is a fold-form
-    ``Σ_i (x_i − μ_i)·w_ki`` in index order (left-associated from 0.0 —
-    the ``_nearest_centroid_fold`` convention), IEEE-identical to a SQL
-    literal chain. Output long-form ``(id, pos, coord)`` — one row per
+                 vec_col: str = "embedding",
+                 q_scale: int | None = None) -> DataFrame:
+    """Expression-form projection twin of :func:`apply_pca` for
+    oracle-checkable configurations. Output long-form — one row per
     (vector, component). NULL/wrong-length vectors are dropped (the
     :func:`apply_pca` NULL-out convention has no row to carry here).
     Production projection stays on the BLAS kernel; this is the
-    verification twin."""
+    verification twin.
+
+    Two modes:
+    - ``q_scale=None``: float fold ``Σ_i (x_i − μ_i)·w_ki`` in index
+      order → ``(id, pos, coord)``. Deterministic within ONE engine, but
+      NOT cross-engine bit-portable: measured r7, DuckDB reassociates
+      long float ``+`` chains (up to ~20 ulp vs strict left-association),
+      so chain VALUES differ across engines even with identical literals
+      — only sign/comparison consumers (LSH bits, argmax assignment)
+      survive that, which is exactly how the seeded-constants oracles use
+      chains. Use this mode for within-engine work and the BLAS-agreement
+      unit.
+    - ``q_scale=int`` (the driver-row mode): exact fixed-point —
+      per element ``q_i = floor((x_i−μ_i)·w_ki·q_scale)`` (one
+      deterministic IEEE product per term, portable), summed as BIGINT
+      (associativity-free) → ``(id, pos, sum_q, coord=sum_q/q_scale)``.
+      BIT-equal across engines with zero tolerance, the
+      :func:`kmeans_update_exact` convention; quantization error ≤
+      dim/q_scale ≈ 6e-5 at the defaults."""
     mu = model["mean"]
     comps = model["components"]
     dim = len(mu)
@@ -1820,14 +1838,26 @@ def project_fold(df: DataFrame, model: dict, id_col: str = "vec_id",
     scores = []
     for w in comps:
         wl = F.array(*[F.lit(float(x)) for x in w])
-        scores.append(
-            F.aggregate(F.zip_with(centered, wl, lambda a, b: a * b),
-                        F.lit(0.0), lambda acc, x: acc + x))
+        terms = F.zip_with(centered, wl, lambda a, b: a * b)
+        if q_scale is None:
+            scores.append(F.aggregate(terms, F.lit(0.0),
+                                      lambda acc, x: acc + x))
+        else:
+            qf = F.lit(float(q_scale))
+            scores.append(F.aggregate(
+                F.transform(terms, lambda t: F.floor(t * qf)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x))
     # ONE scan: all component folds in a single projection, then a
     # posexplode over the k scores (k rows out per vector)
     staged = clean.select(F.col(id_col), F.array(*scores).alias("__ys"))
-    return staged.select(F.col(id_col),
-                         F.posexplode(F.col("__ys")).alias("pos", "coord"))
+    if q_scale is None:
+        return staged.select(F.col(id_col),
+                             F.posexplode(F.col("__ys")).alias("pos",
+                                                               "coord"))
+    out = staged.select(F.col(id_col),
+                        F.posexplode(F.col("__ys")).alias("pos", "sum_q"))
+    return out.withColumn(
+        "coord", F.col("sum_q").cast("double") / F.lit(float(q_scale)))
 
 
 def apply_pca(df: DataFrame, model: dict, vec_col: str = "embedding",

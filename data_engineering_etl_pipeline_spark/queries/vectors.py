@@ -285,10 +285,16 @@ def _lsh_bucket_oracle(seed: int = 42, n_planes: int = 16, dim: int = 64,
     """DuckDB twin of the bucketed hyperplane-LSH near-dup plan, built from
     the SAME `hyperplanes(seed)` constants the Spark expression embeds.
 
-    Sign-bit parity is exact by construction: both engines evaluate the
-    identical left-associated multiply-add chain (ve[j] * plane literal,
-    accumulated in index order) in IEEE double, so every dot product is
-    bit-equal and every signature bit agrees — no tolerance anywhere."""
+    Sign-bit parity, precisely (r7 measurement superseding the original
+    "bit-equal" claim): DuckDB REASSOCIATES long float ``+`` chains
+    (measured up to ~20 ulp vs strict left-association), so the dot
+    VALUES are not cross-engine bit-equal — but this oracle consumes only
+    their SIGNS, which agree unless a dot lies within that ulp window of
+    zero. With seeded-Gaussian planes and real embeddings that is a
+    measure-zero-in-practice event (never observed across rounds); the
+    value-exposing oracles (moments, M-steps, the projection stage) use
+    the fixed-point integer convention instead, which needs no such
+    argument."""
     from ..extensions.similarity import hyperplanes
 
     planes = hyperplanes(seed, n_planes, dim)
@@ -340,11 +346,13 @@ def _cluster_sample_oracle() -> str:
     """DuckDB twin of the cluster-balanced curation sample under the
     PLANTED-centroid configuration, built from the SAME
     ``planted_centroids(seed)`` constants the Spark fold expression embeds
-    (the ``_lsh_bucket_oracle`` pattern). Assignment parity is exact by
-    construction — identical left-associated multiply-add chains in IEEE
-    double, identical ties-to-lower-cid CASE — and the quota ranking is
-    the engine's portable-md5 convention, so ``kept`` agrees row-for-row
-    with no tolerance anywhere.
+    (the ``_lsh_bucket_oracle`` pattern). Assignment parity: both
+    engines evaluate the same multiply-add chains and the identical
+    ties-to-lower-cid CASE; chain reassociation (~ulps, see
+    ``_lsh_bucket_oracle``) could only flip an assignment whose top-2
+    dots are within ulps of EQUAL — measure-zero in practice with the
+    planted-Gaussian constants. The quota ranking is the engine's
+    portable-md5 convention, so ``kept`` agrees row-for-row.
 
     The ``centroid`` stage (r7) reproduces one exact distributed Lloyd
     M-step (``similarity.kmeans_update_exact``) over the SAME assignment:
@@ -551,27 +559,35 @@ _PCA_PROJ_SEED, _PCA_PROJ_K = 2024, 4
 
 def _pca_project_sql() -> str:
     """Projection-stage SQL legs from the SAME ``planted_projection``
-    constants the Spark fold expression embeds: per component k, the
-    explicit left-associated chain ``(ve[1]−μ_0)·w_k0 + …`` — IEEE-
-    identical to the fold, zero tolerance (the ``_lsh_bucket_oracle``
-    convention)."""
+    constants the Spark fold expression embeds — in the EXACT fixed-point
+    mode: per component k, a BIGINT chain of
+    ``floor((ve[i]−μ_{i-1})·w_k,{i-1}·2^20)`` terms. Each term is one
+    deterministic IEEE product (portable); integer addition is
+    associativity-free, so the chain is bit-equal to Spark's long fold
+    REGARDLESS of either engine's summation strategy. (The float-chain
+    form is NOT portable: measured r7, DuckDB reassociates long double
+    ``+`` chains up to ~20 ulp vs strict left-association — fine for the
+    sign/argmax consumers the other oracles feed, fatal for hashed
+    VALUES. See ``project_fold``'s mode docs.)"""
     from ..extensions.similarity import planted_projection
 
     m = planted_projection(_PCA_PROJ_SEED, _PCA_PROJ_K, _PCA_DIM)
     legs = []
     for k, w in enumerate(m["components"]):
         chain = " + ".join(
-            f"(ve[{i + 1}] - {m['mean'][i]!r})*{w[i]!r}"
+            f"CAST(FLOOR((ve[{i + 1}] - {m['mean'][i]!r})*{w[i]!r}"
+            f"*{_PCA_Q!r}) AS BIGINT)"
             for i in range(_PCA_DIM))
         legs.append(
             "SELECT 'project' AS stage, CAST(NULL AS INT) AS i,\n"
             "       CAST(NULL AS INT) AS j, vec_id,\n"
-            "       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_q,\n"
+            "       CAST(NULL AS BIGINT) AS n,\n"
+            f"       ({chain}) AS sum_q,\n"
             "       CAST(NULL AS BIGINT) AS sum_qi,\n"
             "       CAST(NULL AS BIGINT) AS sum_qj,\n"
             "       CAST(NULL AS DOUBLE) AS cov,\n"
             f"       CAST({k} AS INT) AS pos,\n"
-            f"       {chain} AS coord\n"
+            f"       CAST(({chain}) AS DOUBLE) / {_PCA_Q!r} AS coord\n"
             "FROM vp")
     return "\nUNION ALL\n".join(legs)
 
@@ -657,12 +673,12 @@ def embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("pos"),
         F.lit(None).cast("double").alias("coord"))
     model = planted_projection(_PCA_PROJ_SEED, _PCA_PROJ_K, _PCA_DIM)
-    proj = (project_fold(emb.select("vec_id", "embedding"), model)
+    proj = (project_fold(emb.select("vec_id", "embedding"), model,
+                         q_scale=int(_PCA_Q))
             .select(F.lit("project").alias("stage"),
                     F.lit(None).cast("int").alias("i"),
                     F.lit(None).cast("int").alias("j"), "vec_id",
-                    F.lit(None).cast("long").alias("n"),
-                    F.lit(None).cast("long").alias("sum_q"),
+                    F.lit(None).cast("long").alias("n"), "sum_q",
                     F.lit(None).cast("long").alias("sum_qi"),
                     F.lit(None).cast("long").alias("sum_qj"),
                     F.lit(None).cast("double").alias("cov"),
