@@ -127,8 +127,8 @@ def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
     w = (np.zeros(dim, dtype=np.float64) if init_weights is None
          else np.asarray(init_weights, dtype=np.float64).copy())
     if w.shape != (dim,):
-        raise ValueError(f"fit_logreg_exact: init_weights length "
-                         f"{w.shape[0]} != dim {dim}")
+        raise ValueError(f"fit_logreg_exact: init_weights shape "
+                         f"{w.shape} != ({dim},)")
     b = float(init_bias)
     losses: list[float] = []
     n = 0

@@ -79,7 +79,9 @@ def prepare_training_corpus(docs: DataFrame,
     curated-vs-raw recipe) as an additional stage-6 gate —
     ``{"model": fit_logreg_exact output, "idf": the FROZEN fit_tfidf_idf
     table the model was trained under, "dim": hashing dim,
-    "threshold": keep-probability floor (default 0.5)}``. Applied AFTER
+    "salt": the hashing salt the model was trained under (default
+    'tfidf-v1' — MUST match training, or bucket assignments silently
+    differ), "threshold": keep-probability floor (default 0.5)}``. Applied AFTER
     the heuristic floor, map-only (frozen-idf vectorize → score —
     no fit pass inside prep). Optional and off by default: the heuristic
     floor keeps prep's chained DuckDB oracle intact, while the classifier
@@ -154,9 +156,21 @@ def prepare_training_corpus(docs: DataFrame,
         from .corpus import hashed_tfidf_vectors
 
         thr = float(quality_clf.get("threshold", 0.5))
-        vecs = hashed_tfidf_vectors(kept, id_col=id_col, text_col=text_col,
-                                    dim=int(quality_clf["dim"]),
-                                    idf=quality_clf["idf"])
+        clf_dim = int(quality_clf["dim"])
+        n_w = len(quality_clf["model"]["weights"])
+        if n_w != clf_dim:
+            # a mismatch would make every vector fail score_logreg's
+            # length check, score NULL, and silently drop the WHOLE
+            # corpus — refuse loudly instead (the idf-length twin check
+            # lives in hashed_tfidf_vectors)
+            raise ValueError(
+                f"prepare_training_corpus: quality_clf model has {n_w} "
+                f"weights but dim={clf_dim} — the classifier must be "
+                "trained under the same hashing dimension it scores")
+        vecs = hashed_tfidf_vectors(
+            kept, id_col=id_col, text_col=text_col, dim=clf_dim,
+            salt=quality_clf.get("salt", "tfidf-v1"),
+            idf=quality_clf["idf"])
         keep_ids = (score_logreg(vecs, quality_clf["model"])
                     .filter(F.col("quality_prob") >= thr)
                     .select(id_col))

@@ -1785,6 +1785,11 @@ def planted_projection(seed: int, n_components: int,
     row can value-check the projection machinery without the
     data-dependence of a real eigendecomposition (eigvecs of a real fit
     cannot be oracle literals — they depend on the corpus)."""
+    if n_components > dim:
+        raise ValueError(
+            f"planted_projection: n_components {n_components} > dim {dim} "
+            "— no orthonormal basis exists (the Gram-Schmidt loop would "
+            "reject every draw and never terminate)")
     rnd = random.Random(seed)
     basis: list[np.ndarray] = []
     while len(basis) < n_components:

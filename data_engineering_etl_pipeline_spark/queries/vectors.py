@@ -401,11 +401,17 @@ def _cluster_sample_oracle() -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings
     ), d AS (
-      SELECT vec_id,
+      SELECT vec_id, ve IS NULL AS vnull,
         {dot_cols}
       FROM v
     ), a AS (
-      SELECT vec_id, {case} AS cid FROM d
+      -- NULL vectors assign to cid 0 (the Spark fold's explicit
+      -- override); without this guard the NULL dots would fall through
+      -- every WHEN to the ELSE (cid k-1) and silently diverge — latent
+      -- until a fixture carries a NULL embedding (r7 review finding)
+      SELECT vec_id,
+             CASE WHEN vnull THEN 0 ELSE {case} END AS cid
+      FROM d
     ), r AS (
       SELECT vec_id, cid,
              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
@@ -507,7 +513,14 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_CBS_SEED, dim=_CBS_DIM, centroids=cents, assign="fold")
     assigned = _nearest_centroid_fold(emb, "vec_id", "embedding", cents,
                                       keep=("embedding",))
-    cent = kmeans_update_exact(assigned, vec_col="embedding", dim=_CBS_DIM)
+    # pinned (engine-pin contract): the iteration-1 M-step is consumed
+    # TWICE — the build-time collect below (iteration-2 needs the means
+    # as literals) and the returned union's 'centroid' stage — uncached,
+    # the fold-assignment scan would run once per consumer (r7 review
+    # finding). k·dim rows: the cache is codebook-sized.
+    from ..caching import pin
+    cent = pin(kmeans_update_exact(assigned, vec_col="embedding",
+                                   dim=_CBS_DIM))
 
     # iteration 2: collect the k·dim iteration-1 means (each one
     # CAST/multiply/divide from the exact integer sums — the identical

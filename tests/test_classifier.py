@@ -178,3 +178,28 @@ def test_resume_equals_uninterrupted_fit(spark):
     assert resumed["weights"] == straight["weights"]
     assert resumed["bias"] == straight["bias"]
     assert part["losses"] + resumed["losses"] == straight["losses"]
+
+
+def test_quality_clf_dim_mismatch_refused(spark):
+    """r7 review finding: a model/dim mismatch would NULL-score and
+    silently drop the whole corpus — must refuse loudly instead."""
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.prep import (
+        prepare_training_corpus)
+
+    docs = spark.createDataFrame([(0, "text")], "doc_id long, text string")
+    model = {"weights": [0.0] * 32, "bias": 0.0}
+    with pytest.raises(ValueError, match="32 weights but dim=64"):
+        prepare_training_corpus(
+            docs, quality_clf={"model": model, "idf": [1.0] * 64,
+                               "dim": 64})
+
+
+def test_init_weights_bad_shapes_raise_value_error(spark):
+    import pytest
+
+    df = _blobs_df(spark, n_per=5)
+    for bad in (0.5, [[0.0] * DIM]):
+        with pytest.raises(ValueError, match="init_weights shape"):
+            fit_logreg_exact(df, dim=DIM, n_iters=1, init_weights=bad)

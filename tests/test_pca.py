@@ -164,10 +164,14 @@ def test_project_fold_matches_blas_apply(spark):
     hash)."""
     from data_engineering_etl_pipeline_spark.extensions.similarity import (
         planted_projection, project_fold)
+    from data_engineering_etl_pipeline_spark.queries.vectors import (
+        _PCA_DIM, _PCA_PROJ_K, _PCA_PROJ_SEED)
 
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id",
                                                          "embedding")
-    model = planted_projection(2024, 4, 64)
+    # the driver row's exact config — import, don't restate, so a config
+    # change there cannot silently leave this unit validating a stale one
+    model = planted_projection(_PCA_PROJ_SEED, _PCA_PROJ_K, _PCA_DIM)
     fold = {(r["vec_id"], r["pos"]): r["coord"]
             for r in project_fold(emb, model).collect()}
     blas = apply_pca(emb, model, out_col="pca").collect()
@@ -179,3 +183,13 @@ def test_project_fold_matches_blas_apply(spark):
             assert abs(fold[(r["vec_id"], k)] - y) < 1e-9
             n_checked += 1
     assert n_checked > 0 and len(fold) == n_checked
+
+
+def test_planted_projection_refuses_overcomplete_basis(spark):
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        planted_projection)
+
+    with pytest.raises(ValueError, match="no orthonormal basis"):
+        planted_projection(1, 65, 64)

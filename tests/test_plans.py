@@ -77,9 +77,14 @@ def test_cluster_balanced_sample_map_only_plus_one_window_shuffle(spark):
     codebook-sized at any corpus scale."""
     p = plan_of(spark, "cluster_balanced_sample")
     assert "EvalPython" not in p, p
-    # three value-bearing exchanges: the ranking window, and the two
-    # Lloyd M-step (cid, pos) aggregates (iterations 1 and 2)
-    assert shuffles(p) == 3, p
+    # three value-bearing exchanges — the ranking window and the two
+    # Lloyd M-step (cid, pos) aggregates — plus the iteration-1 aggregate
+    # possibly printed once more under the cached relation's plan
+    # (explain renders the InMemoryRelation's own plan at a scan site);
+    # the cache itself is the evidence that iteration 1 COMPUTES once
+    # even though two consumers read it (r7 review finding)
+    assert 3 <= shuffles(p) <= 4, p
+    assert "InMemoryTableScan" in p, p
     assert "Window" in p
     assert "partial_count" in p and "partial_sum" in p, p
 
