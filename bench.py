@@ -73,6 +73,31 @@ TAIL_QUERIES = [
 ]
 
 
+def calibration_run(spark) -> float:
+    """Host-calibration sentinel (r7 VERDICT item 3): a fixed, data-free,
+    pure-CPU Spark workload — a seeded in-memory aggregate whose cost is
+    independent of the testdata — timed with the same warm-then-min-of-3
+    protocol as the queries. The r7 record was dominated by ~1.4-1.7x VM
+    drift that only out-of-band side measurements could explain; with
+    ``calibration_s`` on every BENCH record, cross-day comparisons divide
+    it out in one line (see README 'Host-drift methodology')."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.time()
+        (spark.range(0, 4_000_000, 1, 32)
+         .select((F.col("id") * 2654435761 % 100003).alias("k"),
+                 F.sin(F.col("id").cast("double") / 97.0).alias("x"))
+         .groupBy("k").agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+         .agg(F.sum("s"), F.sum("c"))
+         .write.format("noop").mode("overwrite").save())
+        return time.time() - t0
+
+    one()
+    one()  # two warm passes: codegen + JIT both settle before the min-of-3
+    return round(min(one() for _ in range(3)), 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_engineering_etl_pipeline_spark.queries import QUERIES
@@ -109,6 +134,7 @@ def main() -> int:
     # against another's (or its own earlier pass's) persisted
     # intermediates — warm code, cold data.
     skip_warmup = os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP") == "1"
+    cal_before = calibration_run(spark)
     times: dict[str, float] = {}
     # phase 1: the main set; phase 2: the tail set (see TAIL_QUERIES) —
     # each phase gets its own warmup + min-of-3 so the tail's JVM
@@ -124,12 +150,19 @@ def main() -> int:
                 times[name] = min(times.get(name, t), t)
                 cold_data()
 
+    cal_after = calibration_run(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "sum_query_seconds",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        # host-speed sentinel, measured before AND after the query loop
+        # (a drifting host shows as cal_after >> cal_before); normalize
+        # cross-day records by calibration_s before comparing (README)
+        "calibration_s": round((cal_before + cal_after) / 2, 3),
+        "calibration_before_s": cal_before,
+        "calibration_after_s": cal_after,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(out))

@@ -78,14 +78,21 @@ def _grad_partials(df: DataFrame, vec_col: str, label_col: str,
             p = 1.0 / (1.0 + np.exp(-z))
             r = p - y                                   # dlogloss/dz
             gq = (x * r[:, None]) * qf
-            _guard_q_magnitude(gq, "fit_logreg_exact")
+            # width = n: every batch row int64-sums into one gradient cell
+            # (advisor r7 finding — the per-element check alone lets a
+            # 2^55-band element pass while the batch sum wraps); the bias
+            # and log-loss sums get the same accumulation-width guard
+            _guard_q_magnitude(gq, "fit_logreg_exact", rows=n)
             gw = np.floor(gq).astype(np.int64).sum(axis=0)
-            gb = int(np.floor(r * qf).astype(np.int64).sum())
+            rq = r * qf
+            _guard_q_magnitude(rq, "fit_logreg_exact[bias]", rows=n)
+            gb = int(np.floor(rq).astype(np.int64).sum())
             # per-row quantized log-loss (clipped for the planted-separable
             # case where p reaches exactly 0/1 in float)
             pc = np.clip(p, 1e-15, 1.0 - 1e-15)
-            ll = np.floor(-(y * np.log(pc) + (1.0 - y) * np.log1p(-pc))
-                          * qf).astype(np.int64).sum()
+            lq = -(y * np.log(pc) + (1.0 - y) * np.log1p(-pc)) * qf
+            _guard_q_magnitude(lq, "fit_logreg_exact[loss]", rows=n)
+            ll = np.floor(lq).astype(np.int64).sum()
             yield pd.DataFrame({
                 "pos": np.concatenate([np.arange(dim),
                                        [dim, dim + 1]]).astype(np.int32),

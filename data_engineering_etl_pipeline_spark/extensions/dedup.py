@@ -747,21 +747,47 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # cluster — each round's labels land on replicated/durable storage, so
     # a lost executor re-reads them (localCheckpoint state would be
     # unrecoverable: lineage is truncated, blocks unreplicated). Local
-    # single-JVM runs keep the zero-filesystem fast path. Reliable costs
-    # one extra compute per snapshot (the checkpoint job re-runs the
-    # round's plan to write files) — round plans are pair-graph-sized, the
-    # standard Spark iterative-algo durability trade. Superseded RELIABLE
+    # single-JVM runs keep the zero-filesystem fast path. The checkpoint
+    # write job reads the round's PERSISTED blocks instead of recomputing
+    # the plan (persist-before-checkpoint below, r7 VERDICT item 8), so
+    # durability costs one cached read per snapshot, not a second compute
+    # — round caches are pair-graph-sized. Superseded RELIABLE
     # snapshot files are GC'd by the ContextCleaner
     # (spark.cleaner.referenceTracking.cleanCheckpoints, set in
     # session.get_spark); the explicit block release below applies to the
     # local backend only.
     reliable = _resolve_checkpoint_backend(pairs.sparkSession, checkpoint)
+    # persist-before-checkpoint (r7 VERDICT item 8): reliable
+    # DataFrame.checkpoint() RE-RUNS the plan in a second job to write the
+    # snapshot files after the first action; persisting the round's labels
+    # first makes that write job read the cached blocks instead — the
+    # standard Spark iterative-algo idiom, halving per-round compute on
+    # clusters. Eager snapshots release their cache as soon as the
+    # checkpoint is durable; lazy ones after the materializing count
+    # (`settle` below), so at most one round's cache is ever held.
+    _pending_caches: dict[int, DataFrame] = {}
 
     def snapshot(df: DataFrame, eager: bool) -> DataFrame:
-        return (df.checkpoint(eager=eager) if reliable
-                else df.localCheckpoint(eager=eager))
+        if not reliable:
+            return df.localCheckpoint(eager=eager)
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = cached.checkpoint(eager=eager)
+        if eager:
+            cached.unpersist(blocking=False)
+        else:
+            _pending_caches[id(out)] = cached
+        return out
+
+    def settle(df: DataFrame) -> None:
+        """Release the persist backing a LAZY reliable snapshot once an
+        action has materialized it (the checkpoint files are durable; the
+        cache has served its read-for-the-write purpose)."""
+        cached = _pending_caches.pop(id(df), None)
+        if cached is not None:
+            cached.unpersist(blocking=False)
 
     def release(df: DataFrame) -> None:
+        settle(df)  # belt-and-braces on error paths
         if not reliable:
             _release_local_checkpoint(df)
 
@@ -829,6 +855,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                             F.coalesce(F.col("__jl"), F.col("__l1")))
                     .alias("label")), eager=False)
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        # the count materialized the snapshot — the round cache backing a
+        # reliable checkpoint write has served its purpose
+        settle(stepped)
         # stepped is materialized (the count above triggers the lazy
         # checkpoint): the previous round's snapshot is now unreferenced —
         # free its blocks.

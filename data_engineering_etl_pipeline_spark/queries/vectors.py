@@ -485,8 +485,12 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota machinery. The production path (seeded k-means fit + BLAS
     assignment) keeps its invariants unit-pinned in
     tests/test_similarity_recall.py (quota cap, full coverage, bijection,
-    rerun stability). Plan shape: map-only fold assignment + ONE ranking
-    shuffle; skew bounded by the quota and the hash-uniform ranking key.
+    rerun stability). Plan shape (r8 two-phase selection — the r7
+    verdict's scale fix): map-only fold assignment → map-only
+    per-partition quota prune (mapInPandas, no exchange) → ONE
+    candidate-sized ranking shuffle (≤ quota·k·P rows) → broadcast keeper
+    flag join; the corpus never feeds a partitionBy(cid) sort
+    (plan-pinned in tests/test_plans.py).
 
     ``centroid`` stage (r7, stage-tag extension — same slot): ONE exact
     distributed Lloyd M-step (``similarity.kmeans_update_exact``) over the
@@ -511,30 +515,33 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = cluster_balanced_sample(
         emb, quota_per_cluster=_CBS_QUOTA, id_col="vec_id",
         seed=_CBS_SEED, dim=_CBS_DIM, centroids=cents, assign="fold")
+    # Both M-steps run as distributed jobs AT BUILD TIME and their k·dim
+    # result cells are re-embedded as literal relations in the returned
+    # union. The VALUES are unchanged (the exact-accumulation contract:
+    # the collected integers/doubles are the same under any execution),
+    # and nothing stays pinned behind the returned plan — the old shape
+    # cached the iteration-1 M-step for a second in-plan consumer, so
+    # every registry build leaked one InMemoryRelation until
+    # release_engine_pins (r7 advisor finding).
     assigned = _nearest_centroid_fold(emb, "vec_id", "embedding", cents,
                                       keep=("embedding",))
-    # pinned (engine-pin contract): the iteration-1 M-step is consumed
-    # TWICE — the build-time collect below (iteration-2 needs the means
-    # as literals) and the returned union's 'centroid' stage — uncached,
-    # the fold-assignment scan would run once per consumer (r7 review
-    # finding). k·dim rows: the cache is codebook-sized.
-    from ..caching import pin
-    cent = pin(kmeans_update_exact(assigned, vec_col="embedding",
-                                   dim=_CBS_DIM))
+    _CENT_SCHEMA = "cid int, pos int, n_members long, sum_q long, coord double"
+    cent_rows = [(r["cid"], r["pos"], r["n_members"], r["sum_q"], r["coord"])
+                 for r in kmeans_update_exact(assigned, vec_col="embedding",
+                                              dim=_CBS_DIM).collect()]
 
-    # iteration 2: collect the k·dim iteration-1 means (each one
+    # iteration 2: the k·dim iteration-1 means (each one
     # CAST/multiply/divide from the exact integer sums — the identical
-    # doubles the SQL twin computes), re-embed them as fold literals,
-    # reassign, and run the M-step again. The planted config fills every
-    # cluster at any SF; an empty one would make the SQL pivot lists
-    # short, so refuse loudly rather than silently diverge.
+    # doubles the SQL twin computes) become fold literals; reassign and
+    # run the M-step again. The planted config fills every cluster at any
+    # SF; an empty one would make the SQL pivot lists short, so refuse
+    # loudly rather than silently diverge.
     qf = float(KMEANS_Q_SCALE)
     cents1 = [[0.0] * _CBS_DIM for _ in range(_CBS_K)]
     seen: set = set()
-    for r in cent.select("cid", "pos", "n_members", "sum_q").collect():
-        cents1[r["cid"]][r["pos"]] = (
-            float(r["sum_q"]) / (r["n_members"] * qf))
-        seen.add(r["cid"])
+    for cid, pos, n_members, sum_q, _ in cent_rows:
+        cents1[cid][pos] = float(sum_q) / (n_members * qf)
+        seen.add(cid)
     if seen != set(range(_CBS_K)):
         raise ValueError(
             f"cluster_balanced_sample row: iteration-1 clusters {seen} "
@@ -542,10 +549,38 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "every cluster; the centroid2 oracle assumes full coverage")
     clean = emb.filter(F.col("embedding").isNotNull()
                        & (F.size(F.col("embedding")) == _CBS_DIM))
+    # __margin (top-1 minus top-2 dot) rides the iteration-2 assignment:
+    # unlike the planted-Gaussian iteration-1 constants, the iteration-2
+    # means are DATA-DEPENDENT, so nothing structural guarantees top-2
+    # separation as fixtures/SF grow — and a vector whose top-2 dots sit
+    # within reassociation ulps could assign differently in DuckDB
+    # (~20-ulp + chain reassociation measured r7), breaking the
+    # zero-tolerance hash NONDETERMINISTICALLY. Refuse loudly at build
+    # time instead (r7 advisor finding) — the same pattern as the
+    # empty-cluster check above. Build-time persist, released before
+    # return: two aggregations (M-step + min margin) share one fold scan.
     assigned2 = _nearest_centroid_fold(clean, "vec_id", "embedding",
-                                       cents1, keep=("embedding",))
-    cent2 = kmeans_update_exact(assigned2, vec_col="embedding",
-                                dim=_CBS_DIM)
+                                       cents1, keep=("embedding",),
+                                       emit_margin=True).persist()
+    try:
+        cent2_rows = [(r["cid"], r["pos"], r["n_members"], r["sum_q"],
+                       r["coord"])
+                      for r in kmeans_update_exact(
+                          assigned2, vec_col="embedding",
+                          dim=_CBS_DIM).collect()]
+        min_margin = assigned2.agg(
+            F.min("__margin").alias("m")).collect()[0]["m"]
+    finally:
+        assigned2.unpersist(blocking=False)
+    if min_margin is not None and min_margin < 1e-9:
+        raise ValueError(
+            f"cluster_balanced_sample row: iteration-2 top-2 centroid-dot "
+            f"separation {min_margin:.3g} < 1e-9 — a cross-engine chain "
+            "reassociation could flip this assignment and break the "
+            "zero-tolerance oracle; change the fixture/seed so the "
+            "data-dependent second assignment is well-separated")
+    cent = spark.createDataFrame(cent_rows, _CENT_SCHEMA)
+    cent2 = spark.createDataFrame(cent2_rows, _CENT_SCHEMA)
 
     sample_rows = sample.select(
         F.lit("sample").alias("stage"), "vec_id", "cid", "kept",

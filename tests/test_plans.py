@@ -67,26 +67,30 @@ def test_sql_nation_revenue_grouping_sets_one_agg_pass(spark):
     assert pushed_filters(p) >= 1
 
 
-def test_cluster_balanced_sample_map_only_plus_one_window_shuffle(spark):
-    """The r7 driver row: planted-centroid fold assignment is pure
-    expressions (no Python worker, no BatchEvalPython/ArrowEvalPython).
-    Two exchanges total, both value-bearing: the per-cluster ranking
-    window's, and the centroid stage's (cid, pos) aggregate — which MUST
-    show map-side partial aggregation (partial_count/partial_sum before
-    the exchange), the property that keeps the kmeans M-step shuffle
-    codebook-sized at any corpus scale."""
+def test_cluster_balanced_sample_two_phase_quota_selection(spark):
+    """The r8 scale fix for the r7 verdict's one confirmed wrong-at-100x
+    plan: the ranking window must consume the MAP-SIDE candidate prune
+    (mapInPandas, ≤ quota·k rows per partition), NOT the corpus — the old
+    shape shuffled every row into exactly k reducer partitions and fully
+    sorted each cluster. Assertions: (a) the fold assignment stays pure
+    expressions (no row-at-a-time Python worker); (b) exactly one
+    non-broadcast exchange — the candidate-sized ranking shuffle (the
+    M-step stages are literal relations computed at build time, no
+    in-plan aggregate); (c) exactly one Window, and between it and the
+    MapInPandas prune that feeds it there is NO corpus scan — the sort
+    input is the pruned candidate set; (d) the keeper flag join is a
+    broadcast join reading the pinned (id, cid) assignment."""
     p = plan_of(spark, "cluster_balanced_sample")
-    assert "EvalPython" not in p, p
-    # three value-bearing exchanges — the ranking window and the two
-    # Lloyd M-step (cid, pos) aggregates — plus the iteration-1 aggregate
-    # possibly printed once more under the cached relation's plan
-    # (explain renders the InMemoryRelation's own plan at a scan site);
-    # the cache itself is the evidence that iteration 1 COMPUTES once
-    # even though two consumers read it (r7 review finding)
-    assert 3 <= shuffles(p) <= 4, p
-    assert "InMemoryTableScan" in p, p
-    assert "Window" in p
-    assert "partial_count" in p and "partial_sum" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert shuffles(p) == 1, p
+    assert p.count("MapInPandas") >= 1, p
+    iw = p.index("Window")
+    im = p.index("MapInPandas")
+    assert iw < im, p  # tree prints parent-first: window above the prune
+    seg = p[iw:im]
+    assert "Scan parquet" not in seg and "InMemoryTableScan" not in seg, seg
+    assert "BroadcastHashJoin" in p, p
+    assert "InMemoryTableScan" in p, p  # the pinned (id, cid) assignment
 
 
 def test_pca_moments_one_codebook_sized_exchange(spark):
