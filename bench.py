@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "doc_substring_dedup",
     "doc_cleaning_suite",
     "doc_decontamination",
-    "corpus_split_profile",
+    "quality_classifier_gate",
     "embedding_pca_moments",
     "ccnet_perplexity_mix",
     "dsir_select",

@@ -19,7 +19,11 @@ that differ in ulps flip downstream keep/drop decisions near the
 threshold, which at 100 TB means irreproducible corpora). The per-row
 sigmoid uses numpy's libm; on a homogeneous cluster (one numpy build) the
 per-row values are identical everywhere, which is the only requirement —
-the REDUCE never touches floats.
+the REDUCE never touches floats. Precision of the claim (r7 advisor
+finding): the per-row ``x@w`` BLAS gemv is batch-shape-invariant in
+practice but not IEEE-guaranteed — ``fit_logreg_exact(dot_mode='fold')``
+is the construction-level hatch (fixed index-order accumulation), the
+same trade as ``kmeans_lloyd_refine(assign='fold')``.
 
 Why no DuckDB driver-oracle row: the construction needs exp(), and libm
 exp differs across engines in the last ulp — a floor() boundary can flip,
@@ -40,6 +44,7 @@ weights. n_iters full scans total, the same cost envelope as
 from __future__ import annotations
 
 import math
+import random
 
 import numpy as np
 import pandas as pd
@@ -52,13 +57,30 @@ from .similarity import _guard_q_magnitude
 LOGREG_Q_SCALE = 1 << 20
 
 
+def _fold_gemv(x: "np.ndarray", w: "np.ndarray", b: float) -> "np.ndarray":
+    """Fixed-order per-row dot: accumulate coordinates in INDEX order
+    (``z += x[:, i]·w_i``), so the per-row value is a deterministic
+    left-associated chain regardless of Arrow batch shape — the audit-
+    replay hatch for ``dot_mode='fold'`` (the ``kmeans_lloyd_refine``
+    ``assign='fold'`` convention). The BLAS gemv default is batch-shape-
+    invariant in practice but not IEEE-guaranteed across kernel paths."""
+    z = np.full(len(x), float(b), dtype=np.float64)
+    for i in range(x.shape[1]):
+        z += x[:, i] * w[i]
+    return z
+
+
 def _grad_partials(df: DataFrame, vec_col: str, label_col: str,
                    w: np.ndarray, b: float, dim: int,
-                   q_scale: int, decimal_sums: bool = False) -> DataFrame:
+                   q_scale: int, decimal_sums: bool = False,
+                   dot_mode: str = "gemm") -> DataFrame:
     """One epoch's quantized gradient/loss partials: rows ``(pos, n, s)``
     with pos in [0, dim) the weight gradient cells, pos = dim the bias
     cell, pos = dim+1 the summed quantized log-loss. NULL vectors,
     wrong-length vectors, and NULL labels are excluded."""
+    if dot_mode not in ("gemm", "fold"):
+        raise ValueError(f"_grad_partials: dot_mode={dot_mode!r} "
+                         "(want 'gemm' or 'fold')")
     qf = float(q_scale)
     wl = w.copy()
     bl = float(b)
@@ -74,7 +96,8 @@ def _grad_partials(df: DataFrame, vec_col: str, label_col: str,
                            for v, _ in keep])
             y = np.asarray([float(t) for _, t in keep], dtype=np.float64)
             n = len(x)
-            z = x @ wl + bl
+            z = (x @ wl + bl if dot_mode == "gemm"
+                 else _fold_gemv(x, wl, bl))
             p = 1.0 / (1.0 + np.exp(-z))
             r = p - y                                   # dlogloss/dz
             gq = (x * r[:, None]) * qf
@@ -113,7 +136,10 @@ def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
                      q_scale: int = LOGREG_Q_SCALE,
                      decimal_sums: bool = False,
                      init_weights: list[float] | None = None,
-                     init_bias: float = 0.0) -> dict:
+                     init_bias: float = 0.0,
+                     tol: float | None = None,
+                     patience: int = 1,
+                     dot_mode: str = "gemm") -> dict:
     """Full-batch gradient-descent logistic regression over the corpus.
 
     Full-batch (not SGD) is the deliberate choice: the gradient is a pure
@@ -130,7 +156,31 @@ def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
     iterations restarts with the last recorded weights and runs the
     remaining n−k — and because every step is exact-deterministic, the
     resumed trajectory is byte-identical to the uninterrupted one
-    (unit-pinned)."""
+    (unit-pinned).
+
+    ``tol``/``patience`` (r7 VERDICT item 5) — deterministic early stop:
+    after ``patience`` consecutive iterations whose INTEGER loss-sum
+    improvement falls below ``tol`` (in mean-log-loss units: the
+    comparison is ``prev_sum_q − sum_q < tol·n·q_scale`` over exact
+    integers, so the stopping decision is byte-stable like everything
+    else), the loop breaks WITHOUT applying that iteration's update — the
+    returned weights equal a full run truncated at the last applied step
+    (unit-pinned). At 100 TB each iteration is a full corpus scan;
+    scanning 14 more times after the quantized loss plateaued at
+    iteration 6 is real money. Default ``tol=None`` keeps the fixed
+    ``n_iters`` schedule.
+
+    Byte-stability precision (r7 advisor finding, the
+    ``kmeans_lloyd_refine`` caveat verbatim): the cross-row REDUCE is
+    unconditionally order-independent (integers), but the default
+    ``dot_mode='gemm'`` per-row ``x@w`` is a BLAS gemv whose value is
+    batch-shape-invariant in practice, NOT IEEE-guaranteed across kernel
+    paths — a z landing within one ulp of a ``floor(g·2^20)`` boundary
+    could in principle flip under a relayout that changes Arrow batch
+    shapes. Where the guarantee must be construction-level (audit
+    replays), ``dot_mode='fold'`` accumulates each row's dot in fixed
+    index order — batch-shape-invariant by construction, same trade as
+    ``kmeans_lloyd_refine(assign='fold')``."""
     w = (np.zeros(dim, dtype=np.float64) if init_weights is None
          else np.asarray(init_weights, dtype=np.float64).copy())
     if w.shape != (dim,):
@@ -140,23 +190,92 @@ def fit_logreg_exact(df: DataFrame, vec_col: str = "embedding",
     losses: list[float] = []
     n = 0
     qf = float(q_scale)
+    prev_loss_q: int | None = None
+    stall = 0
     for _ in range(max(0, int(n_iters))):
         rows = {r["pos"]: r for r in
                 _grad_partials(df, vec_col, label_col, w, b, dim,
-                               q_scale, decimal_sums).collect()}
+                               q_scale, decimal_sums,
+                               dot_mode=dot_mode).collect()}
         if not rows:
             raise ValueError("fit_logreg_exact: no labeled vectors to fit")
         n = rows[0]["n"]
         grad = np.asarray([rows[i]["sum_q"] for i in range(dim)],
                           dtype=np.float64) / (n * qf)
         gb = rows[dim]["sum_q"] / (n * qf)
-        losses.append(rows[dim + 1]["sum_q"] / (n * qf))
+        loss_q = int(rows[dim + 1]["sum_q"])
+        losses.append(loss_q / (n * qf))
+        if tol is not None and prev_loss_q is not None:
+            stall = (stall + 1
+                     if float(prev_loss_q - loss_q) < tol * n * qf else 0)
+        prev_loss_q = loss_q
+        if tol is not None and stall >= max(1, int(patience)):
+            break  # plateau: this iteration's update is NOT applied
         if l2:
             grad = grad + l2 * w
         w = w - lr * grad
         b = b - lr * gb
     return {"weights": [float(t) for t in w], "bias": float(b),
             "losses": losses, "n": int(n)}
+
+
+def planted_logreg(seed: int, dim: int) -> dict:
+    """Seeded deterministic logreg model — Gaussian weights + bias (the
+    ``planted_centroids``/``planted_projection`` convention): ONE
+    generator shared by the Spark gate expression and the DuckDB oracle
+    builder, so a driver row can value-check the gate DECISION machinery
+    without the data-dependence of a real fit (trained weights pass
+    through libm exp and cannot be cross-engine oracle literals — the
+    documented reason ``fit_logreg_exact`` is unit-verified)."""
+    rnd = random.Random(seed)
+    return {"weights": [rnd.gauss(0.0, 0.5) for _ in range(dim)],
+            "bias": rnd.gauss(0.0, 0.1), "losses": [], "n": 0}
+
+
+def logreg_gate_fold(df: DataFrame, model: dict, threshold: float = 0.5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_scale: int = LOGREG_Q_SCALE) -> DataFrame:
+    """The quality gate's DECISION surface as an exact fixed-point fold
+    (r7 VERDICT item 4): ``(id, z_q, keep)`` where
+    ``z_q = floor(b·Q) + Σ_i floor(x_i·w_i·Q)`` (each term one
+    deterministic IEEE double product, floored — portable; the cross-term
+    sum is BIGINT, associativity-free) and
+    ``keep = z_q ≥ floor(logit(threshold)·Q)`` — the keep/drop rule
+    ``σ(w·x+b) ≥ t  ⟺  w·x+b ≥ logit(t)`` with NO exp anywhere, so a
+    serial SQL engine reproduces every bit with zero tolerance (the
+    ``project_fold(q_scale=...)`` convention). Ties are INTEGER equality
+    — identical in every engine, no ulp hazard at the boundary at all.
+
+    This is the verification twin of the production gate
+    (``score_logreg`` + a float threshold): the two decisions can differ
+    only for rows within quantization distance (~dim/Q ≈ 6e-5) of the
+    boundary — where the float gate itself is retraining-noise-unstable.
+    NULL/wrong-length vectors gate NULL (the ``score_logreg`` NULL-score
+    convention: no evidence is a policy decision downstream). Map-only —
+    weights are expression literals, no shuffle, no Python."""
+    w = model["weights"]
+    dim = len(w)
+    b_q = int(math.floor(float(model["bias"]) * q_scale))
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"logreg_gate_fold: threshold {threshold} must "
+                         "be in (0, 1) — it is a probability")
+    thr_q = int(math.floor(math.log(threshold / (1.0 - threshold))
+                           * q_scale))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    wl = F.array(*[F.lit(float(x)) for x in w])
+    qf = F.lit(float(q_scale))
+    zq = F.aggregate(F.zip_with(v, wl, lambda a, c: F.floor(a * c * qf)),
+                     F.lit(b_q).cast("long"), lambda acc, x: acc + x)
+    malformed = (F.col(vec_col).isNull()
+                 | (F.size(F.col(vec_col)) != F.lit(dim)))
+    staged = df.select(F.col(id_col), malformed.alias("__mal"),
+                       zq.alias("__zq"))
+    return staged.select(
+        F.col(id_col),
+        F.when(F.col("__mal"), F.lit(None).cast("long"))
+        .otherwise(F.col("__zq")).alias("z_q"),
+        F.when(F.col("__mal"), F.lit(None).cast("boolean"))
+        .otherwise(F.col("__zq") >= F.lit(thr_q)).alias("keep"))
 
 
 def score_logreg(df: DataFrame, model: dict, vec_col: str = "embedding",

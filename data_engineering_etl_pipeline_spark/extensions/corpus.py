@@ -363,21 +363,12 @@ def dsir_topk(raw: DataFrame, target: DataFrame, k: int,
             .limit(k))
 
 
-def fit_tfidf_idf(docs: DataFrame, text_col: str = "text", dim: int = 256,
-                  salt: str = "tfidf-v1") -> "np.ndarray":
-    """Fit the smoothed-idf table of :func:`hashed_tfidf_vectors` on a
-    reference corpus and return it as a ``dim``-length float64 vector —
-    the FIT half of the fit/apply split an INCREMENTAL pipeline needs:
-    a daily batch must be vectorized under the frozen day-1 idf, or
-    identical text would map to different vectors across days (each
-    day's df/N drift would re-weight every bucket) and no cross-batch
-    signature could ever match. KB-scale (≤ dim+1 aggregate rows reach
-    the driver); broadcast-ships inside the vectorizer closure."""
-    base = docs.select(hashed_ngram_buckets(text_col, dim, salt).alias("__b"))
-    # ONE corpus pass fits the whole idf table: a sentinel bucket (-1)
-    # prepended to every non-null bucket array makes n_docs just another
-    # row of the (≤ dim+1)-row document-frequency table, instead of a
-    # second eager count() scan (r5 review finding).
+def _idf_from_buckets(base: DataFrame, dim: int) -> "np.ndarray":
+    """The idf aggregate over an already-bucketed relation (``__b`` =
+    hashed bucket arrays). ONE corpus pass fits the whole idf table: a
+    sentinel bucket (-1) prepended to every non-null bucket array makes
+    n_docs just another row of the (≤ dim+1)-row document-frequency
+    table, instead of a second eager count() scan (r5 review finding)."""
     dfreq = (base.filter(F.col("__b").isNotNull())
              .select(F.explode(F.concat(
                  F.array(F.lit(-1)), F.array_distinct("__b"))).alias("__k"))
@@ -389,6 +380,20 @@ def fit_tfidf_idf(docs: DataFrame, text_col: str = "text", dim: int = 256,
     for k_, df_ in counts.items():
         idf[k_] = np.log((1.0 + n_docs) / (1.0 + df_)) + 1.0
     return idf
+
+
+def fit_tfidf_idf(docs: DataFrame, text_col: str = "text", dim: int = 256,
+                  salt: str = "tfidf-v1") -> "np.ndarray":
+    """Fit the smoothed-idf table of :func:`hashed_tfidf_vectors` on a
+    reference corpus and return it as a ``dim``-length float64 vector —
+    the FIT half of the fit/apply split an INCREMENTAL pipeline needs:
+    a daily batch must be vectorized under the frozen day-1 idf, or
+    identical text would map to different vectors across days (each
+    day's df/N drift would re-weight every bucket) and no cross-batch
+    signature could ever match. KB-scale (≤ dim+1 aggregate rows reach
+    the driver); broadcast-ships inside the vectorizer closure."""
+    base = docs.select(hashed_ngram_buckets(text_col, dim, salt).alias("__b"))
+    return _idf_from_buckets(base, dim)
 
 
 def hashed_tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
@@ -425,13 +430,22 @@ def hashed_tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
     ``idf``: a precomputed :func:`fit_tfidf_idf` table — pass the frozen
     reference-corpus fit when vectorizing INCREMENTAL batches (then this
     call is fully map-only: no fit pass at all), omit for the one-shot
-    self-fit."""
+    self-fit. The self-fit path TOKENIZES ONCE (r7 VERDICT item 2): the
+    bucket relation is engine-pinned (caller-release contract) so the
+    eager idf aggregate materializes it and the vectorizer pass reads the
+    cache instead of re-running tokenize+md5 over the corpus — the
+    measured dominant cost of this operator. The cache is corpus-sized
+    (same order as the text itself, MEMORY_AND_DISK); deployments that
+    would rather re-tokenize than spill a second copy of the corpus pass
+    a precomputed ``idf`` and skip the pin entirely."""
     from pyspark.sql.functions import pandas_udf
 
     base = docs.select(F.col(id_col),
                        hashed_ngram_buckets(text_col, dim, salt).alias("__b"))
     if idf is None:
-        idf = fit_tfidf_idf(docs, text_col, dim, salt)
+        from ..caching import pin
+        base = pin(base)
+        idf = _idf_from_buckets(base, dim)
     elif len(idf) != dim:
         raise ValueError(
             f"hashed_tfidf_vectors: idf length {len(idf)} != dim {dim} — "

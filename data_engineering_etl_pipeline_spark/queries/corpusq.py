@@ -292,6 +292,10 @@ def _prep_oracle() -> str:
     cleaned = "array_to_string(" + c4_kept_lines_sql("text") + ", chr(10))"
     hv_text = _MD5_32.format(arg="text")
     hv_id = _MD5_32.format(arg="CAST(doc_id AS VARCHAR)")
+    # the 'profile' stage grain (r8 headroom consolidation #1): the former
+    # corpus_split_profile row's construction verbatim — raw documents,
+    # salted content-hash 90/10 split, per-(split, lang) length quantiles
+    hv_split = _MD5_32.format(arg="text || '|split-v1'")
     # doc_text_stats' quality expression (rounded — quality_score rounds to
     # 6 before prep's >= 0.05 floor compares)
     quality = (
@@ -403,8 +407,28 @@ def _prep_oracle() -> str:
                    CAST({hv_id} % 8 AS BIGINT) AS shard
             FROM labeled WHERE split = 'train')
     )
-    SELECT l.doc_id, l.split, l.n_tokens, p.shard, p.pack_id
+    , sp_s AS (
+      SELECT lang, length(text) AS n_chars,
+             CASE WHEN {hv_split} % 100 < 90 THEN 'train' ELSE 'val' END
+               AS split
+      FROM documents
+    )
+    SELECT 'doc' AS stage, l.doc_id, l.split,
+           CAST(l.n_tokens AS BIGINT) AS n_tokens, p.shard, p.pack_id,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS DOUBLE) AS len_p25, CAST(NULL AS DOUBLE) AS len_p50,
+           CAST(NULL AS DOUBLE) AS len_p75, CAST(NULL AS DOUBLE) AS len_p95
     FROM labeled l LEFT JOIN packs p USING (doc_id)
+    UNION ALL
+    SELECT 'profile' AS stage, CAST(NULL AS BIGINT) AS doc_id, split,
+           CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS shard,
+           CAST(NULL AS BIGINT) AS pack_id, lang,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 4) AS len_p25,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS len_p50,
+           ROUND(quantile_cont(n_chars, 0.75), 4) AS len_p75,
+           ROUND(quantile_cont(n_chars, 0.95), 4) AS len_p95
+    FROM sp_s GROUP BY split, lang
     """
 
 
@@ -434,9 +458,18 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_df=50 on the near-dup index: the planted boilerplate lines appear
     in EVERY page, and the DF cap is exactly the guard that keeps
     corpus-wide shingles out of the pair self-join; the oracle reproduces
-    the cap AND the exact hot-shingle overlap add-back."""
+    the cap AND the exact hot-shingle overlap add-back.
+
+    ``profile`` stage grain (r8 — headroom consolidation #1, the
+    ``media_pipeline`` stage-tag pattern): the former
+    ``corpus_split_profile`` row rides this row as a second grain — the
+    salted content-hash 90/10 split of the RAW documents table profiled
+    by exact per-(split, language) length quantiles. Both value surfaces
+    stay hash-checked under one registry slot; the standalone builder
+    keeps its own full oracle as a unit
+    (queries/text.py::CORPUS_SPLIT_PROFILE_ORACLE)."""
     from ..extensions.prep import prepare_training_corpus
-    from .text import synthetic_page
+    from .text import corpus_split_profile, synthetic_page
 
     docs = load_table(spark, sf_dir, "documents")
     pages = docs.select("doc_id", synthetic_page().alias("text"))
@@ -447,7 +480,20 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = prepare_training_corpus(
         doubled, bench, near_dup_threshold=0.8, near_dup_max_df=50,
         pack_budget=512, n_shards=8, portable_shard=True)
-    return out.select("doc_id", "split", "n_tokens", "shard", "pack_id")
+    nul = F.lit(None)
+    doc_rows = out.select(
+        F.lit("doc").alias("stage"), "doc_id", "split",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "shard",
+        "pack_id", nul.cast("string").alias("lang"),
+        nul.cast("long").alias("n_docs"),
+        *[nul.cast("double").alias(c)
+          for c in ("len_p25", "len_p50", "len_p75", "len_p95")])
+    prof_rows = corpus_split_profile(spark, sf_dir).select(
+        F.lit("profile").alias("stage"), nul.cast("long").alias("doc_id"),
+        "split", nul.cast("long").alias("n_tokens"),
+        nul.cast("long").alias("shard"), nul.cast("long").alias("pack_id"),
+        "lang", "n_docs", "len_p25", "len_p50", "len_p75", "len_p95")
+    return doc_rows.unionByName(prof_rows)
 
 
 @register(

@@ -368,9 +368,12 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(simhash, "doc_id")
 
 
-@register(
-    "corpus_split_profile",
-    oracle="""
+#: corpus_split_profile's value oracle — registry slot consolidated in r8
+#: (headroom plan #1: the profile became the 'profile' stage grain of
+#: prep_training_corpus's chained oracle); the construction keeps this
+#: full hash-checked twin as a unit (tests/test_queries_oracle.py) and
+#: stays in the library surface.
+CORPUS_SPLIT_PROFILE_ORACLE = """
     WITH h AS (
       SELECT doc_id, lang, length(text) AS n_chars,
              list_sum(list_transform(range(0, 8), i ->
@@ -390,8 +393,9 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(n_chars, 0.75), 4) AS len_p75,
            ROUND(quantile_cont(n_chars, 0.95), 4) AS len_p95
     FROM s GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def corpus_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val split (90/10) PROFILED by exact
     per-(split, language) document-length quantiles — the r3 VERDICT
@@ -399,7 +403,10 @@ def corpus_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_length_quantiles`` rows into one strictly-richer query (the
     hash-split assignment feeds the group key, so a single misassigned doc
     breaks both the counts and the quantiles; the per-doc split twin keeps
-    a unit oracle in tests/test_corpus_ops.py).
+    a unit oracle in tests/test_corpus_ops.py). Left the driver registry
+    in r8 (headroom plan #1: now the 'profile' stage grain of
+    ``prep_training_corpus``); the full value oracle stays hash-checked
+    as a unit via ``CORPUS_SPLIT_PROFILE_ORACLE``.
 
     Split: pure function of the text + salt (md5 first 8 hex digits →
     32-bit value mod 100) — leakage-safe, stable across reruns and

@@ -759,3 +759,67 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n_planes=16, seed=42)
     return cosine_near_dup_pairs(doubled, threshold=0.95,
                                  bucket_signatures=sigs)
+
+
+_QCG_SEED, _QCG_DIM, _QCG_THRESHOLD = 909, 64, 0.62
+
+
+def _classifier_gate_oracle() -> str:
+    """DuckDB twin of the learned quality gate's DECISION surface under
+    the PLANTED-model configuration (r7 VERDICT item 4): the keep/drop
+    rule sigma(w.x+b) >= t  <=>  w.x+b >= logit(t), evaluated as the exact
+    fixed-point fold z_q = floor(b*Q) + SUM_i floor(x_i*w_i*Q) against the
+    integer literal floor(logit(t)*Q) — each term one deterministic IEEE
+    double product (portable), the sum BIGINT (associativity-free), NO exp
+    anywhere. The libm-exp blocker that keeps fit/score unit-only does not
+    apply to the decision: ties are INTEGER equality, identical in every
+    engine."""
+    import math as _math
+
+    from ..extensions.classifier import LOGREG_Q_SCALE, planted_logreg
+
+    m = planted_logreg(_QCG_SEED, _QCG_DIM)
+    q = float(LOGREG_Q_SCALE)
+    b_q = int(_math.floor(float(m["bias"]) * LOGREG_Q_SCALE))
+    thr_q = int(_math.floor(
+        _math.log(_QCG_THRESHOLD / (1.0 - _QCG_THRESHOLD)) * LOGREG_Q_SCALE))
+    chain = " + ".join(
+        f"CAST(FLOOR(ve[{i + 1}]*{m['weights'][i]!r}*{q!r}) AS BIGINT)"
+        for i in range(_QCG_DIM))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             (embedding IS NULL OR len(embedding) != {_QCG_DIM}) AS mal
+      FROM embeddings
+    ), z AS (
+      SELECT vec_id, mal,
+             CASE WHEN mal THEN NULL
+                  ELSE {b_q} + ({chain}) END AS z_q
+      FROM v
+    )
+    SELECT vec_id, z_q,
+           CASE WHEN mal THEN NULL ELSE z_q >= {thr_q} END AS keep
+    FROM z
+    """
+
+
+@register("quality_classifier_gate", oracle=_classifier_gate_oracle())
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality classifier's keep/drop DECISION on the driver
+    record (r7 VERDICT item 4 — the fit/score surface stays unit-only
+    because libm exp is not cross-engine bit-stable, but the GATE decision
+    sigma(z) >= t <=> z >= logit(t) needs no exp): a planted-model
+    (``classifier.planted_logreg`` — seeded weights, the
+    ``planted_projection`` convention) fixed-point fold of w.x+b and the
+    boolean keep, bit-portable like the PCA project stage. Value-checks
+    exactly the machinery ``prepare_training_corpus(quality_clf=...)``
+    gates with in production — per-row score fold + threshold compare —
+    under constants both engines embed verbatim. NULL/wrong-length
+    vectors gate NULL (the ``score_logreg`` convention). Plan: map-only
+    expressions, weights as literals — no shuffle, no Python, no collect
+    (a 100 TB gate is one scan)."""
+    from ..extensions.classifier import logreg_gate_fold, planted_logreg
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return logreg_gate_fold(emb, planted_logreg(_QCG_SEED, _QCG_DIM),
+                            threshold=_QCG_THRESHOLD)

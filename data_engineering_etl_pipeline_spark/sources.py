@@ -183,6 +183,83 @@ def fetch_history_distributed(spark: SparkSession, coins: Sequence[str],
     return chunks.mapInPandas(run, schema=MARKET_SCHEMA)
 
 
+#: DeFiLlama TVL fact schema (reference pipeline_helpers.py:256-294 —
+#: epoch-s dates, one liquidity value per day)
+TVL_SCHEMA = StructType([
+    StructField("day", DateType()),
+    StructField("tvl", DoubleType()),
+])
+
+
+def _coerce_f(x) -> float | None:
+    """``pd.to_numeric(errors='coerce')`` + the ±inf guard as one scalar:
+    non-numeric → None, non-finite → None (reference
+    derivatives_snapshot_etl.py:86; feature_calculation_functions.py:21)."""
+    try:
+        v = float(x)
+    except (TypeError, ValueError):
+        return None
+    return v if math.isfinite(v) else None
+
+
+def parse_coingecko_market_chart(coin_id: str, payload: dict) -> list[tuple]:
+    """Parse the PUBLIC CoinGecko ``/coins/{id}/market_chart`` JSON shape —
+    ``{"prices": [[epoch_ms, v], ...], "market_caps": [[epoch_ms, v], ...],
+    "total_volumes": [[epoch_ms, v], ...]}`` — into ``MARKET_SCHEMA`` rows:
+    the reference's 3-way timestamp stitch + epoch-ms → UTC-midnight date
+    normalization (pipeline_helpers.py:201-213, the J1 left-merge chain
+    with prices as the driving series). Missing cap/volume points for a
+    price timestamp carry NULL (left semantics); malformed numerics
+    coerce to NULL (F7/F13). Pure function of the payload — runs inside
+    an executor-side fetcher closure, no Spark types needed."""
+    import datetime
+
+    def series(key: str) -> dict:
+        out = {}
+        for item in payload.get(key) or []:
+            try:
+                ts = int(item[0])
+            except (TypeError, ValueError, IndexError):
+                continue  # a malformed point has no join key — skip
+            out[ts] = _coerce_f(item[1]) if len(item) > 1 else None
+        return out
+
+    caps = series("market_caps")
+    vols = series("total_volumes")
+    rows = []
+    for ts, price in sorted(series("prices").items()):
+        day = datetime.datetime.fromtimestamp(
+            ts / 1000.0, tz=datetime.timezone.utc).date()
+        rows.append((coin_id, day, price, vols.get(ts), caps.get(ts)))
+    return rows
+
+
+def parse_defillama_tvl(payload) -> list[tuple]:
+    """Parse the PUBLIC DeFiLlama TVL JSON shapes into ``TVL_SCHEMA`` rows:
+    either the protocol form ``{"tvl": [{"date": epoch_s,
+    "totalLiquidityUSD": v}, ...]}`` or the chain form
+    ``[{"date": epoch_s, "tvl": v}, ...]`` (reference
+    pipeline_helpers.py:256-294 — epoch-s → UTC date with
+    errors='coerce': a malformed epoch drops the point, a malformed
+    value coerces to NULL)."""
+    import datetime
+
+    items = payload.get("tvl") if isinstance(payload, dict) else payload
+    rows = []
+    for it in items or []:
+        if not isinstance(it, dict):
+            continue
+        try:
+            sec = int(float(it.get("date")))
+        except (TypeError, ValueError):
+            continue  # no date = no row key (the coerce-then-drop path)
+        day = datetime.datetime.fromtimestamp(
+            sec, tz=datetime.timezone.utc).date()
+        v = it.get("totalLiquidityUSD", it.get("tvl"))
+        rows.append((day, _coerce_f(v)))
+    return rows
+
+
 def with_retry(fetcher: Callable, retries: int = 3, backoff_s: float = 65.0,
                is_rate_limited: Callable[[Exception], bool] | None = None,
                sleeper: Callable[[float], None] = time.sleep) -> Callable:

@@ -185,7 +185,7 @@ def dedup_smoke(mult: int) -> int:
 
     n_docs = spark.read.parquet(path).count()
     queries = ["doc_exact_dedup", "doc_ngram_jaccard", "doc_minhash_lsh",
-               "doc_dedup_clusters", "doc_text_stats", "corpus_split_profile",
+               "doc_dedup_clusters", "doc_text_stats", "quality_classifier_gate",
                "doc_substring_dedup", "dsir_select", "doc_decontamination"]
     times: dict[str, float] = {}
     for name in queries:             # pass 1: warm code

@@ -39,3 +39,17 @@ def test_region_revenue_library_query_matches_oracle(spark, duck):
 
     assert_matches_oracle(region_revenue(spark, SF_DIR), duck,
                           REGION_REVENUE_ORACLE, "region_revenue")
+
+
+def test_corpus_split_profile_library_query_matches_oracle(spark, duck):
+    """corpus_split_profile left the driver registry in r8 (headroom
+    consolidation #1: it rides prep_training_corpus as the 'profile'
+    stage grain) but remains library surface — its full value oracle
+    moves here so the split+quantile construction keeps a hash-checked
+    standalone twin."""
+    from data_engineering_etl_pipeline_spark.queries.text import (
+        CORPUS_SPLIT_PROFILE_ORACLE, corpus_split_profile)
+
+    assert_matches_oracle(corpus_split_profile(spark, SF_DIR), duck,
+                          CORPUS_SPLIT_PROFILE_ORACLE,
+                          "corpus_split_profile")

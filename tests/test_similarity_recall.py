@@ -839,3 +839,26 @@ def test_tfidf_bridge_drives_incremental_semantic_dedup(spark):
     # the operator's documented contract for long-lived callers
     from data_engineering_etl_pipeline_spark.caching import release_engine_pins
     assert release_engine_pins() >= 2
+
+
+def test_fold_and_gemm_assignment_agree_on_malformed_rows(spark):
+    """r7 advisor finding: a wrong-length vector's NULL dots used to fall
+    through every WHEN of the fold CASE to the ELSE (cid k-1) while the
+    gemm kernel zero-filled it to cid 0 — the two assignment twins
+    silently disagreed on malformed rows. Both must now send NULL AND
+    wrong-length vectors to cid 0."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        _nearest_centroid_fold, _nearest_centroids, planted_centroids)
+
+    cents = planted_centroids(777, 4, 8)
+    rows = [(1, [0.5] * 8), (2, None), (3, [1.0, 2.0]),  # wrong length
+            (4, [-0.5] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fold = {r["vec_id"]: r["cid"]
+            for r in _nearest_centroid_fold(df, "vec_id", "embedding",
+                                            cents).collect()}
+    gemm = {r["vec_id"]: r["cid"]
+            for r in _nearest_centroids(df, "vec_id", "embedding", cents,
+                                        nprobe=1).collect()}
+    assert fold == gemm
+    assert fold[2] == 0 and fold[3] == 0
