@@ -1,0 +1,109 @@
+"""Deterministic quota-bounded balanced sampling over ANY key column —
+the generic two-phase selection behind ``cluster_balanced_sample`` (r8:
+the machinery generalized so domain caps, language caps, and cluster caps
+are one operator applied to different keys — the head-flattening step
+every large-scale training-data pipeline runs, whether the head is a hot
+topic cluster, a crawl-dominating domain, or an over-represented
+language).
+
+Determinism contract (the ``stratified_sample`` convention): the
+within-key selection ranks by the engine's portable md5 hash of the id +
+a salt — NOT arrival order, which would bias the sample toward early
+files — so GIVEN the key assignment, the kept set is rerun-,
+repartition-, and engine-stable, and a serial SQL engine reproduces it
+exactly (``ROW_NUMBER() OVER (PARTITION BY key ORDER BY hash, id)``).
+
+Plan contract (the r7-verdict scale fix): the corpus NEVER feeds a
+``Window.partitionBy(key)`` sort — that shape shuffles every row into
+n_keys reducer partitions and fully sorts each group (a handful of
+monster tasks at 100 TB when only ``quota`` rows per key matter).
+Selection is two-phase: a map-only per-input-partition prune keeps the
+``quota`` best rows per key (mapInPandas, bounded running top set, no
+exchange), the global per-key rank runs over candidates only
+(≤ quota·n_keys·P rows — the only sort), and the keeper ids join back as
+a flag (broadcast when the bound quota·n_keys is known and small).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: keeper-set size past which the two-phase quota selection's flag join
+#: stops hinting a broadcast (~4M ids ≈ 32 MB build side); unknown key
+#: cardinality also skips the hint (AQE may still choose a broadcast at
+#: runtime from the actual candidate size)
+KEEPER_BROADCAST_ROWS = 4_000_000
+
+
+def _partition_local_quota_prune(ranked: DataFrame, quota: int,
+                                 key_col: str, id_col: str) -> DataFrame:
+    """Phase 1 of the two-phase quota selection (r7 VERDICT item 1):
+    within each INPUT partition, keep only the ``quota`` first rows per
+    key in the global ranking order (``__hv`` asc, ``id_col`` asc) — one
+    map-only Arrow pass carrying a bounded per-key running top set, NO
+    exchange. Lossless by the subset property: any row in a key's GLOBAL
+    top-quota is in the top-quota of every subset that contains it (in
+    particular its own partition), so the surviving candidates — at most
+    quota·n_keys per partition — are a superset of the true keeper set
+    and the global rank over them equals the global rank over the corpus.
+    Memory per task is bounded by one Arrow batch + quota·n_keys running
+    rows, independent of partition size."""
+    schema = ranked.schema
+
+    def gen(batches):
+        best: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(key_col, sort=False, dropna=False):
+                cur = best.get(key)
+                cat = (grp if cur is None
+                       else pd.concat((cur, grp), ignore_index=True))
+                cat = cat.sort_values(["__hv", id_col], kind="mergesort",
+                                      ignore_index=True)
+                best[key] = cat.head(quota)
+        if best:
+            yield pd.concat(list(best.values()), ignore_index=True)
+
+    return ranked.mapInPandas(gen, schema)
+
+
+def balanced_sample_by_key(df: DataFrame, quota_per_key: int,
+                           key_col: str, id_col: str,
+                           salt: str = "key-balance-42",
+                           n_keys_hint: int | None = None) -> DataFrame:
+    """Flag at most ``quota_per_key`` rows per ``key_col`` value as
+    ``kept`` — returns ``(id_col, key_col, kept)`` for EVERY input row
+    (filter on ``kept`` or audit the flag). ``df`` must carry
+    ``(id_col, key_col)``; ids are assumed unique (they key the flag
+    join). NULL keys form their own group (a crawl record with no domain
+    is still head-cappable).
+
+    The selection order is the portable md5 of ``id_col`` + ``salt``
+    (ties by id) — deterministic and engine-reproducible; see the module
+    docstring for the two-phase plan contract. ``n_keys_hint`` bounds the
+    keeper set (quota·n_keys) for the broadcast decision; callers that
+    know the key cardinality (a codebook's k) should pass it."""
+    if quota_per_key < 0:
+        raise ValueError("balanced_sample_by_key: quota must be >= 0")
+    base = df.select(id_col, key_col)
+    if quota_per_key == 0:
+        return base.withColumn("kept", F.lit(False))
+    from ..caching import pin
+    base = pin(base)
+    hv = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))),
+        1, 8), 16, 10).cast("long")
+    cand = _partition_local_quota_prune(
+        base.withColumn("__hv", hv), quota_per_key, key_col, id_col)
+    w = Window.partitionBy(key_col).orderBy(F.col("__hv").asc(),
+                                            F.col(id_col).asc())
+    keepers = (cand.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= quota_per_key)
+               .select(F.col(id_col), F.lit(True).alias("__keep")))
+    if (n_keys_hint is not None
+            and quota_per_key * n_keys_hint <= KEEPER_BROADCAST_ROWS):
+        keepers = F.broadcast(keepers)
+    return (base.join(keepers, id_col, "left")
+            .select(F.col(id_col), F.col(key_col),
+                    F.coalesce(F.col("__keep"), F.lit(False)).alias("kept")))

@@ -1366,42 +1366,6 @@ def _nearest_centroid_fold(df: DataFrame, id_col: str, vec_col: str,
                          *[F.col(c) for c in keep if c != id_col], *extra)
 
 
-#: keeper-set size past which the two-phase quota selection's flag join
-#: stops hinting a broadcast (quota·k ids; ~4M longs ≈ 32 MB build side)
-_KEEPER_BROADCAST_ROWS = 4_000_000
-
-
-def _partition_local_quota_prune(ranked: DataFrame, quota: int,
-                                 id_col: str) -> DataFrame:
-    """Phase 1 of the two-phase quota selection (r7 VERDICT item 1):
-    within each INPUT partition, keep only the ``quota`` first rows per
-    cid in the global ranking order (``__hv`` asc, ``id_col`` asc) — one
-    map-only Arrow pass carrying a bounded per-cid running top set, NO
-    exchange. Lossless by the subset property: any row in a cid's GLOBAL
-    top-quota is in the top-quota of every subset that contains it (in
-    particular its own partition), so the surviving candidates — at most
-    quota·k per partition — are a superset of the true keeper set and
-    the global rank over them equals the global rank over the corpus.
-    Memory per task is bounded by one Arrow batch + quota·k running rows,
-    independent of partition size."""
-    schema = ranked.schema
-
-    def gen(batches):
-        best: dict = {}
-        for pdf in batches:
-            for cid, grp in pdf.groupby("cid", sort=False):
-                cur = best.get(cid)
-                cat = (grp if cur is None
-                       else pd.concat((cur, grp), ignore_index=True))
-                cat = cat.sort_values(["__hv", id_col], kind="mergesort",
-                                      ignore_index=True)
-                best[cid] = cat.head(quota)
-        if best:
-            yield pd.concat(list(best.values()), ignore_index=True)
-
-    return ranked.mapInPandas(gen, schema)
-
-
 def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
                             n_clusters: int = 16, id_col: str = "vec_id",
                             vec_col: str = "embedding", seed: int = 42,
@@ -1442,15 +1406,18 @@ def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
     survive, NO exchange; (2) the global per-cid rank runs over that
     candidate set only (≤ quota·k·P rows — the only sort, and it is
     candidate-sized); (3) the keeper ids broadcast back onto the
-    assignment for the ``kept`` flag (past ``_KEEPER_BROADCAST_ROWS``
-    the flag join falls back to an ordinary hash join — id-uniform, no
-    k-partition bottleneck either way). Phase 1 is lossless: a row in a
-    cid's global top-quota is in the top-quota of ANY subset containing
-    it, in particular its own partition — so the kept set, and the
-    DuckDB oracle, are unchanged. The (id, cid) assignment is
-    engine-pinned (caller-release contract, the ``ngram_jaccard_pairs``
-    convention) because the candidate branch and the flag join both
-    consume it; re-deriving it would rescan the raw vector column.
+    assignment for the ``kept`` flag (past
+    ``sampling.KEEPER_BROADCAST_ROWS`` the flag join falls back to an
+    ordinary hash join — id-uniform, no k-partition bottleneck either
+    way). Phase 1 is lossless: a row in a cid's global top-quota is in
+    the top-quota of ANY subset containing it, in particular its own
+    partition — so the kept set, and the DuckDB oracle, are unchanged.
+    The (id, cid) assignment is engine-pinned (caller-release contract,
+    the ``ngram_jaccard_pairs`` convention) because the candidate branch
+    and the flag join both consume it; re-deriving it would rescan the
+    raw vector column. The machinery is the GENERIC
+    :func:`..sampling.balanced_sample_by_key` (r8) — the same operator
+    caps domains or languages when the key is a string instead of a cid.
 
     ``centroids`` (r7): a caller-supplied codebook skips the fit — the
     PLANTED-constants configuration (:func:`planted_centroids`) that makes
@@ -1488,27 +1455,10 @@ def cluster_balanced_sample(df: DataFrame, quota_per_cluster: int,
         raise ValueError(
             f"cluster_balanced_sample: assign={assign!r} (want 'gemm' or "
             "'fold')")
-    if quota_per_cluster == 0:
-        return assigned.select(F.col(id_col), F.col("cid"),
-                               F.lit(False).alias("kept"))
-    from ..caching import pin
-    assigned = pin(assigned.select(id_col, "cid"))
-    hv = F.conv(F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"),
-                       F.lit(f"|cluster-balance-{seed}"))), 1, 8),
-        16, 10).cast("long")
-    cand = _partition_local_quota_prune(
-        assigned.withColumn("__hv", hv), quota_per_cluster, id_col)
-    w = Window.partitionBy("cid").orderBy(F.col("__hv").asc(),
-                                          F.col(id_col).asc())
-    keepers = (cand.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") <= quota_per_cluster)
-               .select(F.col(id_col), F.lit(True).alias("__keep")))
-    if quota_per_cluster * len(centroids) <= _KEEPER_BROADCAST_ROWS:
-        keepers = F.broadcast(keepers)
-    return (assigned.join(keepers, id_col, "left")
-            .select(F.col(id_col), F.col("cid"),
-                    F.coalesce(F.col("__keep"), F.lit(False)).alias("kept")))
+    from .sampling import balanced_sample_by_key
+    return balanced_sample_by_key(
+        assigned, quota_per_cluster, key_col="cid", id_col=id_col,
+        salt=f"cluster-balance-{seed}", n_keys_hint=len(centroids))
 
 
 #: fixed-point scale for exact (order-independent) centroid accumulation:

@@ -1,0 +1,229 @@
+"""URL/domain-level curation (r8 — the web-crawl half of the §2.11
+training-data pipeline): URL canonicalization, registered-domain
+extraction, URL-keyed exact dedup, per-domain document caps, and domain
+blocklist filtering — the standard pre-text curation steps of the public
+web-corpus recipes (C4 strips by URL blocklist; RefinedWeb/Dolma dedup by
+canonical URL and cap crawl-dominating domains before any content pass,
+because a head domain can be 1%+ of raw crawl rows).
+
+All column functions are PURE Spark expressions — map-only at any corpus
+scale, no Python, no shuffle — and each has a DuckDB SQL twin
+(``*_sql``) built from the SAME pattern constants (the ``scrub_pii_sql``
+convention), so the constructions are hash-checkable cross-engine even
+though the family lives outside the 50-row driver registry
+(tests/test_weburl.py carries the full value units).
+
+Scale shapes:
+- canonicalize/extract: map-only expressions;
+- ``url_dedup_keep_first``: ONE hash agg keyed on the canonical URL's
+  (md5, length) fingerprint — never the raw URL (the exact-text-dedup
+  convention: bounded-width shuffle keys);
+- ``domain_balanced_sample``: the generic two-phase quota selection
+  (``sampling.balanced_sample_by_key``) — the corpus never feeds a
+  partitionBy(domain) sort;
+- ``filter_blocklisted``: broadcast LEFT ANTI join (blocklists are
+  MB-scale; the corpus streams map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters stripped by canonicalization — session/campaign
+#: tracking noise that multiplies otherwise-identical URLs (the public
+#: crawler-dedup convention; extend per deployment)
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "ref", "referrer",
+)
+
+#: second-level labels under which the registered domain keeps THREE
+#: labels (the co.uk/com.au class). A deliberate heuristic subset of the
+#: public-suffix list — the full PSL is a data file a deployment mounts;
+#: the operator's shape (label arithmetic on a split host) is identical.
+_SECOND_LEVEL_TLDS = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_parts(url: str | Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, host:port, path, query) — regexp_extract quadruple, each
+    '' when absent (Spark's no-match convention). Fragment is excluded by
+    construction (every class stops at '#')."""
+    u = F.trim(_c(url))
+    return (F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
+            F.lower(F.regexp_extract(u, _HOST_RE, 1)),
+            F.regexp_extract(u, _PATH_RE, 1),
+            F.regexp_extract(u, _QUERY_RE, 1))
+
+
+def canonicalize_url(url: str | Column) -> Column:
+    """Canonical URL as one map-only expression: lowercase scheme+host,
+    strip ``www.``, strip the scheme's default port (:80 http / :443
+    https), drop the fragment, drop tracking query params
+    (``TRACKING_PARAMS``), SORT the surviving params (param order is
+    transport noise), and strip a trailing path slash. NULL in → NULL
+    out; a URL with no ``scheme://`` is returned trimmed as-is (opaque —
+    refusing to guess is the conservative dedup choice: un-parsed
+    variants stay distinct rather than collapsing wrongly)."""
+    u = F.trim(_c(url))
+    scheme, hostport, path, query = url_parts(url)
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, r":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(host, r":443$", "")) \
+            .otherwise(host)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.lower(F.substring_index(p, "=", 1))
+        .isin(*TRACKING_PARAMS))
+    q = F.array_join(F.array_sort(params), "&")
+    path_c = F.regexp_replace(path, r"/$", "")
+    rebuilt = F.concat(scheme, F.lit("://"), host, path_c,
+                       F.when(q != "", F.concat(F.lit("?"), q))
+                       .otherwise(F.lit("")))
+    return F.when(u.isNull(), F.lit(None).cast("string")) \
+            .when(scheme == "", u).otherwise(rebuilt)
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` — same regex constants,
+    same branch order, for the cross-engine value units."""
+    tp = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    u = f"trim({expr})"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({u}, '{_HOST_RE}', 1))"
+    path = f"regexp_extract({u}, '{_PATH_RE}', 1)"
+    query = f"regexp_extract({u}, '{_QUERY_RE}', 1)"
+    host0 = f"regexp_replace({hostport}, '^www\\.', '')"
+    host = (f"CASE WHEN {scheme} = 'http' "
+            f"THEN regexp_replace({host0}, ':80$', '') "
+            f"WHEN {scheme} = 'https' "
+            f"THEN regexp_replace({host0}, ':443$', '') "
+            f"ELSE {host0} END")
+    params = (f"list_sort(list_filter(string_split({query}, '&'), "
+              f"p -> p <> '' AND NOT list_contains([{tp}], "
+              f"lower(string_split(p, '=')[1]))))")
+    q = f"array_to_string({params}, '&')"
+    path_c = f"regexp_replace({path}, '/$', '')"
+    rebuilt = (f"{scheme} || '://' || {host} || {path_c} || "
+               f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END")
+    return (f"CASE WHEN {expr} IS NULL THEN NULL "
+            f"WHEN {scheme} = '' THEN {u} ELSE {rebuilt} END")
+
+
+def extract_host(url: str | Column) -> Column:
+    """Lowercased host without port or ``www.`` — '' when the URL has no
+    ``scheme://`` part."""
+    _, hostport, _, _ = url_parts(url)
+    return F.regexp_replace(F.regexp_replace(hostport, r":\d+$", ""),
+                            r"^www\.", "")
+
+
+def registered_domain(url: str | Column) -> Column:
+    """Registered-domain heuristic: the last two host labels, or the last
+    THREE when the second-to-last is a ``_SECOND_LEVEL_TLDS`` member and
+    the TLD is a 2-letter ccTLD (the co.uk/com.au class). A documented
+    heuristic — the exact boundary needs the public-suffix list, which is
+    deployment data, not engine logic. '' host → ''."""
+    host = extract_host(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last = F.element_at(labels, -1)
+    second = F.element_at(labels, -2)
+    take3 = ((n >= 3) & F.lower(second).isin(*_SECOND_LEVEL_TLDS)
+             & (F.length(last) == 2))
+    return (F.when(host == "", host)
+            .when(n <= 2, host)
+            .when(take3, F.array_join(F.slice(labels, -3, 3), "."))
+            .otherwise(F.array_join(F.slice(labels, -2, 2), ".")))
+
+
+def host_sql(expr: str) -> str:
+    """DuckDB twin of :func:`extract_host`."""
+    hostport = f"lower(regexp_extract(trim({expr}), '{_HOST_RE}', 1))"
+    return (f"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''), "
+            f"'^www\\.', '')")
+
+
+def registered_domain_from_host_sql(h: str) -> str:
+    """DuckDB twin of :func:`registered_domain` over a HOST expression
+    ``h`` (callers compute the host once in a CTE — the expression is
+    referenced several times per branch)."""
+    tlds = ", ".join(f"'{t}'" for t in _SECOND_LEVEL_TLDS)
+    return f"""CASE
+        WHEN {h} = '' THEN {h}
+        WHEN len(string_split({h}, '.')) <= 2 THEN {h}
+        WHEN len(string_split({h}, '.')) >= 3
+             AND list_contains([{tlds}],
+                   lower(string_split({h}, '.')[-2]))
+             AND length(string_split({h}, '.')[-1]) = 2
+        THEN array_to_string(string_split({h}, '.')[-3:], '.')
+        ELSE array_to_string(string_split({h}, '.')[-2:], '.')
+      END"""
+
+
+def url_dedup_keep_first(docs: DataFrame, url_col: str = "url",
+                         id_col: str = "doc_id") -> DataFrame:
+    """URL-keyed exact dedup: ``(id, canonical_url, kept)`` with kept =
+    the MIN id per canonical URL (the deterministic keeper convention
+    shared with ``exact_dedup_keep_first``). The shuffle key is the
+    canonical URL's ``(md5, length)`` fingerprint, never the raw string —
+    bounded-width keys at any corpus scale; the 128-bit fingerprint +
+    exact length makes a cross-URL collision require an md5 collision AT
+    equal lengths (the exact-text-dedup argument). NULL URLs are never
+    dup candidates (each kept)."""
+    canon = docs.select(F.col(id_col),
+                        canonicalize_url(url_col).alias("canonical_url"))
+    fp = canon.withColumn("__fp", F.md5(F.col("canonical_url"))) \
+              .withColumn("__fplen", F.length("canonical_url"))
+    w_min = (fp.filter(F.col("canonical_url").isNotNull())
+             .groupBy("__fp", "__fplen")
+             .agg(F.min(id_col).alias("__keep_id")))
+    return (fp.join(w_min, ["__fp", "__fplen"], "left")
+            .select(F.col(id_col), F.col("canonical_url"),
+                    (F.col("__keep_id").isNull()
+                     | (F.col("__keep_id") == F.col(id_col))).alias("kept")))
+
+
+def domain_balanced_sample(docs: DataFrame, quota_per_domain: int,
+                           url_col: str = "url", id_col: str = "doc_id",
+                           seed: int = 42) -> DataFrame:
+    """Per-domain document cap — ``(id, domain, kept)`` flagging at most
+    ``quota_per_domain`` rows per registered domain, selected by the
+    portable hash order (deterministic, engine-reproducible; NOT crawl
+    order, which over-keeps whatever was fetched first). The generic
+    two-phase machinery of ``cluster_balanced_sample``
+    (``sampling.balanced_sample_by_key``) with the domain as the key:
+    map-only prune → candidate-sized rank → keeper flag join. Domain
+    cardinality is unknown a priori, so no broadcast hint (AQE decides
+    from the actual candidate size)."""
+    from .sampling import balanced_sample_by_key
+    keyed = docs.select(F.col(id_col),
+                        registered_domain(url_col).alias("domain"))
+    return balanced_sample_by_key(
+        keyed, quota_per_domain, key_col="domain", id_col=id_col,
+        salt=f"domain-balance-{seed}")
+
+
+def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
+                       url_col: str = "url",
+                       blocked_domain_col: str = "domain") -> DataFrame:
+    """Drop rows whose registered domain is blocklisted — broadcast LEFT
+    ANTI join (C4's URL-blocklist step). The blocklist is MB-scale by
+    nature; the corpus streams map-side through the join. Match is on the
+    registered domain, so ``evil.co.uk`` blocks ``a.evil.co.uk`` too."""
+    dom = docs.withColumn("__dom", registered_domain(url_col))
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(blocked_domain_col)).alias("__dom"))
+        .distinct())
+    return dom.join(bl, "__dom", "left_anti").drop("__dom")

@@ -1,0 +1,211 @@
+"""URL/domain curation family (extensions/weburl.py): canonicalization,
+registered-domain extraction, URL-keyed exact dedup, per-domain caps,
+blocklist filtering — every construction value-checked against a DuckDB
+twin built from the SAME pattern constants (the family lives outside the
+50-row driver registry, so the full hash units live here — the
+corpus_split_profile/region_revenue library-oracle convention).
+
+The fixture URL is synthesized deterministically from the documents table
+(doc_id arithmetic) in BOTH engines, exercising every rule: scheme case,
+``www.``, default/explicit ports, tracking params, param order, fragments,
+trailing slashes, co.uk-class registered domains, schemeless strings,
+NULLs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.extensions.weburl import (
+    canonicalize_url, canonicalize_url_sql, domain_balanced_sample,
+    filter_blocklisted, host_sql, registered_domain,
+    registered_domain_from_host_sql, url_dedup_keep_first)
+from data_engineering_etl_pipeline_spark.io import load_table
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+# Deterministic URL zoo keyed on doc_id — identical construction in both
+# engines. d%10 picks the shape; several shapes canonicalize to the SAME
+# URL as shape 0 (planted dup work for url_dedup_keep_first).
+_URL_CASES_SPARK = None  # built lazily below
+
+
+def _synth_url_spark():
+    d = F.col("doc_id")
+    host_n = (d % 37).cast("string")
+    base = F.concat(F.lit("example"), host_n, F.lit(".com"))
+    path = F.concat(F.lit("/p/"), (d % 97).cast("string"))
+    m = d % 10
+    return (
+        F.when(m == 0, F.concat(F.lit("https://"), base, path))
+        .when(m == 1, F.concat(F.lit("HTTPS://WWW."), base, F.lit(":443"),
+                               path))                      # == shape 0
+        .when(m == 2, F.concat(F.lit("https://"), base, path,
+                               F.lit("?utm_source=x&utm_medium=y")))  # == 0
+        .when(m == 3, F.concat(F.lit("https://"), base, path,
+                               F.lit("/#frag")))           # == shape 0
+        .when(m == 4, F.concat(F.lit("https://"), base, path,
+                               F.lit("?b=2&a=1")))
+        .when(m == 5, F.concat(F.lit("https://"), base, path,
+                               F.lit("?a=1&b=2&gclid=zz")))  # == shape 4
+        .when(m == 6, F.concat(F.lit("http://sub.shop"), host_n,
+                               F.lit(".co.uk:80/x/")))
+        .when(m == 7, F.concat(F.lit("ftp://Files."), base, F.lit(":21"),
+                               path))
+        .when(m == 8, F.concat(base, path))                # schemeless
+        .otherwise(F.lit(None).cast("string"))             # NULL
+    )
+
+
+_SYNTH_URL_SQL = """
+    CASE doc_id % 10
+      WHEN 0 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97)
+      WHEN 1 THEN 'HTTPS://WWW.example' || (doc_id % 37) || '.com:443/p/' || (doc_id % 97)
+      WHEN 2 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?utm_source=x&utm_medium=y'
+      WHEN 3 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '/#frag'
+      WHEN 4 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?b=2&a=1'
+      WHEN 5 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?a=1&b=2&gclid=zz'
+      WHEN 6 THEN 'http://sub.shop' || (doc_id % 37) || '.co.uk:80/x/'
+      WHEN 7 THEN 'ftp://Files.example' || (doc_id % 37) || '.com:21/p/' || (doc_id % 97)
+      WHEN 8 THEN 'example' || (doc_id % 37) || '.com/p/' || (doc_id % 97)
+      ELSE NULL
+    END
+"""
+
+
+def _docs_urls(spark):
+    return (load_table(spark, SF_DIR, "documents")
+            .select("doc_id", _synth_url_spark().alias("url")))
+
+
+def test_canonicalize_url_matches_duckdb_twin(spark, duck):
+    got = _docs_urls(spark).select(
+        "doc_id", canonicalize_url("url").alias("canonical_url"))
+    sql = f"""
+    WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+    SELECT doc_id, {canonicalize_url_sql('url')} AS canonical_url FROM u
+    """
+    assert_matches_oracle(got, duck, sql, "canonicalize_url")
+
+
+def test_canonicalize_url_point_cases(spark):
+    rows = [
+        (1, "HTTPS://WWW.Ex.COM:443/a/?utm_source=s&b=2&a=1#frag"),
+        (2, "http://ex.com:80"),
+        (3, "http://ex.com:8080/x"),   # non-default port survives
+        (4, "no-scheme.com/x?utm_source=s"),  # opaque: returned trimmed
+        (5, None),
+        (6, "  https://ex.com/x  "),   # trimmed
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", canonicalize_url("url").alias("c")).collect()}
+    assert out[1] == "https://ex.com/a?a=1&b=2"
+    assert out[2] == "http://ex.com"
+    assert out[3] == "http://ex.com:8080/x"
+    assert out[4] == "no-scheme.com/x?utm_source=s"
+    assert out[5] is None
+    assert out[6] == "https://ex.com/x"
+
+
+def test_registered_domain_matches_duckdb_twin(spark, duck):
+    got = _docs_urls(spark).select(
+        "doc_id", registered_domain("url").alias("domain"))
+    h = host_sql("url")
+    sql = f"""
+    WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+    hh AS (SELECT doc_id, {h} AS h FROM u)
+    SELECT doc_id, {registered_domain_from_host_sql('h')} AS domain FROM hh
+    """
+    assert_matches_oracle(got, duck, sql, "registered_domain")
+
+
+def test_registered_domain_point_cases(spark):
+    rows = [(1, "https://a.b.example.com/x"), (2, "https://sub.shop.co.uk/"),
+            (3, "https://localhost/x"), (4, "plain-string"),
+            (5, "https://x.ac.jp/y"), (6, "https://a.co/x")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r["d"] for r in df.select(
+        "id", registered_domain("url").alias("d")).collect()}
+    assert out[1] == "example.com"
+    assert out[2] == "shop.co.uk"   # co.uk class keeps three labels
+    assert out[3] == "localhost"
+    assert out[4] == ""             # no scheme -> no host
+    assert out[5] == "x.ac.jp"
+    assert out[6] == "a.co"
+
+
+def test_url_dedup_keep_first_matches_duckdb_twin(spark, duck):
+    """Shapes 1/2/3 canonicalize to shape 0's URL and shape 5 to shape
+    4's — the min-doc_id copy per canonical URL must be the keeper; NULL
+    URLs are all kept."""
+    got = url_dedup_keep_first(_docs_urls(spark))
+    canon = canonicalize_url_sql("url")
+    sql = f"""
+    WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+    c AS (SELECT doc_id, {canon} AS canonical_url FROM u)
+    SELECT doc_id, canonical_url,
+           canonical_url IS NULL
+           OR doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS kept
+    FROM c
+    """
+    assert_matches_oracle(got, duck, sql, "url_dedup_keep_first")
+    # planted structure sanity: at least one real dup group was dropped
+    dropped = got.filter(~F.col("kept")).count()
+    assert dropped > 0
+
+
+def test_domain_balanced_sample_caps_and_is_deterministic(spark, duck):
+    """Quota flags at most Q per registered domain, selected by the
+    portable hash — the DuckDB single-window twin must agree row-for-row
+    (the generic two-phase machinery is value-equal to the naive global
+    rank, the cluster_balanced_sample subset-property argument)."""
+    q = 3
+    got = domain_balanced_sample(_docs_urls(spark), q, seed=7)
+    h = host_sql("url")
+    sql = f"""
+    WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+    hh AS (SELECT doc_id, {h} AS h FROM u),
+    d AS (SELECT doc_id, {registered_domain_from_host_sql('h')} AS domain
+          FROM hh),
+    r AS (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '|domain-balance-7'), 1, 8)
+                    AS UBIGINT) ASC, doc_id ASC) AS rn
+      FROM d)
+    SELECT doc_id, domain, rn <= {q} AS kept FROM r
+    """
+    assert_matches_oracle(got, duck, sql, "domain_balanced_sample")
+    kept_per = (got.filter("kept").groupBy("domain").count().collect())
+    assert kept_per and all(r["count"] <= q for r in kept_per)
+
+
+def test_filter_blocklisted_drops_whole_registered_domain(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://a.evil.co.uk/x"), (2, "https://evil.co.uk/y"),
+         (3, "https://good.com/z"), (4, "https://EVIL.com/q")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("evil.co.uk",), ("Evil.com",)],
+                               "domain string")
+    kept = {r["doc_id"] for r in filter_blocklisted(docs, bl).collect()}
+    assert kept == {3}
+
+
+def test_domain_sample_plan_is_two_phase(spark):
+    """The generic machinery keeps the plan contract on a string key: the
+    ranking window consumes the mapInPandas prune, not the corpus."""
+    import contextlib
+    import io
+
+    df = domain_balanced_sample(_docs_urls(spark), 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    iw = p.index("Window")
+    im = p.index("MapInPandas")
+    assert iw < im, p
+    seg = p[iw:im]
+    assert "Scan parquet" not in seg and "InMemoryTableScan" not in seg, seg
