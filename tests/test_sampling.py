@@ -1,0 +1,88 @@
+"""Generic quota-bounded balanced sampling (extensions/sampling.py) on
+key types beyond the cluster id it was extracted from: language caps, a
+NULL-key group, quota=0, and the incremental-URL-dedup composition (the
+weburl canonicalizer feeding the exact-dedup index machinery unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.extensions.sampling import (
+    balanced_sample_by_key)
+from data_engineering_etl_pipeline_spark.io import load_table
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+def test_language_caps_match_duckdb_single_window_twin(spark, duck):
+    """Language-balanced sampling — the third key type (cluster, domain,
+    lang) through one operator. The two-phase plan must be value-equal to
+    the naive global rank (subset property)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    got = balanced_sample_by_key(docs, 25, key_col="lang",
+                                 id_col="doc_id", salt="lang-balance-5")
+    sql = """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '|lang-balance-5'), 1, 8)
+                    AS UBIGINT) ASC, doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, lang, rn <= 25 AS kept FROM r
+    """
+    assert_matches_oracle(got, duck, sql, "lang_balanced_sample")
+
+
+def test_null_keys_form_their_own_capped_group(spark):
+    rows = [(i, "a" if i % 2 == 0 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = balanced_sample_by_key(df, 5, key_col="k", id_col="id",
+                                 n_keys_hint=2)
+    got = out.collect()
+    assert len(got) == 40  # every row flagged
+    kept_null = sum(1 for r in got if r["k"] is None and r["kept"])
+    kept_a = sum(1 for r in got if r["k"] == "a" and r["kept"])
+    assert kept_null == 5 and kept_a == 5
+
+
+def test_quota_zero_and_negative(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id long, k string")
+    assert balanced_sample_by_key(df, 0, "k", "id").collect()[0]["kept"] \
+        is False
+    with pytest.raises(ValueError, match="quota"):
+        balanced_sample_by_key(df, -1, "k", "id")
+
+
+def test_incremental_url_dedup_composition(spark):
+    """The weburl canonicalizer composes with the incremental exact-dedup
+    index machinery UNCHANGED (text_col pointed at the canonical URL):
+    day-2 replays of day-1 URLs — including tracking-param and www/port
+    variants — drop against the persisted index; genuinely new URLs
+    survive and extend it."""
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        doc_fingerprints, incremental_exact_dedup)
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        canonicalize_url)
+
+    day1 = spark.createDataFrame(
+        [(1, "https://ex.com/a"), (2, "https://ex.com/b")],
+        "doc_id long, url string").withColumn(
+            "curl", canonicalize_url("url"))
+    index = doc_fingerprints(day1, text_col="curl")
+
+    day2 = spark.createDataFrame(
+        [(10, "HTTPS://WWW.ex.com:443/a?utm_source=s"),  # variant of day-1 /a
+         (11, "https://ex.com/b#frag"),                  # variant of day-1 /b
+         (12, "https://ex.com/c"),                       # new
+         (13, "https://ex.com/c?utm_medium=m")],         # dup of 12 in-batch
+        "doc_id long, url string").withColumn(
+            "curl", canonicalize_url("url"))
+    fresh, updated = incremental_exact_dedup(day2, index, text_col="curl")
+    assert {r["doc_id"] for r in fresh.collect()} == {12}
+    # replay against the updated index is empty (idempotent ingest)
+    fresh2, _ = incremental_exact_dedup(day2, updated, text_col="curl")
+    assert fresh2.count() == 0
