@@ -72,12 +72,15 @@ def balanced_sample_by_key(df: DataFrame, quota_per_key: int,
                            key_col: str, id_col: str,
                            salt: str = "key-balance-42",
                            n_keys_hint: int | None = None) -> DataFrame:
-    """Flag at most ``quota_per_key`` rows per ``key_col`` value as
-    ``kept`` — returns ``(id_col, key_col, kept)`` for EVERY input row
+    """Flag at most ``quota_per_key`` DISTINCT ids per ``key_col`` value
+    as ``kept`` — returns ``(id_col, key_col, kept)`` for EVERY input row
     (filter on ``kept`` or audit the flag). ``df`` must carry
-    ``(id_col, key_col)``; ids are assumed unique (they key the flag
-    join). NULL keys form their own group (a crawl record with no domain
-    is still head-cappable).
+    ``(id_col, key_col)``. ``(id, key)`` is the row identity: copies of
+    one pair share one quota slot and one flag, an id under two keys is
+    judged independently per key, and the keeper set is deduped before
+    the flag join so the output NEVER has more rows than the input (r8
+    review finding). NULL keys form their own group (a crawl record with
+    no domain is still head-cappable).
 
     The selection order is the portable md5 of ``id_col`` + ``salt``
     (ties by id) — deterministic and engine-reproducible; see the module
@@ -96,14 +99,33 @@ def balanced_sample_by_key(df: DataFrame, quota_per_key: int,
         1, 8), 16, 10).cast("long")
     cand = _partition_local_quota_prune(
         base.withColumn("__hv", hv), quota_per_key, key_col, id_col)
+    # Duplicate-id hygiene (r8 review finding): copies of one (id, key)
+    # must not consume several quota slots or rank nondeterministically
+    # between equal (hv, id) ties, and the keeper set must be UNIQUE per
+    # (id, key) — a duplicated keeper would fan the flag join out and
+    # return MORE rows than the input. The flag join matches BOTH columns
+    # (null-safe on the key, so the NULL-key group's keepers still land):
+    # an id appearing under two keys is kept independently per key, so
+    # the quota counts distinct ids per key exactly. All copies of a kept
+    # (id, key) share the flag. Dedup cost is candidate-sized.
     w = Window.partitionBy(key_col).orderBy(F.col("__hv").asc(),
                                             F.col(id_col).asc())
-    keepers = (cand.withColumn("__rn", F.row_number().over(w))
+    # dense_rank, not row_number: copies of one (id, key) share a rank
+    # (their (hv, id) order tuple is identical) while distinct ids always
+    # rank apart (ties break by id) — so `rank <= quota` admits exactly
+    # the top-quota DISTINCT ids per key at no extra exchange; the
+    # keeper-sized dropDuplicates then collapses the admitted copies so
+    # the flag join cannot fan out.
+    keepers = (cand.withColumn("__rn", F.dense_rank().over(w))
                .filter(F.col("__rn") <= quota_per_key)
-               .select(F.col(id_col), F.lit(True).alias("__keep")))
+               .select(F.col(id_col).alias("__kid"),
+                       F.col(key_col).alias("__kkey"))
+               .dropDuplicates(["__kid", "__kkey"]))
     if (n_keys_hint is not None
             and quota_per_key * n_keys_hint <= KEEPER_BROADCAST_ROWS):
         keepers = F.broadcast(keepers)
-    return (base.join(keepers, id_col, "left")
+    cond = ((F.col(id_col) == F.col("__kid"))
+            & F.col(key_col).eqNullSafe(F.col("__kkey")))
+    return (base.join(keepers, cond, "left")
             .select(F.col(id_col), F.col(key_col),
-                    F.coalesce(F.col("__keep"), F.lit(False)).alias("kept")))
+                    F.col("__kid").isNotNull().alias("kept")))

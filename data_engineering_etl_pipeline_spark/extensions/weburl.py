@@ -47,7 +47,11 @@ _SECOND_LEVEL_TLDS = ("co", "com", "net", "org", "gov", "ac", "edu")
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+#: anchored to the PRE-fragment region: a bare r"\?..." would match a '?'
+#: inside the fragment and resurrect fragment content as the query
+#: ('https://ex.com/a#x?b=1' must canonicalize like '/a', not '/a?b=1')
+#: — r8 review finding, shared constant so the DuckDB twin agrees
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def _c(col: str | Column) -> Column:
@@ -130,12 +134,18 @@ def extract_host(url: str | Column) -> Column:
 
 
 def registered_domain(url: str | Column) -> Column:
-    """Registered-domain heuristic: the last two host labels, or the last
-    THREE when the second-to-last is a ``_SECOND_LEVEL_TLDS`` member and
-    the TLD is a 2-letter ccTLD (the co.uk/com.au class). A documented
-    heuristic — the exact boundary needs the public-suffix list, which is
-    deployment data, not engine logic. '' host → ''."""
-    host = extract_host(url)
+    """Registered-domain heuristic over a URL: the last two host labels,
+    or the last THREE when the second-to-last is a ``_SECOND_LEVEL_TLDS``
+    member and the TLD is a 2-letter ccTLD (the co.uk/com.au class). A
+    documented heuristic — the exact boundary needs the public-suffix
+    list, which is deployment data, not engine logic. '' host → ''."""
+    return registered_domain_from_host(extract_host(url))
+
+
+def registered_domain_from_host(host: Column) -> Column:
+    """:func:`registered_domain`'s label arithmetic over a bare HOST
+    column (already lowercased, no scheme/port) — the form blocklist
+    entries come in."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last = F.element_at(labels, -1)
@@ -220,10 +230,19 @@ def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
                        blocked_domain_col: str = "domain") -> DataFrame:
     """Drop rows whose registered domain is blocklisted — broadcast LEFT
     ANTI join (C4's URL-blocklist step). The blocklist is MB-scale by
-    nature; the corpus streams map-side through the join. Match is on the
-    registered domain, so ``evil.co.uk`` blocks ``a.evil.co.uk`` too."""
+    nature; the corpus streams map-side through the join. BOTH sides
+    normalize to the registered domain (r8 review finding: real
+    blocklists carry full hosts like ``www.evil.com`` or
+    ``bad.evil.com``; lowercasing alone would leave such entries silently
+    inert — asymmetric key spaces block nothing and raise nothing), so
+    ``evil.co.uk`` blocks ``a.evil.co.uk`` and a ``bad.evil.com`` entry
+    blocks the whole ``evil.com`` registered domain. Deployments needing
+    exact-host granularity match on :func:`extract_host` instead."""
     dom = docs.withColumn("__dom", registered_domain(url_col))
+    bl_host = F.regexp_replace(
+        F.lower(F.trim(F.col(blocked_domain_col))), r"^www\.", "")
     bl = F.broadcast(
-        blocklist.select(F.lower(F.col(blocked_domain_col)).alias("__dom"))
+        blocklist.select(
+            registered_domain_from_host(bl_host).alias("__dom"))
         .distinct())
     return dom.join(bl, "__dom", "left_anti").drop("__dom")

@@ -215,13 +215,21 @@ def parse_coingecko_market_chart(coin_id: str, payload: dict) -> list[tuple]:
     import datetime
 
     def series(key: str) -> dict:
+        items = payload.get(key)
+        if not isinstance(items, list):
+            return {}  # a non-list series coerces to empty, never raises
         out = {}
-        for item in payload.get(key) or []:
+        for item in items:
             try:
                 ts = int(item[0])
-            except (TypeError, ValueError, IndexError):
+                v = _coerce_f(item[1]) if len(item) > 1 else None
+            except (TypeError, ValueError, IndexError, KeyError):
+                # KeyError too: item[0] on a DICT point raises KeyError,
+                # not IndexError (r8 review finding — an executor-side
+                # crash here fails the whole fetch job after task
+                # retries, the opposite of coerce-to-NULL)
                 continue  # a malformed point has no join key — skip
-            out[ts] = _coerce_f(item[1]) if len(item) > 1 else None
+            out[ts] = v
         return out
 
     caps = series("market_caps")
@@ -245,8 +253,13 @@ def parse_defillama_tvl(payload) -> list[tuple]:
     import datetime
 
     items = payload.get("tvl") if isinstance(payload, dict) else payload
+    if not isinstance(items, list):
+        # DeFiLlama's non-history endpoints return a bare number under
+        # 'tvl' — coerce to no rows instead of a TypeError that would
+        # fail the executor task (r8 review finding)
+        return []
     rows = []
-    for it in items or []:
+    for it in items:
         if not isinstance(it, dict):
             continue
         try:

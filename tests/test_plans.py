@@ -73,16 +73,17 @@ def test_cluster_balanced_sample_two_phase_quota_selection(spark):
     (mapInPandas, ≤ quota·k rows per partition), NOT the corpus — the old
     shape shuffled every row into exactly k reducer partitions and fully
     sorted each cluster. Assertions: (a) the fold assignment stays pure
-    expressions (no row-at-a-time Python worker); (b) exactly one
-    non-broadcast exchange — the candidate-sized ranking shuffle (the
-    M-step stages are literal relations computed at build time, no
-    in-plan aggregate); (c) exactly one Window, and between it and the
-    MapInPandas prune that feeds it there is NO corpus scan — the sort
-    input is the pruned candidate set; (d) the keeper flag join is a
+    expressions (no row-at-a-time Python worker); (b) at most two
+    non-broadcast exchanges, BOTH bounded away from the corpus — the
+    candidate-sized ranking shuffle and the keeper-sized duplicate-id
+    dedup (the M-step stages are literal relations computed at build
+    time, no in-plan aggregate); (c) exactly one Window, and between it
+    and the MapInPandas prune that feeds it there is NO corpus scan — the
+    sort input is the pruned candidate set; (d) the keeper flag join is a
     broadcast join reading the pinned (id, cid) assignment."""
     p = plan_of(spark, "cluster_balanced_sample")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
-    assert shuffles(p) == 1, p
+    assert 1 <= shuffles(p) <= 2, p
     assert p.count("MapInPandas") >= 1, p
     iw = p.index("Window")
     im = p.index("MapInPandas")

@@ -86,3 +86,16 @@ def test_incremental_url_dedup_composition(spark):
     # replay against the updated index is empty (idempotent ingest)
     fresh2, _ = incremental_exact_dedup(day2, updated, text_col="curl")
     assert fresh2.count() == 0
+
+
+def test_duplicate_ids_share_one_slot_and_never_inflate_rows(spark):
+    """r8 review finding: duplicate-id copies must not fan the flag join
+    out (output rows > input rows) nor consume several quota slots."""
+    rows = ([(i, "a") for i in range(10)]
+            + [(3, "a"), (3, "a"), (7, "b"), (7, "a")])
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = balanced_sample_by_key(df, 2, key_col="k", id_col="id",
+                                 n_keys_hint=2).collect()
+    assert len(out) == len(rows)  # no row inflation
+    kept_ids_a = {r["id"] for r in out if r["k"] == "a" and r["kept"]}
+    assert len(kept_ids_a) <= 2  # quota counts DISTINCT ids per key

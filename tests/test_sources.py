@@ -360,3 +360,19 @@ def test_coingecko_payload_through_distributed_fetch(spark):
             sorted(map(tuple, in_proc.collect()))
     finally:
         srv.shutdown()
+
+
+def test_payload_parsers_never_raise_on_malformed_containers():
+    """r8 review finding: an executor-side parser crash fails the whole
+    fetch job after task retries — malformed containers must coerce to
+    empty/skipped, matching the documented coerce-to-NULL contract."""
+    from data_engineering_etl_pipeline_spark.sources import (
+        parse_coingecko_market_chart, parse_defillama_tvl)
+
+    assert parse_coingecko_market_chart("x", {"prices": [{"t": 1}]}) == []
+    assert parse_coingecko_market_chart("x", {"prices": 5}) == []
+    assert parse_coingecko_market_chart("x", {"prices": [[1000, 1.0], None]}) \
+        == [("x", __import__("datetime").date(1970, 1, 1), 1.0, None, None)]
+    assert parse_defillama_tvl({"tvl": 123.4}) == []
+    assert parse_defillama_tvl({"tvl": "oops"}) == []
+    assert parse_defillama_tvl(42) == []

@@ -209,3 +209,40 @@ def test_domain_sample_plan_is_two_phase(spark):
     assert iw < im, p
     seg = p[iw:im]
     assert "Scan parquet" not in seg and "InMemoryTableScan" not in seg, seg
+
+
+def test_fragment_with_question_mark_is_not_resurrected(spark, duck):
+    """r8 review finding: an unanchored query regex matched a '?' INSIDE
+    the fragment, resurrecting fragment content as the query — two URLs
+    identical up to fragment must canonicalize identically (both
+    engines: shared constant)."""
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        canonicalize_url_sql)
+
+    rows = [(1, "https://ex.com/a#x?b=1"), (2, "https://ex.com/a"),
+            (3, "https://ex.com/a?b=1#x?c=2")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", canonicalize_url("url").alias("c")).collect()}
+    assert out[1] == "https://ex.com/a" == out[2]
+    assert out[3] == "https://ex.com/a?b=1"
+    got = df.select("id", canonicalize_url("url").alias("c"))
+    sql = ("SELECT * FROM (VALUES (1, " + canonicalize_url_sql(
+        "'https://ex.com/a#x?b=1'") + "), (2, " + canonicalize_url_sql(
+        "'https://ex.com/a'") + "), (3, " + canonicalize_url_sql(
+        "'https://ex.com/a?b=1#x?c=2'") + ")) AS t(id, c)")
+    assert_matches_oracle(got, duck, sql, "fragment_query_anchor")
+
+
+def test_blocklist_full_host_entries_block_registered_domain(spark):
+    """r8 review finding: real blocklists carry full hosts — a
+    'www.evil.com' or 'bad.evil.com' entry must block the evil.com
+    registered domain, not be silently inert."""
+    docs = spark.createDataFrame(
+        [(1, "https://evil.com/x"), (2, "https://sub.evil.com/y"),
+         (3, "https://good.com/z"), (4, "https://nasty.co.uk/q")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("www.evil.com",), ("bad.NASTY.co.uk ",)], "domain string")
+    kept = {r["doc_id"] for r in filter_blocklisted(docs, bl).collect()}
+    assert kept == {3}
