@@ -91,7 +91,7 @@ def canonicalize_url(url: str | Column) -> Column:
         lambda p: (p != "") & ~F.lower(F.substring_index(p, "=", 1))
         .isin(*TRACKING_PARAMS))
     q = F.array_join(F.array_sort(params), "&")
-    path_c = F.regexp_replace(path, r"/$", "")
+    path_c = F.regexp_replace(path, r"/+$", "")
     rebuilt = F.concat(scheme, F.lit("://"), host, path_c,
                        F.when(q != "", F.concat(F.lit("?"), q))
                        .otherwise(F.lit("")))
@@ -118,7 +118,7 @@ def canonicalize_url_sql(expr: str) -> str:
               f"p -> p <> '' AND NOT list_contains([{tp}], "
               f"lower(string_split(p, '=')[1]))))")
     q = f"array_to_string({params}, '&')"
-    path_c = f"regexp_replace({path}, '/$', '')"
+    path_c = f"regexp_replace({path}, '/+$', '')"
     rebuilt = (f"{scheme} || '://' || {host} || {path_c} || "
                f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END")
     return (f"CASE WHEN {expr} IS NULL THEN NULL "

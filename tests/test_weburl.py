@@ -246,3 +246,20 @@ def test_blocklist_full_host_entries_block_registered_domain(spark):
         [("www.evil.com",), ("bad.NASTY.co.uk ",)], "domain string")
     kept = {r["doc_id"] for r in filter_blocklisted(docs, bl).collect()}
     assert kept == {3}
+
+
+def test_canonicalize_is_idempotent_on_the_url_zoo(spark):
+    """Canonical form is a fixed point: re-canonicalizing stored canonical
+    URLs (the incremental-pipeline replay case) changes nothing —
+    including multi-slash tails, which a single-slash strip would reduce
+    one character per pass."""
+    extra = spark.createDataFrame(
+        [(10 ** 9, "https://ex.com/x//"), (10 ** 9 + 1, "https://ex.com///")],
+        "doc_id long, url string")
+    df = _docs_urls(spark).unionByName(extra)
+    once = df.select("doc_id", canonicalize_url("url").alias("url"))
+    twice = once.select("doc_id", canonicalize_url("url").alias("url"))
+    a = {r["doc_id"]: r["url"] for r in once.collect()}
+    b = {r["doc_id"]: r["url"] for r in twice.collect()}
+    assert a == b
+    assert a[10 ** 9] == "https://ex.com/x"
