@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "daily_share_and_rank",
     "quality_gate_summary",
     "user_sessions",
-    "event_time_windows",
+    "doc_url_curation",
     "purchase_last_view_asof",
     "signup_click_funnel_1h",
     "user_value_macd",

@@ -14,9 +14,11 @@ from ..streaming import sessionize_batch, windowed_agg
 from . import register
 
 
-@register(
-    "event_time_windows",
-    oracle="""
+#: event_time_windows' value oracle — registry slot consolidated in r8
+#: (headroom plan #3: tumbling/sliding became grains of `user_sessions`);
+#: the standalone builder keeps this full hash-checked twin as a unit
+#: (tests/test_queries_oracle.py) and stays in the library surface.
+EVENT_TIME_WINDOWS_ORACLE = """
     WITH grid AS (
       SELECT ts, value,
              date_trunc('hour', ts)
@@ -38,8 +40,9 @@ from . import register
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS sum_value
     FROM assigned GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
 def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling (1 h, keyed by event_type) AND sliding (1 h window / 30 min
     slide — every event lands in exactly 2 windows) event-time aggregation
@@ -49,7 +52,10 @@ def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag). ``F.window`` has identical semantics batch vs
     readStream+watermark (§2.9) — the streaming twin and the late-data-drop
     contract are pinned in tests/test_streaming.py; the sliding oracle
-    builds the window assignment explicitly from the 30-minute grid."""
+    builds the window assignment explicitly from the 30-minute grid.
+    Left the driver registry in r8 (headroom plan #3: both window grains
+    ride ``user_sessions`` now); the full value oracle stays hash-checked
+    as a unit via ``EVENT_TIME_WINDOWS_ORACLE``."""
     ev = load_table(spark, sf_dir, "events")
     tumbling = (windowed_agg(ev, "ts", "1 hour", keys=["event_type"])
                 .select(F.lit("tumbling").alias("kind"),
@@ -77,17 +83,68 @@ def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
+    ), grid AS (
+      SELECT ts, value,
+             date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS cell
+      FROM events
+    ), assigned AS (
+      SELECT u.ws AS window_start, value
+      FROM grid, UNNEST([cell, cell - INTERVAL 30 MINUTE]) AS u(ws)
+      WHERE ts >= u.ws AND ts < u.ws + INTERVAL 60 MINUTE
     )
-    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    SELECT 'session' AS kind, user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
            COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
-    FROM ids GROUP BY 1, 2
+    FROM ids GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'tumbling' AS kind, CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT) AS session_id,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end,
+           date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3, 4, 5, 6, 7
+    UNION ALL
+    SELECT 'sliding' AS kind, CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT) AS session_id,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end,
+           window_start, CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM assigned GROUP BY 1, 2, 3, 4, 5, 6, 7
     """,
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min gap) via lag + running sum — the
-    batch twin of ``session_window`` (guide: common OLAP patterns)."""
+    """The §2.9 event-time aggregation family in ONE stage-tagged row
+    (r8 — headroom plan #3, the ``media_pipeline`` pattern): gap-based
+    sessionization (30-min gap via lag + running sum, the batch twin of
+    ``session_window``) as the ``session`` grain, plus the former
+    ``event_time_windows`` row's tumbling (1 h, keyed by event_type) and
+    sliding (1 h / 30 min — every event in exactly 2 windows) grains.
+    All three aggregate the same events table by user/time; the
+    discriminator column keeps every former value surface hashed under
+    one registry slot. Streaming twins (readStream + watermark ==
+    these batch forms) stay pinned in tests/test_streaming.py; the
+    standalone window builder keeps its full oracle as a unit
+    (``EVENT_TIME_WINDOWS_ORACLE``)."""
     ev = load_table(spark, sf_dir, "events")
-    return sessionize_batch(ev, "user_id", "ts", gap_minutes=30)
+    nul = F.lit(None)
+    sess = sessionize_batch(ev, "user_id", "ts", gap_minutes=30).select(
+        F.lit("session").alias("kind"), "user_id", "session_id",
+        "session_start", "session_end",
+        nul.cast("timestamp").alias("window_start"),
+        nul.cast("string").alias("event_type"), "n_events", "sum_value")
+    wins = event_time_windows(spark, sf_dir).select(
+        "kind", nul.cast("long").alias("user_id"),
+        nul.cast("long").alias("session_id"),
+        nul.cast("timestamp").alias("session_start"),
+        nul.cast("timestamp").alias("session_end"),
+        "window_start", "event_type", "n_events", "sum_value")
+    return sess.unionByName(wins)
 
 
 @register(

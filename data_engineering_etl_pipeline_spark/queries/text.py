@@ -716,3 +716,144 @@ def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extensions/dedup.py::duplicate_window_spans)."""
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_window_spans(docs, "doc_id", "text", width=10)
+
+
+# --- URL zoo (r8): deterministic synthetic URL per doc_id, identical
+# construction in both engines — exercises every canonicalization rule
+# (scheme case, www., default/explicit ports, tracking params, param
+# order, fragments, trailing slashes, co.uk-class domains, schemeless,
+# NULL). Shapes 1/2/3 canonicalize to shape 0's URL and 5 to 4's, so the
+# URL dedup has planted work at every scale factor. Shared with
+# tests/test_weburl.py.
+def synthetic_url() -> F.Column:
+    d = F.col("doc_id")
+    host_n = (d % 37).cast("string")
+    base = F.concat(F.lit("example"), host_n, F.lit(".com"))
+    path = F.concat(F.lit("/p/"), (d % 97).cast("string"))
+    m = d % 10
+    return (
+        F.when(m == 0, F.concat(F.lit("https://"), base, path))
+        .when(m == 1, F.concat(F.lit("HTTPS://WWW."), base, F.lit(":443"),
+                               path))                      # == shape 0
+        .when(m == 2, F.concat(F.lit("https://"), base, path,
+                               F.lit("?utm_source=x&utm_medium=y")))  # == 0
+        .when(m == 3, F.concat(F.lit("https://"), base, path,
+                               F.lit("/#frag")))           # == shape 0
+        .when(m == 4, F.concat(F.lit("https://"), base, path,
+                               F.lit("?b=2&a=1")))
+        .when(m == 5, F.concat(F.lit("https://"), base, path,
+                               F.lit("?a=1&b=2&gclid=zz")))  # == shape 4
+        .when(m == 6, F.concat(F.lit("http://sub.shop"), host_n,
+                               F.lit(".co.uk:80/x/")))
+        .when(m == 7, F.concat(F.lit("ftp://Files."), base, F.lit(":21"),
+                               path))
+        .when(m == 8, F.concat(base, path))                # schemeless
+        .otherwise(F.lit(None).cast("string"))             # NULL
+    )
+
+
+SYNTHETIC_URL_SQL = """
+    CASE doc_id % 10
+      WHEN 0 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97)
+      WHEN 1 THEN 'HTTPS://WWW.example' || (doc_id % 37) || '.com:443/p/' || (doc_id % 97)
+      WHEN 2 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?utm_source=x&utm_medium=y'
+      WHEN 3 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '/#frag'
+      WHEN 4 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?b=2&a=1'
+      WHEN 5 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?a=1&b=2&gclid=zz'
+      WHEN 6 THEN 'http://sub.shop' || (doc_id % 37) || '.co.uk:80/x/'
+      WHEN 7 THEN 'ftp://Files.example' || (doc_id % 37) || '.com:21/p/' || (doc_id % 97)
+      WHEN 8 THEN 'example' || (doc_id % 37) || '.com/p/' || (doc_id % 97)
+      ELSE NULL
+    END
+"""
+
+_URL_BLOCKLIST = ("www.example3.com", "shop7.co.uk")  # one full-host entry
+
+
+def _url_curation_oracle() -> str:
+    """DuckDB twin of the three URL-curation stages from the SAME shared
+    constants as the Spark expressions (regex/param/TLD tables via the
+    weburl ``*_sql`` builders; the zoo via ``SYNTHETIC_URL_SQL``). The
+    blocklist stage guards NULL domains explicitly: SQL ``NOT IN`` is
+    NULL-poisoned while Spark's anti join keeps unmatched NULLs — the
+    classic three-valued-logic divergence, resolved on the oracle side."""
+    from ..extensions.weburl import (canonicalize_url_sql, host_sql,
+                                     registered_domain_from_host_sql)
+
+    blocked = ", ".join(f"'{b.removeprefix('www.')}'"
+                        for b in _URL_BLOCKLIST)
+    return f"""
+    WITH u AS (SELECT doc_id, {SYNTHETIC_URL_SQL} AS url FROM documents),
+    c AS (SELECT doc_id, {canonicalize_url_sql('url')} AS canonical_url
+          FROM u),
+    hh AS (SELECT doc_id, {host_sql('url')} AS h FROM u),
+    d AS (SELECT doc_id, {registered_domain_from_host_sql('h')} AS domain
+          FROM hh),
+    r AS (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '|domain-balance-7'), 1, 8)
+                    AS UBIGINT) ASC, doc_id ASC) AS rn
+      FROM d)
+    SELECT 'canon' AS stage, doc_id, canonical_url,
+           CAST(NULL AS VARCHAR) AS domain,
+           canonical_url IS NULL
+           OR doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS kept
+    FROM c
+    UNION ALL
+    SELECT 'quota' AS stage, doc_id, CAST(NULL AS VARCHAR) AS canonical_url,
+           domain, rn <= 3 AS kept
+    FROM r
+    UNION ALL
+    SELECT 'blocklist' AS stage, doc_id,
+           CAST(NULL AS VARCHAR) AS canonical_url, domain,
+           TRUE AS kept
+    FROM d
+    WHERE domain IS NULL OR domain NOT IN ({blocked})
+    """
+
+
+@register("doc_url_curation", oracle=_url_curation_oracle())
+def doc_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation ON the driver record (r8 — the web-crawl half
+    of the training-data pipeline, extensions/weburl.py, registered in
+    the slot freed by headroom consolidation #3): three stage-tagged
+    grains over the deterministic URL zoo —
+
+    - ``canon``: URL canonicalization (scheme/host case, www, default
+      ports, fragments, tracking params, param order, trailing slashes)
+      + URL-keyed exact dedup (min-id keeper per canonical URL; the
+      shuffle key is the canonical URL's (md5, length) fingerprint);
+    - ``quota``: per-registered-domain document caps through the generic
+      two-phase ``balanced_sample_by_key`` (map-only prune →
+      candidate-sized rank → keeper flag join — the corpus never feeds a
+      partitionBy(domain) sort);
+    - ``blocklist``: broadcast LEFT ANTI domain blocklist survivors,
+      with one full-host blocklist entry proving both sides normalize to
+      the registered domain.
+
+    Everything is map-only except the dedup hash agg and the quota
+    machinery's two bounded exchanges; the oracle rebuilds every rule
+    from the shared constants with zero tolerance."""
+    from ..extensions.weburl import (domain_balanced_sample,
+                                     filter_blocklisted, registered_domain,
+                                     url_dedup_keep_first)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", synthetic_url().alias("url"))
+    nul = F.lit(None).cast("string")
+    canon = url_dedup_keep_first(docs).select(
+        F.lit("canon").alias("stage"), "doc_id", "canonical_url",
+        nul.alias("domain"), "kept")
+    quota = domain_balanced_sample(docs, 3, seed=7).select(
+        F.lit("quota").alias("stage"), "doc_id",
+        nul.alias("canonical_url"), "domain", "kept")
+    bl = spark.createDataFrame([(b,) for b in _URL_BLOCKLIST],
+                               "domain string")
+    survivors = filter_blocklisted(docs, bl).select(
+        F.lit("blocklist").alias("stage"), "doc_id",
+        nul.alias("canonical_url"),
+        registered_domain("url").alias("domain"),
+        F.lit(True).alias("kept"))
+    return canon.unionByName(quota).unionByName(survivors)

@@ -37,7 +37,7 @@ QUERY_SET = [
     "supplier_declarative_agg",
     "sql_nation_revenue",
     "user_sessions",
-    "event_time_windows",
+    "doc_url_curation",
     "supplier_feature_matrix",
 ]
 

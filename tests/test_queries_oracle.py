@@ -41,6 +41,18 @@ def test_region_revenue_library_query_matches_oracle(spark, duck):
                           REGION_REVENUE_ORACLE, "region_revenue")
 
 
+def test_event_time_windows_library_query_matches_oracle(spark, duck):
+    """event_time_windows left the driver registry in r8 (headroom
+    consolidation #3: tumbling/sliding ride user_sessions as grains) but
+    remains library surface — its full value oracle moves here so both
+    window families keep a hash-checked standalone twin."""
+    from data_engineering_etl_pipeline_spark.queries.events import (
+        EVENT_TIME_WINDOWS_ORACLE, event_time_windows)
+
+    assert_matches_oracle(event_time_windows(spark, SF_DIR), duck,
+                          EVENT_TIME_WINDOWS_ORACLE, "event_time_windows")
+
+
 def test_corpus_split_profile_library_query_matches_oracle(spark, duck):
     """corpus_split_profile left the driver registry in r8 (headroom
     consolidation #1: it rides prep_training_corpus as the 'profile'

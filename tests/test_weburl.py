@@ -24,53 +24,12 @@ from data_engineering_etl_pipeline_spark.io import load_table
 
 from .conftest import SF_DIR, assert_matches_oracle
 
-# Deterministic URL zoo keyed on doc_id — identical construction in both
-# engines. d%10 picks the shape; several shapes canonicalize to the SAME
-# URL as shape 0 (planted dup work for url_dedup_keep_first).
-_URL_CASES_SPARK = None  # built lazily below
-
-
-def _synth_url_spark():
-    d = F.col("doc_id")
-    host_n = (d % 37).cast("string")
-    base = F.concat(F.lit("example"), host_n, F.lit(".com"))
-    path = F.concat(F.lit("/p/"), (d % 97).cast("string"))
-    m = d % 10
-    return (
-        F.when(m == 0, F.concat(F.lit("https://"), base, path))
-        .when(m == 1, F.concat(F.lit("HTTPS://WWW."), base, F.lit(":443"),
-                               path))                      # == shape 0
-        .when(m == 2, F.concat(F.lit("https://"), base, path,
-                               F.lit("?utm_source=x&utm_medium=y")))  # == 0
-        .when(m == 3, F.concat(F.lit("https://"), base, path,
-                               F.lit("/#frag")))           # == shape 0
-        .when(m == 4, F.concat(F.lit("https://"), base, path,
-                               F.lit("?b=2&a=1")))
-        .when(m == 5, F.concat(F.lit("https://"), base, path,
-                               F.lit("?a=1&b=2&gclid=zz")))  # == shape 4
-        .when(m == 6, F.concat(F.lit("http://sub.shop"), host_n,
-                               F.lit(".co.uk:80/x/")))
-        .when(m == 7, F.concat(F.lit("ftp://Files."), base, F.lit(":21"),
-                               path))
-        .when(m == 8, F.concat(base, path))                # schemeless
-        .otherwise(F.lit(None).cast("string"))             # NULL
-    )
-
-
-_SYNTH_URL_SQL = """
-    CASE doc_id % 10
-      WHEN 0 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97)
-      WHEN 1 THEN 'HTTPS://WWW.example' || (doc_id % 37) || '.com:443/p/' || (doc_id % 97)
-      WHEN 2 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?utm_source=x&utm_medium=y'
-      WHEN 3 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '/#frag'
-      WHEN 4 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?b=2&a=1'
-      WHEN 5 THEN 'https://example' || (doc_id % 37) || '.com/p/' || (doc_id % 97) || '?a=1&b=2&gclid=zz'
-      WHEN 6 THEN 'http://sub.shop' || (doc_id % 37) || '.co.uk:80/x/'
-      WHEN 7 THEN 'ftp://Files.example' || (doc_id % 37) || '.com:21/p/' || (doc_id % 97)
-      WHEN 8 THEN 'example' || (doc_id % 37) || '.com/p/' || (doc_id % 97)
-      ELSE NULL
-    END
-"""
+# The deterministic URL zoo is shared with the doc_url_curation driver
+# row (queries/text.py synthetic_url / SYNTHETIC_URL_SQL) — one
+# construction, one SQL twin, used by both the registry oracle and the
+# library units here.
+from data_engineering_etl_pipeline_spark.queries.text import (  # noqa: E402
+    SYNTHETIC_URL_SQL as _SYNTH_URL_SQL, synthetic_url as _synth_url_spark)
 
 
 def _docs_urls(spark):
