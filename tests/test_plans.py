@@ -454,3 +454,23 @@ def test_incremental_semantic_dedup_bucketed_index_join_no_index_exchange(spark)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Bucketed: true" in p, p
     assert shuffles(p) == 1, p
+
+
+def test_doc_url_curation_plan_contracts(spark):
+    """The r8 URL-curation row: no cartesian product anywhere; the
+    blocklist stage joins BROADCAST (LEFT ANTI — blocklists are MB-scale,
+    the corpus streams map-side); the canon stage's dedup groups on the
+    canonical URL's (md5, length) fingerprint so raw URLs never shuffle
+    as groupBy keys; the quota stage's window consumes the mapInPandas
+    prune, never a corpus relation (the two-phase contract, also pinned
+    on the library form in tests/test_weburl.py)."""
+    p = plan_of(spark, "doc_url_curation")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "LeftAnti" in p, p
+    assert "MapInPandas" in p, p
+    iw = p.index("Window")
+    im = p.index("MapInPandas")
+    assert iw < im, p
+    seg = p[iw:im]
+    assert "Scan parquet" not in seg, seg
