@@ -37,6 +37,20 @@ from pyspark.sql import functions as F
 KEEPER_BROADCAST_ROWS = 4_000_000
 
 
+def quota_rank_sql(id_expr: str, key_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`balanced_sample_by_key`'s selection order —
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY md5-rank, id)`` with
+    the engine's portable 32-bit md5 convention. ONE builder (r8 review
+    finding: the rank SQL had grown three hand-maintained copies across
+    oracles and tests; a change to the hv definition must update exactly
+    one place). Equals the two-phase plan's kept set by the subset
+    property; for inputs with duplicate (id, key) rows compare against
+    DENSE_RANK semantics instead."""
+    return (f"ROW_NUMBER() OVER (PARTITION BY {key_expr} ORDER BY "
+            f"CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) "
+            f"|| '|{salt}'), 1, 8) AS UBIGINT) ASC, {id_expr} ASC)")
+
+
 def _partition_local_quota_prune(ranked: DataFrame, quota: int,
                                  key_col: str, id_col: str) -> DataFrame:
     """Phase 1 of the two-phase quota selection (r7 VERDICT item 1):

@@ -227,7 +227,8 @@ def domain_balanced_sample(docs: DataFrame, quota_per_domain: int,
 
 def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
                        url_col: str = "url",
-                       blocked_domain_col: str = "domain") -> DataFrame:
+                       blocked_domain_col: str = "domain",
+                       keep_domain_col: str | None = None) -> DataFrame:
     """Drop rows whose registered domain is blocklisted — broadcast LEFT
     ANTI join (C4's URL-blocklist step). The blocklist is MB-scale by
     nature; the corpus streams map-side through the join. BOTH sides
@@ -237,7 +238,10 @@ def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
     inert — asymmetric key spaces block nothing and raise nothing), so
     ``evil.co.uk`` blocks ``a.evil.co.uk`` and a ``bad.evil.com`` entry
     blocks the whole ``evil.com`` registered domain. Deployments needing
-    exact-host granularity match on :func:`extract_host` instead."""
+    exact-host granularity match on :func:`extract_host` instead.
+    ``keep_domain_col`` forwards the computed registered domain on the
+    survivors (it is already evaluated for the join — re-deriving it
+    downstream would pay the regex stack again)."""
     dom = docs.withColumn("__dom", registered_domain(url_col))
     bl_host = F.regexp_replace(
         F.lower(F.trim(F.col(blocked_domain_col))), r"^www\.", "")
@@ -245,4 +249,7 @@ def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
         blocklist.select(
             registered_domain_from_host(bl_host).alias("__dom"))
         .distinct())
-    return dom.join(bl, "__dom", "left_anti").drop("__dom")
+    out = dom.join(bl, "__dom", "left_anti")
+    if keep_domain_col is None:
+        return out.drop("__dom")
+    return out.withColumnRenamed("__dom", keep_domain_col)

@@ -14,12 +14,10 @@ from ..streaming import sessionize_batch, windowed_agg
 from . import register
 
 
-#: event_time_windows' value oracle — registry slot consolidated in r8
-#: (headroom plan #3: tumbling/sliding became grains of `user_sessions`);
-#: the standalone builder keeps this full hash-checked twin as a unit
-#: (tests/test_queries_oracle.py) and stays in the library surface.
-EVENT_TIME_WINDOWS_ORACLE = """
-    WITH grid AS (
+#: the sliding-window (1 h / 30 min) assignment CTEs, shared by the
+#: registry oracle and the standalone library twin (r8 review finding: a
+#: verbatim second copy could silently diverge on a future edit)
+_WINDOW_GRID_CTES = """grid AS (
       SELECT ts, value,
              date_trunc('hour', ts)
                + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
@@ -29,7 +27,14 @@ EVENT_TIME_WINDOWS_ORACLE = """
       SELECT u.ws AS window_start, value
       FROM grid, UNNEST([cell, cell - INTERVAL 30 MINUTE]) AS u(ws)
       WHERE ts >= u.ws AND ts < u.ws + INTERVAL 60 MINUTE
-    )
+    )"""
+
+#: event_time_windows' value oracle — registry slot consolidated in r8
+#: (headroom plan #3: tumbling/sliding became grains of `user_sessions`);
+#: the standalone builder keeps this full hash-checked twin as a unit
+#: (tests/test_queries_oracle.py) and stays in the library surface.
+EVENT_TIME_WINDOWS_ORACLE = """
+    WITH """ + _WINDOW_GRID_CTES + """
     SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
@@ -83,17 +88,7 @@ def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
-    ), grid AS (
-      SELECT ts, value,
-             date_trunc('hour', ts)
-               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
-                      ELSE INTERVAL 0 MINUTE END AS cell
-      FROM events
-    ), assigned AS (
-      SELECT u.ws AS window_start, value
-      FROM grid, UNNEST([cell, cell - INTERVAL 30 MINUTE]) AS u(ws)
-      WHERE ts >= u.ws AND ts < u.ws + INTERVAL 60 MINUTE
-    )
+    ), """ + _WINDOW_GRID_CTES + """
     SELECT 'session' AS kind, user_id, session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(NULL AS TIMESTAMP) AS window_start,

@@ -767,21 +767,28 @@ SYNTHETIC_URL_SQL = """
     END
 """
 
-_URL_BLOCKLIST = ("www.example3.com", "shop7.co.uk")  # one full-host entry
+# one full-host entry, one messy (case/whitespace/subdomain) entry —
+# both sides must normalize them identically (r8 review finding)
+_URL_BLOCKLIST = ("www.example3.com", "shop7.co.uk",
+                  " Tracker.Example11.COM ")
 
 
 def _url_curation_oracle() -> str:
     """DuckDB twin of the three URL-curation stages from the SAME shared
     constants as the Spark expressions (regex/param/TLD tables via the
     weburl ``*_sql`` builders; the zoo via ``SYNTHETIC_URL_SQL``). The
-    blocklist stage guards NULL domains explicitly: SQL ``NOT IN`` is
-    NULL-poisoned while Spark's anti join keeps unmatched NULLs — the
-    classic three-valued-logic divergence, resolved on the oracle side."""
+    blocklist stage normalizes its entries through the SAME SQL builders
+    as the Spark side (lower+trim+www-strip → registered domain — r8
+    review finding: a hand-simplified literal list would silently diverge
+    on subdomain/case/whitespace-bearing entries) and guards NULL domains
+    explicitly: SQL ``NOT IN`` is NULL-poisoned while Spark's anti join
+    keeps unmatched NULLs — the classic three-valued-logic divergence,
+    resolved on the oracle side."""
+    from ..extensions.sampling import quota_rank_sql
     from ..extensions.weburl import (canonicalize_url_sql, host_sql,
                                      registered_domain_from_host_sql)
 
-    blocked = ", ".join(f"'{b.removeprefix('www.')}'"
-                        for b in _URL_BLOCKLIST)
+    vals = ", ".join(f"('{b}')" for b in _URL_BLOCKLIST)
     return f"""
     WITH u AS (SELECT doc_id, {SYNTHETIC_URL_SQL} AS url FROM documents),
     c AS (SELECT doc_id, {canonicalize_url_sql('url')} AS canonical_url
@@ -791,11 +798,12 @@ def _url_curation_oracle() -> str:
           FROM hh),
     r AS (
       SELECT doc_id, domain,
-             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY
-               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                       || '|domain-balance-7'), 1, 8)
-                    AS UBIGINT) ASC, doc_id ASC) AS rn
-      FROM d)
+             {quota_rank_sql('doc_id', 'domain', 'domain-balance-7')} AS rn
+      FROM d),
+    bl AS (
+      SELECT {registered_domain_from_host_sql('bh')} AS domain
+      FROM (SELECT regexp_replace(lower(trim(b)), '^www\\.', '') AS bh
+            FROM (VALUES {vals}) AS t(b)))
     SELECT 'canon' AS stage, doc_id, canonical_url,
            CAST(NULL AS VARCHAR) AS domain,
            canonical_url IS NULL
@@ -810,7 +818,7 @@ def _url_curation_oracle() -> str:
            CAST(NULL AS VARCHAR) AS canonical_url, domain,
            TRUE AS kept
     FROM d
-    WHERE domain IS NULL OR domain NOT IN ({blocked})
+    WHERE domain IS NULL OR domain NOT IN (SELECT domain FROM bl)
     """
 
 
@@ -837,11 +845,14 @@ def doc_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery's two bounded exchanges; the oracle rebuilds every rule
     from the shared constants with zero tolerance."""
     from ..extensions.weburl import (domain_balanced_sample,
-                                     filter_blocklisted, registered_domain,
+                                     filter_blocklisted,
                                      url_dedup_keep_first)
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", synthetic_url().alias("url"))
+    # engine-pinned (caller-release contract): the three stages each scan
+    # the docs relation — uncached, the parquet scan + the synthetic-URL
+    # CASE would run once per stage (r8 review finding)
+    docs = pin(load_table(spark, sf_dir, "documents").select(
+        "doc_id", synthetic_url().alias("url")))
     nul = F.lit(None).cast("string")
     canon = url_dedup_keep_first(docs).select(
         F.lit("canon").alias("stage"), "doc_id", "canonical_url",
@@ -851,9 +862,8 @@ def doc_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("canonical_url"), "domain", "kept")
     bl = spark.createDataFrame([(b,) for b in _URL_BLOCKLIST],
                                "domain string")
-    survivors = filter_blocklisted(docs, bl).select(
-        F.lit("blocklist").alias("stage"), "doc_id",
-        nul.alias("canonical_url"),
-        registered_domain("url").alias("domain"),
-        F.lit(True).alias("kept"))
+    survivors = filter_blocklisted(docs, bl, keep_domain_col="domain") \
+        .select(F.lit("blocklist").alias("stage"), "doc_id",
+                nul.alias("canonical_url"), "domain",
+                F.lit(True).alias("kept"))
     return canon.unionByName(quota).unionByName(survivors)

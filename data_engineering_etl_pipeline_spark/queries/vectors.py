@@ -372,6 +372,7 @@ def _cluster_sample_oracle() -> str:
     value-verified cross-engine with zero tolerance — including the
     data-dependent second assignment, which no planted-constants trick
     could cover."""
+    from ..extensions.sampling import quota_rank_sql
     from ..extensions.similarity import KMEANS_Q_SCALE, planted_centroids
 
     cents = planted_centroids(_CBS_SEED, _CBS_K, _CBS_DIM)
@@ -414,11 +415,7 @@ def _cluster_sample_oracle() -> str:
       FROM d
     ), r AS (
       SELECT vec_id, cid,
-             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
-               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)
-                                       || '|cluster-balance-{_CBS_SEED}'),
-                                   1, 8) AS UBIGINT) ASC,
-               vec_id ASC) AS rn
+             {quota_rank_sql('vec_id', 'cid', f'cluster-balance-{_CBS_SEED}')} AS rn
       FROM a
     ), g AS (
       SELECT a.cid, gs.pos, v.ve[gs.pos + 1] AS x

@@ -22,13 +22,12 @@ def test_language_caps_match_duckdb_single_window_twin(spark, duck):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
     got = balanced_sample_by_key(docs, 25, key_col="lang",
                                  id_col="doc_id", salt="lang-balance-5")
-    sql = """
+    from data_engineering_etl_pipeline_spark.extensions.sampling import (
+        quota_rank_sql)
+    sql = f"""
     WITH r AS (
       SELECT doc_id, lang,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
-               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                       || '|lang-balance-5'), 1, 8)
-                    AS UBIGINT) ASC, doc_id ASC) AS rn
+             {quota_rank_sql('doc_id', 'lang', 'lang-balance-5')} AS rn
       FROM documents)
     SELECT doc_id, lang, rn <= 25 AS kept FROM r
     """

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from data_engineering_etl_pipeline_spark.extensions.sampling import (  # noqa: E402
+    quota_rank_sql)
 from data_engineering_etl_pipeline_spark.extensions.weburl import (
     canonicalize_url, canonicalize_url_sql, domain_balanced_sample,
     filter_blocklisted, host_sql, registered_domain,
@@ -129,10 +131,7 @@ def test_domain_balanced_sample_caps_and_is_deterministic(spark, duck):
           FROM hh),
     r AS (
       SELECT doc_id, domain,
-             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY
-               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                       || '|domain-balance-7'), 1, 8)
-                    AS UBIGINT) ASC, doc_id ASC) AS rn
+             {quota_rank_sql('doc_id', 'domain', 'domain-balance-7')} AS rn
       FROM d)
     SELECT doc_id, domain, rn <= {q} AS kept FROM r
     """
