@@ -488,3 +488,96 @@ def test_kmeans_update_exact_properties(spark, rows):
                 pn, ps = merged.get(k2, (0, 0))
                 merged[k2] = (pn + n, ps + s)
         assert merged == got
+
+
+# --- r8: URL canonicalization + generic balanced sampling properties ---
+
+_url_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        # adversarial URL-ish strings: random placement of separators
+        st.text(alphabet="abcXYZ:/?#&=._-% ", min_size=0, max_size=40),
+        # well-formed-ish URLs with random decorations
+        st.builds(
+            lambda scheme, www, host, port, path, q, frag:
+            f"{scheme}://{www}{host}{port}{path}{q}{frag}",
+            st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+            st.sampled_from(["", "www.", "WWW."]),
+            st.sampled_from(["ex.com", "a.b.Ex.co.uk", "x.org"]),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.sampled_from(["", "/", "/p", "/p/", "/p//"]),
+            st.sampled_from(["", "?b=2&a=1", "?utm_source=s&a=1",
+                             "?a=1&a=1"]),
+            st.sampled_from(["", "#f", "#f?fake=1"])),
+    ),
+    min_size=1, max_size=30)
+
+
+@SET
+@given(urls=_url_strategy)
+def test_canonicalize_url_is_idempotent_and_null_safe(spark, urls):
+    """For ANY input string: canonicalize(canonicalize(u)) ==
+    canonicalize(u) (stored canonical URLs re-canonicalize to themselves
+    — the incremental replay requirement), NULL stays NULL, and non-NULL
+    input never becomes NULL (a URL the parser cannot read is returned
+    trimmed, not destroyed)."""
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        canonicalize_url)
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "id long, url string")
+    once = df.select("id", canonicalize_url("url").alias("c"))
+    twice = once.select("id", canonicalize_url("c").alias("c"))
+    a = {r["id"]: r["c"] for r in once.collect()}
+    b = {r["id"]: r["c"] for r in twice.collect()}
+    assert a == b
+    for i, u in enumerate(urls):
+        assert (a[i] is None) == (u is None), (u, a[i])
+
+
+_keyed_strategy = st.lists(
+    st.tuples(st.integers(0, 60),                       # id (dups possible)
+              st.sampled_from(["a", "b", "c", None])),  # key incl. NULL
+    min_size=1, max_size=50)
+
+
+@SET
+@given(rows=_keyed_strategy, quota=st.integers(0, 5))
+def test_balanced_sample_by_key_properties(spark, rows, quota):
+    """For ANY keyed input and quota: (1) output has exactly the input
+    rows (no inflation/loss); (2) per key, kept DISTINCT ids <= quota;
+    (3) copies of one (id, key) share a flag; (4) when a key has <= quota
+    distinct ids, ALL are kept (the cap flattens heads, never starves
+    tails); (5) the kept set equals the naive global hash-rank twin."""
+    import hashlib
+
+    from data_engineering_etl_pipeline_spark.extensions.sampling import (
+        balanced_sample_by_key)
+
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = balanced_sample_by_key(df, quota, key_col="k", id_col="id",
+                                 salt="prop-9").collect()
+    assert len(out) == len(rows)
+    by_key: dict = {}
+    flag: dict = {}
+    for r in out:
+        by_key.setdefault(r["k"], set())
+        if r["kept"]:
+            by_key[r["k"]].add(r["id"])
+        prev = flag.get((r["id"], r["k"]))
+        assert prev is None or prev == r["kept"]  # copies share the flag
+        flag[(r["id"], r["k"])] = r["kept"]
+    distinct: dict = {}
+    for i, k in rows:
+        distinct.setdefault(k, set()).add(i)
+    for k, kept_ids in by_key.items():
+        assert len(kept_ids) <= quota
+        if len(distinct[k]) <= quota:
+            assert kept_ids == distinct[k], (k, kept_ids, distinct[k])
+    # naive twin: per key, the quota smallest (md5-rank, id) distinct ids
+    for k, ids in distinct.items():
+        ranked = sorted(
+            (int(hashlib.md5(f"{i}|prop-9".encode()).hexdigest()[:8], 16),
+             i) for i in ids)
+        want = {i for _, i in ranked[:quota]}
+        assert by_key.get(k, set()) == want, (k, by_key.get(k), want)
