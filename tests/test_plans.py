@@ -469,6 +469,8 @@ def test_doc_url_curation_plan_contracts(spark):
     assert "BroadcastHashJoin" in p, p
     assert "LeftAnti" in p, p
     assert "MapInPandas" in p, p
+    assert "hashpartitioning(__fp" in p, p  # dedup keys on fingerprints
+    assert "hashpartitioning(canonical_url" not in p, p  # never raw URLs
     iw = p.index("Window")
     im = p.index("MapInPandas")
     assert iw < im, p
