@@ -640,3 +640,71 @@ def test_streaming_kmeans_update_matches_batch_bitwise(spark, tmp_path):
                 _assign_with_vec(emb, "embedding", cents,
                                  assign="fold")).collect()}
     assert got == want
+
+
+def test_streaming_url_dedup_foreachbatch(spark, tmp_path):
+    """r8: the weburl canonicalizer composes with the streaming ingest
+    dedup UNCHANGED — micro-batches of (doc_id, url) dedup against a
+    parquet-persisted fingerprint index keyed on the CANONICAL URL, so a
+    later batch's tracking-param/www/port/fragment variant of an earlier
+    batch's URL drops at index-join cost. Survivors equal a batch
+    keep-first dedup of the canonicalized union; the index stores
+    fingerprints only, never URLs."""
+    import os
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        doc_fingerprints, exact_dedup_keep_first, incremental_exact_dedup)
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        canonicalize_url)
+
+    schema = "doc_id long, url string"
+    batches = [
+        [(1, "https://ex.com/a"), (2, "https://ex.com/b")],
+        [(3, "HTTPS://WWW.ex.com:443/a?utm_source=s"),   # variant of 1
+         (4, "https://ex.com/c")],
+        [(5, "https://ex.com/b#frag"),                   # variant of 2
+         (6, "https://ex.com/c/"),                       # variant of 4
+         (7, "https://ex.com/d")],
+    ]
+    stage = tmp_path / "src"
+    stage.mkdir()
+    for i, rows in enumerate(batches):
+        out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        src = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        dst = os.path.join(str(stage), f"{i:02d}.parquet")
+        os.rename(os.path.join(out, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    index_dir = str(tmp_path / "url_index")
+    out_dir = str(tmp_path / "deduped")
+    doc_fingerprints(
+        spark.createDataFrame([], "doc_id long, curl string"),
+        text_col="curl").write.parquet(index_dir)
+
+    def sink(batch_df, batch_id):
+        s = batch_df.sparkSession
+        canon = batch_df.withColumn("curl", canonicalize_url("url"))
+        fresh, updated = incremental_exact_dedup(
+            canon, s.read.parquet(index_dir), text_col="curl")
+        fresh.drop("curl").write.mode("append").parquet(out_dir)
+        updated.write.mode("overwrite").parquet(index_dir + "_next")
+        s.read.parquet(index_dir + "_next") \
+            .write.mode("overwrite").parquet(index_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    q.stop()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    union = spark.read.parquet(str(stage)).withColumn(
+        "curl", canonicalize_url("url"))
+    want = sorted(r["doc_id"] for r in
+                  exact_dedup_keep_first(union, text_col="curl").collect())
+    assert got == want == [1, 2, 4, 7]
+    assert set(spark.read.parquet(index_dir).columns) == {
+        "__fp", "__fplen", "keep_id"}
