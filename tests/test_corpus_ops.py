@@ -650,3 +650,40 @@ def test_hashed_tfidf_null_text_yields_zero_vector(spark):
            for r in hashed_tfidf_vectors(df, dim=32).collect()}
     assert np.all(got[1] == 0.0) and got[1].shape == (32,)
     assert np.linalg.norm(got[0]) > 0
+
+
+def test_hashed_tfidf_self_fit_tokenizes_once(spark):
+    """r8 (the doc_tfidf_near_dup accounting fix): the self-fit path pins
+    the bucket relation, so the eager idf aggregate materializes it and
+    the returned vectorizer plan reads the CACHE instead of re-running
+    tokenize+md5 over the corpus — regression pin: the plan must read an
+    InMemoryTableScan, and exactly one engine pin must have been taken
+    (released here, the caller-release contract). The precomputed-idf
+    apply path stays pin-free (fully map-only)."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from data_engineering_etl_pipeline_spark.caching import (
+        release_engine_pins)
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        hashed_tfidf_vectors)
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    from .conftest import SF_DIR
+
+    release_engine_pins()  # isolate the count below
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    vecs = hashed_tfidf_vectors(docs, id_col="doc_id", dim=32)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vecs.explain("formatted")
+    assert "InMemoryTableScan" in buf.getvalue()
+    assert release_engine_pins() == 1
+
+    # frozen-idf apply: map-only, no pin taken
+    applied = hashed_tfidf_vectors(docs, id_col="doc_id", dim=32,
+                                   idf=np.ones(32))
+    assert applied.count() > 0
+    assert release_engine_pins() == 0
