@@ -765,7 +765,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # clusters. Eager snapshots release their cache as soon as the
     # checkpoint is durable; lazy ones after the materializing count
     # (`settle` below), so at most one round's cache is ever held.
-    _pending_caches: dict[int, DataFrame] = {}
+    # (snapshot, cache) pairs matched by snapshot IDENTITY — holding the
+    # strong reference is the point (r8 advisor finding: a dict keyed by
+    # id(out) alone held no reference to the snapshot, so a GC'd lazy
+    # snapshot could leak its persist and a later object reusing the same
+    # CPython id would unpersist the wrong cache).
+    _pending_caches: list[tuple[DataFrame, DataFrame]] = []
 
     def snapshot(df: DataFrame, eager: bool) -> DataFrame:
         if not reliable:
@@ -775,16 +780,18 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if eager:
             cached.unpersist(blocking=False)
         else:
-            _pending_caches[id(out)] = cached
+            _pending_caches.append((out, cached))
         return out
 
     def settle(df: DataFrame) -> None:
         """Release the persist backing a LAZY reliable snapshot once an
         action has materialized it (the checkpoint files are durable; the
         cache has served its read-for-the-write purpose)."""
-        cached = _pending_caches.pop(id(df), None)
-        if cached is not None:
-            cached.unpersist(blocking=False)
+        for i, (snap_df, cached) in enumerate(_pending_caches):
+            if snap_df is df:
+                del _pending_caches[i]
+                cached.unpersist(blocking=False)
+                return
 
     def release(df: DataFrame) -> None:
         settle(df)  # belt-and-braces on error paths

@@ -277,26 +277,29 @@ def test_exact_dedup_two_phase_equals_text_groupby(spark, texts, weak):
     from data_engineering_etl_pipeline_spark.extensions.dedup import (
         exact_dedup_groups, exact_dedup_keep_first)
 
+    from .conftest import partition_layouts
+
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     fp = [F.length("text").alias("__fp")] if weak else None
 
-    got = sorted((r["keep_id"], r["n_copies"]) for r in
-                 exact_dedup_groups(df, "doc_id", "text",
-                                    fingerprint=fp).collect())
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     # dropna=False: SQL GROUP BY groups NULLs together, pandas drops them
     grp = pdf.groupby("text", dropna=False)["doc_id"].agg(["min", "count"])
     want = sorted((int(r["min"]), int(r["count"]))
                   for _, r in grp.iterrows() if r["count"] > 1)
-    assert got == want
-
-    kept = sorted(r["doc_id"] for r in
-                  exact_dedup_keep_first(df, "doc_id", "text",
-                                         fingerprint=fp).collect())
     want_kept = sorted(
         int(v) for v in pdf.groupby("text", dropna=False)["doc_id"].min())
-    assert kept == want_kept
+    for layout, frame in partition_layouts(df):
+        got = sorted((r["keep_id"], r["n_copies"]) for r in
+                     exact_dedup_groups(frame, "doc_id", "text",
+                                        fingerprint=fp).collect())
+        assert got == want, layout
+
+        kept = sorted(r["doc_id"] for r in
+                      exact_dedup_keep_first(frame, "doc_id", "text",
+                                             fingerprint=fp).collect())
+        assert kept == want_kept, layout
 
 
 # corpora with dense duplicates and NULLs; the split index cuts the corpus
@@ -329,18 +332,23 @@ def test_incremental_dedup_batch_split_invariant(spark, args):
     bounds = [0] + cuts + [len(rows)]
     schema = "doc_id long, text string"
 
-    index = doc_fingerprints(spark.createDataFrame([], schema))
-    kept: list[int] = []
-    for lo, hi in zip(bounds, bounds[1:]):
-        if lo == hi:
-            continue
-        batch = spark.createDataFrame(rows[lo:hi], schema)
-        fresh, index = incremental_exact_dedup(batch, index)
-        kept.extend(r["doc_id"] for r in fresh.collect())
-
     want = sorted(r["doc_id"] for r in exact_dedup_keep_first(
         spark.createDataFrame(rows, schema)).collect())
-    assert sorted(kept) == want
+    # both layouts (r8 VERDICT item 2): the in-batch phase is a keyed
+    # kernel — duplicate texts co-located in one partition must still
+    # resolve to keep-first(min id)
+    for coalesce in (False, True):
+        index = doc_fingerprints(spark.createDataFrame([], schema))
+        kept: list[int] = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            if lo == hi:
+                continue
+            batch = spark.createDataFrame(rows[lo:hi], schema)
+            if coalesce:
+                batch = batch.coalesce(1)
+            fresh, index = incremental_exact_dedup(batch, index)
+            kept.extend(r["doc_id"] for r in fresh.collect())
+        assert sorted(kept) == want, f"coalesce={coalesce}"
 
 
 # random small embedding corpora: a handful of prototype directions plus
@@ -379,15 +387,21 @@ def test_blocked_gemm_pairs_equals_broadcast_property(spark, corpus,
             continue
         rnd = _r.Random(1000 * p + nb)
         rows.append((i, [x + 0.15 * nb * rnd.gauss(0, 1) for x in protos[p]]))
+    from .conftest import partition_layouts
+
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     want = sorted((r.id_a, r.id_b, r.cosine)
                   for r in cosine_near_dup_pairs(
                       df, threshold=threshold, dim=dim).collect())
-    got = sorted((r.id_a, r.id_b, r.cosine)
-                 for r in cosine_near_dup_pairs(
-                     df, threshold=threshold, dim=dim,
-                     n_blocks=n_blocks).collect())
-    assert got == want
+    # both layouts (r8 VERDICT item 2): the GEMM batcher is a
+    # partition-local kernel — co-located duplicate vectors must not
+    # change the pair set
+    for layout, frame in partition_layouts(df):
+        got = sorted((r.id_a, r.id_b, r.cosine)
+                     for r in cosine_near_dup_pairs(
+                         frame, threshold=threshold, dim=dim,
+                         n_blocks=n_blocks).collect())
+        assert got == want, layout
 
 
 @SET
@@ -544,40 +558,50 @@ _keyed_strategy = st.lists(
 @SET
 @given(rows=_keyed_strategy, quota=st.integers(0, 5))
 def test_balanced_sample_by_key_properties(spark, rows, quota):
-    """For ANY keyed input and quota: (1) output has exactly the input
-    rows (no inflation/loss); (2) per key, kept DISTINCT ids <= quota;
-    (3) copies of one (id, key) share a flag; (4) when a key has <= quota
-    distinct ids, ALL are kept (the cap flattens heads, never starves
-    tails); (5) the kept set equals the naive global hash-rank twin."""
+    """For ANY keyed input and quota, under BOTH the default partition
+    layout and forced single-partition co-location (r8 VERDICT item 2 —
+    on local[32], tiny inputs spread ~1 row per partition, so the
+    partition-local prune never sees co-located duplicate copies unless
+    forced): (1) output has exactly the input rows (no inflation/loss);
+    (2) per key, kept DISTINCT ids <= quota; (3) copies of one (id, key)
+    share a flag; (4) when a key has <= quota distinct ids, ALL are kept
+    (the cap flattens heads, never starves tails); (5) the kept set
+    equals the naive global hash-rank twin over distinct ids."""
     import hashlib
 
     from data_engineering_etl_pipeline_spark.extensions.sampling import (
         balanced_sample_by_key)
 
-    df = spark.createDataFrame(rows, "id long, k string")
-    out = balanced_sample_by_key(df, quota, key_col="k", id_col="id",
-                                 salt="prop-9").collect()
-    assert len(out) == len(rows)
-    by_key: dict = {}
-    flag: dict = {}
-    for r in out:
-        by_key.setdefault(r["k"], set())
-        if r["kept"]:
-            by_key[r["k"]].add(r["id"])
-        prev = flag.get((r["id"], r["k"]))
-        assert prev is None or prev == r["kept"]  # copies share the flag
-        flag[(r["id"], r["k"])] = r["kept"]
+    from .conftest import partition_layouts
+
     distinct: dict = {}
     for i, k in rows:
         distinct.setdefault(k, set()).add(i)
-    for k, kept_ids in by_key.items():
-        assert len(kept_ids) <= quota
-        if len(distinct[k]) <= quota:
-            assert kept_ids == distinct[k], (k, kept_ids, distinct[k])
-    # naive twin: per key, the quota smallest (md5-rank, id) distinct ids
-    for k, ids in distinct.items():
-        ranked = sorted(
-            (int(hashlib.md5(f"{i}|prop-9".encode()).hexdigest()[:8], 16),
-             i) for i in ids)
-        want = {i for _, i in ranked[:quota]}
-        assert by_key.get(k, set()) == want, (k, by_key.get(k), want)
+    df = spark.createDataFrame(rows, "id long, k string")
+    for layout, frame in partition_layouts(df):
+        out = balanced_sample_by_key(frame, quota, key_col="k",
+                                     id_col="id", salt="prop-9").collect()
+        assert len(out) == len(rows), layout
+        by_key: dict = {}
+        flag: dict = {}
+        for r in out:
+            by_key.setdefault(r["k"], set())
+            if r["kept"]:
+                by_key[r["k"]].add(r["id"])
+            prev = flag.get((r["id"], r["k"]))
+            # copies share the flag
+            assert prev is None or prev == r["kept"], layout
+            flag[(r["id"], r["k"])] = r["kept"]
+        for k, kept_ids in by_key.items():
+            assert len(kept_ids) <= quota, layout
+            if len(distinct[k]) <= quota:
+                assert kept_ids == distinct[k], (layout, k, kept_ids,
+                                                 distinct[k])
+        # naive twin: per key, quota smallest (md5-rank, id) distinct ids
+        for k, ids in distinct.items():
+            ranked = sorted(
+                (int(hashlib.md5(f"{i}|prop-9".encode()).hexdigest()[:8],
+                     16), i) for i in ids)
+            want = {i for _, i in ranked[:quota]}
+            assert by_key.get(k, set()) == want, (layout, k,
+                                                  by_key.get(k), want)

@@ -87,6 +87,64 @@ def test_incremental_url_dedup_composition(spark):
     assert fresh2.count() == 0
 
 
+def test_colocated_duplicate_copies_do_not_evict_distinct_ids(spark):
+    """r8 VERDICT item 1 exact repro: duplicate (id, key) copies
+    CO-LOCATED in one partition must not consume several phase-1 quota
+    slots — a key with <= quota distinct ids keeps ALL of them, whatever
+    the hash order. On unfixed code, 3 copies of each id in coalesce(1)
+    filled head(quota) with copies of the best-hash id and silently
+    dropped the other distinct id from the candidate set."""
+    import hashlib
+
+    # both ids duplicated 3x: whichever hv-ranks first, its copies alone
+    # fill a rows-counting head(2), so the test bites on unfixed code
+    # regardless of the hash order
+    rows = [(1, "k")] * 3 + [(2, "k")] * 3
+    df = spark.createDataFrame(rows, "id long, k string").coalesce(1)
+    out = balanced_sample_by_key(df, 2, key_col="k", id_col="id",
+                                 n_keys_hint=1).collect()
+    assert len(out) == len(rows)
+    assert {r["id"] for r in out if r["kept"]} == {1, 2}
+
+    # the verdict's literal shape: (a, a, b) one partition, hv(a) < hv(b),
+    # quota 2 — a's duplicate copy must not evict b
+    def hv(i, salt):
+        return int(hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8], 16)
+
+    a, b = sorted((10, 11), key=lambda i: hv(i, "key-balance-42"))
+    df2 = spark.createDataFrame([(a, "k"), (a, "k"), (b, "k")],
+                                "id long, k string").coalesce(1)
+    out2 = balanced_sample_by_key(df2, 2, key_col="k", id_col="id",
+                                  n_keys_hint=1).collect()
+    assert {r["id"] for r in out2 if r["kept"]} == {a, b}
+
+
+def test_quota_rank_sql_dense_rank_matches_engine_on_duplicates(spark, duck):
+    """r8 VERDICT item 6: the SQL twin uses DENSE_RANK so its kept set
+    equals the engine's top-quota DISTINCT ids on DUPLICATE-bearing
+    inputs too (copies of one (id, key) share the (hv, id) order tuple
+    and therefore one rank). Duplicates co-located via coalesce(1) — the
+    adversarial layout of the r8 prune bug."""
+    from data_engineering_etl_pipeline_spark.extensions.sampling import (
+        quota_rank_sql)
+
+    rows = ([(i, "a") for i in range(8)] * 2        # every 'a' id twice
+            + [(i, "b") for i in range(3)]           # under-quota key
+            + [(0, "b"), (0, "b")])                  # extra copies of one id
+    df = spark.createDataFrame(rows, "id long, k string").coalesce(1)
+    got = balanced_sample_by_key(df, 4, key_col="k", id_col="id",
+                                 salt="dup-oracle-3", n_keys_hint=2)
+    duck.execute("CREATE OR REPLACE TEMP TABLE dup_keyed (id BIGINT, k VARCHAR)")
+    duck.executemany("INSERT INTO dup_keyed VALUES (?, ?)", rows)
+    sql = f"""
+    SELECT id, k,
+           {quota_rank_sql('id', 'k', 'dup-oracle-3')} <= 4 AS kept
+    FROM dup_keyed
+    """
+    assert_matches_oracle(got, duck, sql, "dup_keyed_quota")
+    duck.execute("DROP TABLE dup_keyed")
+
+
 def test_duplicate_ids_share_one_slot_and_never_inflate_rows(spark):
     """r8 review finding: duplicate-id copies must not fan the flag join
     out (output rows > input rows) nor consume several quota slots."""
