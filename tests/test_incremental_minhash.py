@@ -1,0 +1,148 @@
+"""Incremental MinHash-LSH near-dup index (r8 VERDICT item 3): the
+lexical twin of incremental_semantic_dedup — a persisted (band, bh,
+keep_id, keep_sig) index lets each ingest batch near-dup-dedup against
+everything seen so far WITHOUT re-banding the corpus. Units: cross-batch
+drop equals the batch rerun, idempotent replay, config refusal,
+disk==memory index, shingle-less docs pass through un-indexed. The
+index-side no-exchange plan pin lives in tests/test_plans.py; the
+foreachBatch streaming e2e in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_pipeline_spark.caching import engine_pin_scope
+from data_engineering_etl_pipeline_spark.extensions.dedup import (
+    dedup_clusters, incremental_minhash_lsh_dedup, minhash_band_index,
+    minhash_lsh_pairs, read_minhash_band_index, write_minhash_band_index)
+
+_SCHEMA = "doc_id long, text string"
+_BASE_A = ("the quick brown fox jumps over the lazy dog and runs far "
+           "away across the quiet field this morning ") * 3
+_BASE_B = ("completely different prose about spark engines shuffles and "
+           "distributed joins over bucketed parquet tables ") * 3
+_BASE_C = ("genuinely novel content about volcanoes erupting in iceland "
+           "with regular fountains of bright lava all week ") * 3
+
+
+def _batch_rerun_kept(spark, rows) -> list[int]:
+    """The one-shot oracle: LSH pairs over the whole union -> connected
+    components -> min-id keeper per cluster."""
+    union = spark.createDataFrame(rows, _SCHEMA)
+    pairs = minhash_lsh_pairs(union)
+    comp = dedup_clusters(pairs.select("id_a", "id_b"),
+                          driver_budget=1_000_000)
+    drops = {r["member_id"] for r in
+             comp.filter(F.col("member_id") != F.col("cluster_id"))
+             .collect()}
+    return sorted(i for i, _ in rows if i not in drops)
+
+
+def test_cross_batch_drop_equals_batch_rerun(spark):
+    """Ingesting a corpus in batches through the persisted band index
+    keeps exactly the ids a one-shot batch rerun keeps: exact copies and
+    strong near-dups across batches drop against the index, in-batch dups
+    resolve to the min id, distinct docs survive. Ids ascend across
+    batches (the split-invariance precondition shared with the exact
+    form)."""
+    batches = [
+        [(1, _BASE_A), (2, _BASE_B)],
+        [(10, _BASE_A),                              # exact copy of 1
+         (11, _BASE_A.replace("dog", "cat")),        # near-dup of 1
+         (12, _BASE_C), (13, _BASE_C)],              # 13 in-batch dup of 12
+        [(20, _BASE_C.replace("lava", "magma")),     # near-dup of 12
+         (21, _BASE_B),                              # exact copy of 2
+         (22, ("a fourth unrelated passage on tidal "  # genuinely new
+               "marshes and migratory birds resting in "
+               "the shallow estuary every autumn ") * 3)],
+    ]
+    with engine_pin_scope():
+        index = minhash_band_index(spark.createDataFrame([], _SCHEMA))
+        kept: list[int] = []
+        for rows in batches:
+            batch = spark.createDataFrame(rows, _SCHEMA)
+            fresh, index = incremental_minhash_lsh_dedup(batch, index)
+            kept.extend(r["doc_id"] for r in fresh.collect())
+        want = _batch_rerun_kept(spark, [r for b in batches for r in b])
+        assert sorted(kept) == want == [1, 2, 12, 22]
+        # the index holds exactly the keepers' band rows
+        assert {r["keep_id"] for r in index.collect()} == set(want)
+
+
+def test_replay_is_idempotent_and_preserves_columns(spark):
+    """Re-ingesting an already-indexed batch drops every row; fresh rows
+    preserve EVERY batch column (the incremental_exact_dedup contract)."""
+    with engine_pin_scope():
+        day1 = spark.createDataFrame(
+            [(1, _BASE_A, "s3://a"), (2, _BASE_B, "s3://b")],
+            "doc_id long, text string, uri string")
+        empty = minhash_band_index(
+            spark.createDataFrame([], "doc_id long, text string"))
+        fresh, index = incremental_minhash_lsh_dedup(day1, empty)
+        got = fresh.collect()
+        assert sorted(r["doc_id"] for r in got) == [1, 2]
+        assert set(fresh.columns) == {"doc_id", "text", "uri"}
+        assert {r["uri"] for r in got} == {"s3://a", "s3://b"}
+        fresh2, _ = incremental_minhash_lsh_dedup(day1, index)
+        assert fresh2.count() == 0
+
+
+def test_disk_index_equals_memory_index(spark):
+    """An index persisted via write_minhash_band_index and read back
+    bucket-aligned produces the same drop decisions as the in-memory
+    relation (the semantic form's disk==memory contract)."""
+    with engine_pin_scope():
+        day1 = spark.createDataFrame([(1, _BASE_A), (2, _BASE_B)], _SCHEMA)
+        index_mem = minhash_band_index(day1)
+        write_minhash_band_index(index_mem, "t_mh_index")
+        index_disk = read_minhash_band_index(spark, "t_mh_index")
+        day2 = spark.createDataFrame(
+            [(10, _BASE_A), (11, _BASE_C)], _SCHEMA)
+        fresh_mem, _ = incremental_minhash_lsh_dedup(day2, index_mem)
+        fresh_disk, _ = incremental_minhash_lsh_dedup(day2, index_disk)
+        a = sorted(r["doc_id"] for r in fresh_mem.collect())
+        b = sorted(r["doc_id"] for r in fresh_disk.collect())
+        assert a == b == [11]
+
+
+def test_config_mismatch_and_missing_columns_refused(spark):
+    """A mismatched (num_perm, bands, n, seed) index would silently match
+    nothing and re-admit every indexed duplicate — refuse loudly, like
+    the semantic form (r6 review finding)."""
+    with engine_pin_scope():
+        day1 = spark.createDataFrame([(1, _BASE_A)], _SCHEMA)
+        index = minhash_band_index(day1, num_perm=64, bands=16)
+        batch = spark.createDataFrame([(2, _BASE_B)], _SCHEMA)
+        with pytest.raises(ValueError, match="built with"):
+            incremental_minhash_lsh_dedup(batch, index, bands=8)
+        with pytest.raises(ValueError, match="built with"):
+            incremental_minhash_lsh_dedup(batch, index, seed=7)
+        with pytest.raises(ValueError, match="missing columns"):
+            incremental_minhash_lsh_dedup(batch, index.drop("keep_sig"))
+        mixed = index.unionByName(
+            minhash_band_index(day1, num_perm=64, bands=8))
+        with pytest.raises(ValueError, match="mixes LSH configs"):
+            incremental_minhash_lsh_dedup(batch, mixed)
+        with pytest.raises(ValueError, match="must divide"):
+            incremental_minhash_lsh_dedup(batch, index, num_perm=64,
+                                          bands=7)
+
+
+def test_shingleless_docs_survive_and_stay_unindexed(spark):
+    """NULL/short texts have empty shingle sets — never lexical near-dups
+    (the batch path never pairs them), so they pass through every batch
+    and contribute no index rows. The exact-dedup stage upstream is where
+    repeated NULL/short texts get dropped in the full pipeline."""
+    with engine_pin_scope():
+        empty = minhash_band_index(spark.createDataFrame([], _SCHEMA))
+        day1 = spark.createDataFrame(
+            [(1, None), (2, "tiny"), (3, _BASE_A)], _SCHEMA)
+        fresh, index = incremental_minhash_lsh_dedup(day1, empty)
+        assert sorted(r["doc_id"] for r in fresh.collect()) == [1, 2, 3]
+        assert {r["keep_id"] for r in index.collect()} == {3}
+        day2 = spark.createDataFrame([(10, None), (11, "tiny")], _SCHEMA)
+        fresh2, index2 = incremental_minhash_lsh_dedup(day2, index)
+        assert sorted(r["doc_id"] for r in fresh2.collect()) == [10, 11]
+        assert {r["keep_id"] for r in index2.collect()} == {3}

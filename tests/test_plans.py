@@ -456,6 +456,42 @@ def test_incremental_semantic_dedup_bucketed_index_join_no_index_exchange(spark)
     assert shuffles(p) == 1, p
 
 
+def test_incremental_minhash_bucketed_index_join_no_index_exchange(spark):
+    """The lexical-LSH daily-ingest contract (r8 VERDICT item 3 — the
+    minhash twin of the fingerprint/signature index pins above): with the
+    band index persisted via write_minhash_band_index (bucketed on BOTH
+    join-key columns), the cross-batch candidate join reads the index
+    bucket-aligned — 'Bucketed: true' at the scan, and the only exchange
+    is the batch's own band rows."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        _doc_band_signatures, _explode_band_rows, minhash_band_index,
+        read_minhash_band_index, tokenized_docs, write_minhash_band_index)
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    write_minhash_band_index(minhash_band_index(docs), "b_mh_index")
+    index = read_minhash_band_index(spark, "b_mh_index")
+    batch = docs.withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    band_rows = _explode_band_rows(
+        _doc_band_signatures(tokenized_docs(batch), "doc_id", 3, 64, 16,
+                             42), "doc_id", 16)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = band_rows.join(index, ["band", "bh"])
+        p = plan_text(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in p, p
+    # exchanges: the batch side's signature aggregate (keys on doc_id) and
+    # the batch band rows' join partitioning — the INDEX side contributes
+    # NONE (its scan is bucket-aligned on the join keys)
+    assert shuffles(p) == 2, p
+    assert "hashpartitioning(band" in p, p
+
+
 def test_doc_url_curation_plan_contracts(spark):
     """The r8 URL-curation row: no cartesian product anywhere; the
     blocklist stage joins BROADCAST (LEFT ANTI — blocklists are MB-scale,
