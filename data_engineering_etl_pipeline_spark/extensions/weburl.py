@@ -182,6 +182,90 @@ def registered_domain_from_host_sql(h: str) -> str:
       END"""
 
 
+def with_registered_domain_psl(docs: DataFrame, suffixes: DataFrame,
+                               url_col: str = "url",
+                               out_col: str = "domain",
+                               suffix_col: str = "suffix",
+                               host_col: str | None = None,
+                               max_suffix_labels: int = 4) -> DataFrame:
+    """Registered domain backed by a CALLER-SUPPLIED public-suffix table
+    (r8 VERDICT item 4): ``docs`` plus an ``out_col`` column holding the
+    PSL registered domain of each row's URL (or bare ``host_col`` when
+    given). ``suffixes`` is a one-column DataFrame of suffixes — the
+    public-suffix list is deployment DATA (a file you mount and refresh),
+    not engine logic, so the engine takes it as a relation: ICANN +
+    private suffixes alike (``github.io``-class entries Just Work). The
+    no-data default remains the :func:`registered_domain` heuristic.
+
+    Semantics (publicsuffix.org algorithm, longest-match): the registered
+    domain is the longest listed suffix plus ONE more host label; a host
+    that IS a listed suffix exactly has no registrable part → ``''`` (the
+    '' host convention); a host whose TLD is unlisted falls back to the
+    implicit ``*`` rule (TLD = the suffix → registered = last two
+    labels). Wildcard (``*.ck``) and exception (``!www.ck``) rules are a
+    PREPROCESSING concern — expand them into concrete suffix rows when
+    loading the list (they are <1% of the PSL); rows starting with
+    ``*.``/``!`` are refused loudly rather than silently mis-matched.
+
+    Plan shape — map-only at any corpus scale: candidate suffixes of
+    depth 1..``max_suffix_labels`` are sliced from the host labels
+    (pure expressions, no explode), and each depth is matched by its own
+    BROADCAST left join against the suffix table (MB-scale by nature) —
+    K broadcast hash joins, ZERO corpus shuffles (an explode + groupBy
+    longest-match would re-shuffle the corpus by id). PSL suffixes
+    deeper than ``max_suffix_labels`` (a handful of 5-label private
+    entries) are matched at their last ``max_suffix_labels`` labels —
+    raise the cap if a deployment needs them exact."""
+    host = (F.lower(F.trim(F.col(host_col))) if host_col is not None
+            else extract_host(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    sfx = suffixes.select(F.lower(F.trim(F.col(suffix_col))).alias("__s"))
+    out = docs.withColumn("__labels", labels).withColumn("__n", n)
+    for k in range(1, max_suffix_labels + 1):
+        cand = F.when(F.col("__n") >= k,
+                      F.array_join(F.slice(F.col("__labels"), -k, k), "."))
+        out = out.withColumn(f"__c{k}", cand).join(
+            F.broadcast(sfx.select(F.col("__s").alias(f"__c{k}"),
+                                   F.lit(True).alias(f"__m{k}"))),
+            f"__c{k}", "left")
+    # longest listed suffix depth; unlisted TLD -> implicit '*' (depth 1)
+    klen = F.lit(1)
+    for k in range(1, max_suffix_labels + 1):
+        klen = F.when(F.col(f"__m{k}"), F.lit(k)).otherwise(klen)
+    reg = (F.when(host.isNull(), F.lit(None).cast("string"))
+           .when(host == "", F.lit(""))
+           .when(F.col("__n") <= klen, F.lit(""))  # host IS a suffix
+           .otherwise(F.array_join(
+               F.slice(F.col("__labels"), -(klen + F.lit(1)),
+                       klen + F.lit(1)), ".")))
+    drop = (["__labels", "__n"]
+            + [c for k in range(1, max_suffix_labels + 1)
+               for c in (f"__c{k}", f"__m{k}")])
+    return out.withColumn(out_col, reg).drop(*drop)
+
+
+def load_suffix_rows(entries) -> list[tuple[str]]:
+    """Normalize raw public-suffix-list lines into suffix rows: drop
+    comments (``//``) and blanks, refuse wildcard/exception rules (the
+    documented preprocessing boundary of
+    :func:`with_registered_domain_psl`), strip whitespace, lowercase.
+    Returns ``[(suffix,), ...]`` ready for ``createDataFrame(...,
+    'suffix string')``."""
+    rows = []
+    for line in entries:
+        s = line.strip()
+        if not s or s.startswith("//"):
+            continue
+        if s.startswith("*.") or s.startswith("!"):
+            raise ValueError(
+                f"load_suffix_rows: wildcard/exception rule {s!r} — expand "
+                "it into concrete suffixes before loading (see "
+                "with_registered_domain_psl)")
+        rows.append((s.lower(),))
+    return rows
+
+
 def url_dedup_keep_first(docs: DataFrame, url_col: str = "url",
                          id_col: str = "doc_id") -> DataFrame:
     """URL-keyed exact dedup: ``(id, canonical_url, kept)`` with kept =
@@ -207,7 +291,8 @@ def url_dedup_keep_first(docs: DataFrame, url_col: str = "url",
 
 def domain_balanced_sample(docs: DataFrame, quota_per_domain: int,
                            url_col: str = "url", id_col: str = "doc_id",
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           suffixes: DataFrame | None = None) -> DataFrame:
     """Per-domain document cap — ``(id, domain, kept)`` flagging at most
     ``quota_per_domain`` rows per registered domain, selected by the
     portable hash order (deterministic, engine-reproducible; NOT crawl
@@ -216,10 +301,18 @@ def domain_balanced_sample(docs: DataFrame, quota_per_domain: int,
     (``sampling.balanced_sample_by_key``) with the domain as the key:
     map-only prune → candidate-sized rank → keeper flag join. Domain
     cardinality is unknown a priori, so no broadcast hint (AQE decides
-    from the actual candidate size)."""
+    from the actual candidate size). ``suffixes`` (optional) keys the cap
+    by the PSL registered domain (:func:`with_registered_domain_psl`) —
+    without it, ``github.io``-class private suffixes mis-group every user
+    site under one capped key; the heuristic stays the no-data default."""
     from .sampling import balanced_sample_by_key
-    keyed = docs.select(F.col(id_col),
-                        registered_domain(url_col).alias("domain"))
+    if suffixes is None:
+        keyed = docs.select(F.col(id_col),
+                            registered_domain(url_col).alias("domain"))
+    else:
+        keyed = with_registered_domain_psl(
+            docs.select(F.col(id_col), F.col(url_col)), suffixes,
+            url_col=url_col, out_col="domain").select(id_col, "domain")
     return balanced_sample_by_key(
         keyed, quota_per_domain, key_col="domain", id_col=id_col,
         salt=f"domain-balance-{seed}")
@@ -228,7 +321,8 @@ def domain_balanced_sample(docs: DataFrame, quota_per_domain: int,
 def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
                        url_col: str = "url",
                        blocked_domain_col: str = "domain",
-                       keep_domain_col: str | None = None) -> DataFrame:
+                       keep_domain_col: str | None = None,
+                       suffixes: DataFrame | None = None) -> DataFrame:
     """Drop rows whose registered domain is blocklisted — broadcast LEFT
     ANTI join (C4's URL-blocklist step). The blocklist is MB-scale by
     nature; the corpus streams map-side through the join. BOTH sides
@@ -241,14 +335,23 @@ def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
     exact-host granularity match on :func:`extract_host` instead.
     ``keep_domain_col`` forwards the computed registered domain on the
     survivors (it is already evaluated for the join — re-deriving it
-    downstream would pay the regex stack again)."""
-    dom = docs.withColumn("__dom", registered_domain(url_col))
+    downstream would pay the regex stack again). ``suffixes`` (optional)
+    normalizes BOTH sides with the PSL (:func:`with_registered_domain_psl`)
+    instead of the heuristic — a ``user.github.io`` blocklist entry then
+    blocks exactly that user site, not all of ``github.io``."""
     bl_host = F.regexp_replace(
         F.lower(F.trim(F.col(blocked_domain_col))), r"^www\.", "")
-    bl = F.broadcast(
-        blocklist.select(
+    if suffixes is None:
+        dom = docs.withColumn("__dom", registered_domain(url_col))
+        bl_dom = blocklist.select(
             registered_domain_from_host(bl_host).alias("__dom"))
-        .distinct())
+    else:
+        dom = with_registered_domain_psl(docs, suffixes, url_col=url_col,
+                                         out_col="__dom")
+        bl_dom = with_registered_domain_psl(
+            blocklist.select(bl_host.alias("__h")), suffixes,
+            host_col="__h", out_col="__dom").select("__dom")
+    bl = F.broadcast(bl_dom.distinct())
     out = dom.join(bl, "__dom", "left_anti")
     if keep_domain_col is None:
         return out.drop("__dom")

@@ -221,3 +221,103 @@ def test_canonicalize_is_idempotent_on_the_url_zoo(spark):
     b = {r["doc_id"]: r["url"] for r in twice.collect()}
     assert a == b
     assert a[10 ** 9] == "https://ex.com/x"
+
+
+def test_psl_registered_domain_point_cases(spark):
+    """r8 VERDICT item 4: the PSL-backed registered domain — longest
+    listed suffix + one label, private suffixes (github.io-class)
+    honored, a host that IS a suffix has no registrable part, unlisted
+    TLDs fall back to the implicit '*' rule, NULL/'' preserved."""
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        with_registered_domain_psl)
+
+    sfx = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("io",), ("github.io",)],
+        "suffix string")
+    rows = [
+        (1, "https://a.b.example.co.uk/x"),   # co.uk -> example.co.uk
+        (2, "https://www.example.com/x"),     # com -> example.com
+        (3, "https://alice.github.io/blog"),  # private -> alice.github.io
+        (4, "https://deep.sub.alice.github.io"),  # still alice.github.io
+        (5, "https://github.io"),             # host IS a suffix -> ''
+        (6, "https://example.weirdtld/x"),    # implicit * fallback
+        (7, "https://weirdtld"),              # 1-label unlisted -> ''
+        (8, None),                            # NULL -> NULL
+        (9, "not a url"),                     # no host -> ''
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["domain"] for r in
+           with_registered_domain_psl(df, sfx).collect()}
+    assert got == {1: "example.co.uk", 2: "example.com",
+                   3: "alice.github.io", 4: "alice.github.io",
+                   5: "", 6: "example.weirdtld", 7: "", 8: None, 9: ""}
+
+
+def test_psl_plan_is_map_only_broadcast_joins(spark):
+    """The PSL match is K broadcast left joins sliced from the host
+    labels — ZERO corpus shuffles (an explode + groupBy longest-match
+    would re-shuffle the corpus by id)."""
+    import contextlib
+    import io
+
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        with_registered_domain_psl)
+
+    docs = _docs_urls(spark)
+    sfx = spark.createDataFrame([("com",), ("co.uk",)], "suffix string")
+    out = with_registered_domain_psl(docs, sfx)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_psl_blocklist_and_cap_use_private_suffix_grain(spark):
+    """With the suffix table supplied, a user.github.io blocklist entry
+    blocks exactly that user's site (not all of github.io), and the
+    domain cap keys each user site separately — the mis-grouping the r8
+    verdict named."""
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        domain_balanced_sample, filter_blocklisted)
+
+    sfx = spark.createDataFrame([("com",), ("io",), ("github.io",)],
+                                "suffix string")
+    docs = spark.createDataFrame(
+        [(1, "https://alice.github.io/a"), (2, "https://bob.github.io/b"),
+         (3, "https://www.alice.github.io/c"), (4, "https://ok.com/d")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("alice.github.io",)], "domain string")
+    kept = filter_blocklisted(docs, bl, suffixes=sfx)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+    # heuristic default (no suffixes): github.io is ONE registered domain
+    # -> both users blocked; the PSL grain is the fix
+    kept_h = filter_blocklisted(docs, bl)
+    assert sorted(r["doc_id"] for r in kept_h.collect()) == [4]
+
+    capped = domain_balanced_sample(docs, 1, suffixes=sfx)
+    by_dom: dict = {}
+    for r in capped.collect():
+        if r["kept"]:
+            by_dom.setdefault(r["domain"], 0)
+            by_dom[r["domain"]] += 1
+    # alice has 2 docs capped to 1; bob and ok.com keep theirs
+    assert by_dom == {"alice.github.io": 1, "bob.github.io": 1,
+                      "ok.com": 1}
+
+
+def test_psl_loader_normalizes_and_refuses_wildcards(spark):
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        load_suffix_rows)
+
+    rows = load_suffix_rows([
+        "// comment", "", "  COM  ", "co.uk", "github.io"])
+    assert rows == [("com",), ("co.uk",), ("github.io",)]
+    with pytest.raises(ValueError, match="wildcard/exception"):
+        load_suffix_rows(["*.ck"])
+    with pytest.raises(ValueError, match="wildcard/exception"):
+        load_suffix_rows(["!www.ck"])
