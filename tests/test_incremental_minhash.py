@@ -71,6 +71,37 @@ def test_cross_batch_drop_equals_batch_rerun(spark):
         assert {r["keep_id"] for r in index.collect()} == set(want)
 
 
+def test_chain_through_dropped_doc_matches_cluster_semantics(spark):
+    """The trickiest ordering semantic: batch has Y~X (near-dups of each
+    other), X~H (an indexed keeper), but Y is NOT a near-dup of H
+    directly. One-shot cluster semantics over the union: {H, X, Y} is one
+    connected component -> keeper H, both X and Y drop. The incremental
+    order — in-batch components FIRST (Y drops as non-keeper of {X, Y}),
+    THEN cross-batch (X drops vs H) — reaches the same set. The reversed
+    order (cross-batch first) would wrongly keep Y after its in-batch
+    keeper X vanished; this unit pins the order."""
+    h = _BASE_A                                   # history keeper
+    x = _BASE_A.replace("dog", "cat")             # J(H,X)=0.727
+    y = x.replace("fox", "ox").replace("quick", "slow")
+    # J(X,Y)=0.583 >= 0.5; J(H,Y)=0.407 < 0.5 (measured exact 3-gram
+    # Jaccards of these fixed strings)
+    with engine_pin_scope():
+        day1 = spark.createDataFrame([(1, h)], _SCHEMA)
+        index = minhash_band_index(day1)
+        batch = spark.createDataFrame([(10, x), (11, y)], _SCHEMA)
+        # precondition: the pair structure is the intended chain
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+            spark.createDataFrame([(1, h), (10, x), (11, y)], _SCHEMA))
+            .collect()}
+        assert (1, 10) in pairs and (10, 11) in pairs, pairs
+        assert (1, 11) not in pairs, pairs
+        fresh, updated = incremental_minhash_lsh_dedup(batch, index)
+        assert fresh.count() == 0
+        assert {r["keep_id"] for r in updated.collect()} == {1}
+        # equals the one-shot rerun
+        assert _batch_rerun_kept(spark, [(1, h), (10, x), (11, y)]) == [1]
+
+
 def test_replay_is_idempotent_and_preserves_columns(spark):
     """Re-ingesting an already-indexed batch drops every row; fresh rows
     preserve EVERY batch column (the incremental_exact_dedup contract)."""
