@@ -161,6 +161,33 @@ def test_config_mismatch_and_missing_columns_refused(spark):
                                           bands=7)
 
 
+def test_exact_copy_split_invariance_any_batching(spark):
+    """Split-invariance on EXACT-copy corpora (the deterministic slice of
+    the contract — signature equality needs no estimator luck): ingesting
+    in ANY batch split keeps exactly the first copy of each distinct
+    text, and shingle-less docs (short/NULL) always survive, whatever the
+    split. Near-dup CHAINS are order-dependent by documented design; this
+    pins the copy semantics the streaming e2e relies on."""
+    pool = [_BASE_A, _BASE_B, _BASE_C,
+            ("a fourth standalone passage on tidal marshes and migrating "
+             "birds resting in the shallow estuary each autumn ") * 3]
+    rows = [(i, pool[i % 4]) for i in range(12)] + [(20, None), (21, "x y")]
+    first_copy = {0, 1, 2, 3, 20, 21}
+    for cuts in ([], [5], [3, 9], [1, 2, 11]):
+        with engine_pin_scope():
+            bounds = [0] + cuts + [len(rows)]
+            index = minhash_band_index(
+                spark.createDataFrame([], _SCHEMA))
+            kept: set[int] = set()
+            for lo, hi in zip(bounds, bounds[1:]):
+                if lo == hi:
+                    continue
+                batch = spark.createDataFrame(rows[lo:hi], _SCHEMA)
+                fresh, index = incremental_minhash_lsh_dedup(batch, index)
+                kept.update(r["doc_id"] for r in fresh.collect())
+            assert kept == first_copy, cuts
+
+
 def test_shingleless_docs_survive_and_stay_unindexed(spark):
     """NULL/short texts have empty shingle sets — never lexical near-dups
     (the batch path never pairs them), so they pass through every batch
