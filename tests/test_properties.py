@@ -605,3 +605,54 @@ def test_balanced_sample_by_key_properties(spark, rows, quota):
             want = {i for _, i in ranked[:quota]}
             assert by_key.get(k, set()) == want, (layout, k,
                                                   by_key.get(k), want)
+
+
+# random hosts over a tiny label alphabet so suffix matches, exact-suffix
+# hosts, deep subdomains, and unlisted TLDs all occur; the suffix table is
+# drawn per example (possibly empty)
+_host_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(["a", "bb", "co", "uk", "io", "gh", "x"]),
+                 min_size=1, max_size=5).map(".".join)),
+    min_size=1, max_size=25)
+_sfx_strategy = st.lists(
+    st.lists(st.sampled_from(["co", "uk", "io", "gh", "x"]),
+             min_size=1, max_size=3).map(".".join),
+    max_size=8, unique=True)
+
+
+@SET
+@given(hosts=_host_strategy, suffixes=_sfx_strategy)
+def test_psl_registered_domain_matches_python_reference(spark, hosts,
+                                                        suffixes):
+    """with_registered_domain_psl on ANY host set and ANY suffix table
+    equals a direct pure-Python transcription of the publicsuffix.org
+    longest-match algorithm: longest listed suffix + one label; host ==
+    suffix -> ''; unlisted TLD -> implicit '*' (last two labels); NULL
+    preserved."""
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        with_registered_domain_psl)
+
+    def ref(host):
+        if host is None:
+            return None
+        if host == "":
+            return ""
+        labels = host.split(".")
+        k = 1  # implicit '*' rule
+        for d in range(1, min(4, len(labels)) + 1):
+            if ".".join(labels[-d:]) in set(suffixes):
+                k = max(k, d)
+        if len(labels) <= k:
+            return ""
+        return ".".join(labels[-(k + 1):])
+
+    df = spark.createDataFrame(list(enumerate(hosts)),
+                               "id long, host string")
+    sfx = spark.createDataFrame(
+        [(s,) for s in suffixes] or [(None,)], "suffix string")
+    got = {r["id"]: r["domain"] for r in
+           with_registered_domain_psl(df, sfx, host_col="host").collect()}
+    want = {i: ref(h) for i, h in enumerate(hosts)}
+    assert got == want
