@@ -11,7 +11,9 @@ within-key selection ranks by the engine's portable md5 hash of the id +
 a salt — NOT arrival order, which would bias the sample toward early
 files — so GIVEN the key assignment, the kept set is rerun-,
 repartition-, and engine-stable, and a serial SQL engine reproduces it
-exactly (``ROW_NUMBER() OVER (PARTITION BY key ORDER BY hash, id)``).
+exactly (``DENSE_RANK() OVER (PARTITION BY key ORDER BY hash, id)`` —
+dense so duplicate ``(id, key)`` copies share one rank; see
+:func:`quota_rank_sql`).
 
 Plan contract (the r7-verdict scale fix): the corpus NEVER feeds a
 ``Window.partitionBy(key)`` sort — that shape shuffles every row into
