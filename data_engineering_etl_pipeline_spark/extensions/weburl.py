@@ -338,21 +338,36 @@ def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
     downstream would pay the regex stack again). ``suffixes`` (optional)
     normalizes BOTH sides with the PSL (:func:`with_registered_domain_psl`)
     instead of the heuristic — a ``user.github.io`` blocklist entry then
-    blocks exactly that user site, not all of ``github.io``."""
+    blocks exactly that user site, not all of ``github.io`` — and an
+    entry that IS a public suffix (``github.io`` itself, whose registered
+    domain is '') gets SUFFIX semantics: it blocks every site directly
+    under it, matched as a second broadcast anti join on the doc domain's
+    parent (registered domain minus its first label == the suffix). The
+    r8 lesson again: an entry class that silently blocks nothing is worse
+    than either refusing it or giving it its obvious meaning."""
     bl_host = F.regexp_replace(
         F.lower(F.trim(F.col(blocked_domain_col))), r"^www\.", "")
     if suffixes is None:
         dom = docs.withColumn("__dom", registered_domain(url_col))
-        bl_dom = blocklist.select(
-            registered_domain_from_host(bl_host).alias("__dom"))
+        bl = F.broadcast(blocklist.select(
+            registered_domain_from_host(bl_host).alias("__dom")).distinct())
+        out = dom.join(bl, "__dom", "left_anti")
     else:
         dom = with_registered_domain_psl(docs, suffixes, url_col=url_col,
                                          out_col="__dom")
-        bl_dom = with_registered_domain_psl(
+        bl_norm = with_registered_domain_psl(
             blocklist.select(bl_host.alias("__h")), suffixes,
-            host_col="__h", out_col="__dom").select("__dom")
-    bl = F.broadcast(bl_dom.distinct())
-    out = dom.join(bl, "__dom", "left_anti")
+            host_col="__h", out_col="__dom")
+        bl_reg = F.broadcast(
+            bl_norm.filter(F.col("__dom") != "").select("__dom").distinct())
+        bl_sfx = F.broadcast(
+            bl_norm.filter((F.col("__dom") == "") & (F.col("__h") != ""))
+            .select(F.col("__h").alias("__parent")).distinct())
+        out = (dom.join(bl_reg, "__dom", "left_anti")
+               .withColumn("__parent",
+                           F.regexp_replace("__dom", r"^[^.]+\.", ""))
+               .join(bl_sfx, "__parent", "left_anti")
+               .drop("__parent"))
     if keep_domain_col is None:
         return out.drop("__dom")
     return out.withColumnRenamed("__dom", keep_domain_col)

@@ -296,6 +296,13 @@ def test_psl_blocklist_and_cap_use_private_suffix_grain(spark):
     # -> both users blocked; the PSL grain is the fix
     kept_h = filter_blocklisted(docs, bl)
     assert sorted(r["doc_id"] for r in kept_h.collect()) == [4]
+    # an entry that IS a public suffix gets SUFFIX semantics under the
+    # PSL grain (otherwise it would normalize to '' and silently block
+    # nothing — the r8 inert-entry lesson): github.io blocks every user
+    # site under it, ok.com survives
+    bl_sfx = spark.createDataFrame([("github.io",)], "domain string")
+    kept_s = filter_blocklisted(docs, bl_sfx, suffixes=sfx)
+    assert sorted(r["doc_id"] for r in kept_s.collect()) == [4]
 
     capped = domain_balanced_sample(docs, 1, suffixes=sfx)
     by_dom: dict = {}
