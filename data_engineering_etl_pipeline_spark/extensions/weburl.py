@@ -197,42 +197,92 @@ def with_registered_domain_psl(docs: DataFrame, suffixes: DataFrame,
     private suffixes alike (``github.io``-class entries Just Work). The
     no-data default remains the :func:`registered_domain` heuristic.
 
-    Semantics (publicsuffix.org algorithm, longest-match): the registered
-    domain is the longest listed suffix plus ONE more host label; a host
-    that IS a listed suffix exactly has no registrable part → ``''`` (the
-    '' host convention); a host whose TLD is unlisted falls back to the
-    implicit ``*`` rule (TLD = the suffix → registered = last two
-    labels). Wildcard (``*.ck``) and exception (``!www.ck``) rules are a
-    PREPROCESSING concern — expand them into concrete suffix rows when
-    loading the list (they are <1% of the PSL); rows starting with
-    ``*.``/``!`` are refused loudly rather than silently mis-matched.
+    Semantics (the full publicsuffix.org algorithm): the registered
+    domain is the prevailing rule's public suffix plus ONE more host
+    label; a host that IS a public suffix exactly has no registrable
+    part → ``''`` (the '' host convention); a host whose TLD is unlisted
+    falls back to the implicit ``*`` rule (TLD = the suffix → registered
+    = last two labels). Rule classes (r9 VERDICT item 2 — the real PSL
+    file loads as-is now):
+
+    - plain rows match their exact label suffix;
+    - WILDCARD rows (``*.ck``, stored as parent ``ck`` with
+      kind='wildcard') make every DIRECT child of the parent a public
+      suffix (match depth = parent labels + 1); the parent itself is
+      not a wildcard match (hosts at the parent depth fall through to
+      whatever else matches, usually the implicit ``*``);
+    - EXCEPTION rows (``!www.ck``, stored as ``www.ck`` with
+      kind='exception') PREVAIL over every other match: the public
+      suffix is the exception minus its leftmost label, so the
+      exception host itself is the registered domain.
+
+    ``suffixes`` may carry an optional ``kind`` column
+    ('rule'|'wildcard'|'exception' — :func:`load_suffix_rows` emits it);
+    without one, every row is a plain rule (the pre-r10 shape). The
+    table is ``.distinct()``-ed after normalization: duplicate entries
+    (easy to produce unioning ICANN+private lists) would otherwise fan
+    out every matching corpus row through the left joins — silent row
+    inflation (r9 ADVICE finding).
 
     Plan shape — map-only at any corpus scale: candidate suffixes of
     depth 1..``max_suffix_labels`` are sliced from the host labels
-    (pure expressions, no explode), and each depth is matched by its own
-    BROADCAST left join against the suffix table (MB-scale by nature) —
-    K broadcast hash joins, ZERO corpus shuffles (an explode + groupBy
-    longest-match would re-shuffle the corpus by id). PSL suffixes
-    deeper than ``max_suffix_labels`` (a handful of 5-label private
-    entries) are matched at their last ``max_suffix_labels`` labels —
-    raise the cap if a deployment needs them exact."""
+    (pure expressions, no explode), and each (depth, rule class) is
+    matched by its own BROADCAST left join against the suffix table
+    (MB-scale by nature) — at most 3K broadcast hash joins, ZERO corpus
+    shuffles (an explode + groupBy longest-match would re-shuffle the
+    corpus by id). Entries deeper than ``max_suffix_labels`` labels
+    (wildcard parents: ``max_suffix_labels − 1``) are IGNORED — they
+    can never match a candidate slice (r9 ADVICE finding; the old
+    docstring claimed truncated matching, which was wrong);
+    :func:`load_suffix_rows` refuses them loudly so a mounted PSL file
+    either fits the cap or tells you to raise it."""
     host = (F.lower(F.trim(F.col(host_col))) if host_col is not None
             else extract_host(url_col))
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    sfx = suffixes.select(F.lower(F.trim(F.col(suffix_col))).alias("__s"))
+    kind = (F.lower(F.trim(F.col("kind"))) if "kind" in suffixes.columns
+            else F.lit("rule"))
+    sfx = (suffixes.select(F.lower(F.trim(F.col(suffix_col))).alias("__s"),
+                           kind.alias("__kind"))
+           .filter(F.size(F.split(F.col("__s"), r"\."))
+                   <= max_suffix_labels)
+           .distinct())
+    plain = sfx.filter(F.col("__kind") == "rule").select("__s")
+    wild = sfx.filter(F.col("__kind") == "wildcard").select("__s")
+    exc = sfx.filter(F.col("__kind") == "exception").select("__s")
     out = docs.withColumn("__labels", labels).withColumn("__n", n)
     for k in range(1, max_suffix_labels + 1):
         cand = F.when(F.col("__n") >= k,
                       F.array_join(F.slice(F.col("__labels"), -k, k), "."))
-        out = out.withColumn(f"__c{k}", cand).join(
-            F.broadcast(sfx.select(F.col("__s").alias(f"__c{k}"),
-                                   F.lit(True).alias(f"__m{k}"))),
-            f"__c{k}", "left")
-    # longest listed suffix depth; unlisted TLD -> implicit '*' (depth 1)
+        out = out.withColumn(f"__c{k}", cand)
+    flags: list[str] = []
+
+    def _flag(base: DataFrame, cand_col: str, flag: str) -> None:
+        nonlocal out
+        flags.append(flag)
+        out = out.join(
+            F.broadcast(base.select(F.col("__s").alias(cand_col),
+                                    F.lit(True).alias(flag))),
+            cand_col, "left")
+
+    for k in range(1, max_suffix_labels + 1):
+        _flag(plain, f"__c{k}", f"__m{k}")
+        if k >= 2:
+            # wildcard *.P (parent P at depth k-1) makes the k-label
+            # slice a public suffix — the parent slice IS candidate c{k-1}
+            _flag(wild, f"__c{k - 1}", f"__w{k}")
+        _flag(exc, f"__c{k}", f"__e{k}")
+    # longest match wins (ascending overwrite); unlisted TLD -> implicit
+    # '*' (depth 1); exceptions prevail over EVERY other match, public
+    # suffix = exception minus its leftmost label (depth k-1)
     klen = F.lit(1)
     for k in range(1, max_suffix_labels + 1):
-        klen = F.when(F.col(f"__m{k}"), F.lit(k)).otherwise(klen)
+        m = F.col(f"__m{k}")
+        if k >= 2:
+            m = m | F.col(f"__w{k}")
+        klen = F.when(m, F.lit(k)).otherwise(klen)
+    for k in range(1, max_suffix_labels + 1):
+        klen = F.when(F.col(f"__e{k}"), F.lit(k - 1)).otherwise(klen)
     reg = (F.when(host.isNull(), F.lit(None).cast("string"))
            .when(host == "", F.lit(""))
            .when(F.col("__n") <= klen, F.lit(""))  # host IS a suffix
@@ -240,29 +290,47 @@ def with_registered_domain_psl(docs: DataFrame, suffixes: DataFrame,
                F.slice(F.col("__labels"), -(klen + F.lit(1)),
                        klen + F.lit(1)), ".")))
     drop = (["__labels", "__n"]
-            + [c for k in range(1, max_suffix_labels + 1)
-               for c in (f"__c{k}", f"__m{k}")])
+            + [f"__c{k}" for k in range(1, max_suffix_labels + 1)] + flags)
     return out.withColumn(out_col, reg).drop(*drop)
 
 
-def load_suffix_rows(entries) -> list[tuple[str]]:
-    """Normalize raw public-suffix-list lines into suffix rows: drop
-    comments (``//``) and blanks, refuse wildcard/exception rules (the
-    documented preprocessing boundary of
-    :func:`with_registered_domain_psl`), strip whitespace, lowercase.
-    Returns ``[(suffix,), ...]`` ready for ``createDataFrame(...,
-    'suffix string')``."""
-    rows = []
+def load_suffix_rows(entries,
+                     max_suffix_labels: int = 4) -> list[tuple[str, str]]:
+    """Normalize raw public-suffix-list lines into ``(suffix, kind)``
+    rows: drop comments (``//``) and blanks, strip whitespace, lowercase.
+    ``*.ck`` becomes ``('ck', 'wildcard')`` (the stored suffix is the
+    wildcard PARENT), ``!www.ck`` becomes ``('www.ck', 'exception')``,
+    everything else ``(s, 'rule')`` — the three rule classes
+    :func:`with_registered_domain_psl` matches (r9 VERDICT item 2; the
+    pre-r10 loader refused wildcard/exception lines, which made the real
+    publicsuffix.org file unloadable since wildcards cannot be expanded
+    without enumerating hosts). Entries whose match depth exceeds
+    ``max_suffix_labels`` (rule/exception: label count; wildcard: parent
+    labels + 1) are REFUSED loudly — deeper entries would be silently
+    ignored by the matcher (r9 ADVICE finding); raise the cap on both
+    calls if a deployment needs them. Returns rows ready for
+    ``createDataFrame(..., 'suffix string, kind string')``; duplicates
+    are dropped here AND re-dropped by the matcher."""
+    rows: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
     for line in entries:
         s = line.strip()
         if not s or s.startswith("//"):
             continue
-        if s.startswith("*.") or s.startswith("!"):
+        if s.startswith("*."):
+            row, depth = (s[2:].lower(), "wildcard"), s.count(".") + 1
+        elif s.startswith("!"):
+            row, depth = (s[1:].lower(), "exception"), s.count(".") + 1
+        else:
+            row, depth = (s.lower(), "rule"), s.count(".") + 1
+        if depth > max_suffix_labels:
             raise ValueError(
-                f"load_suffix_rows: wildcard/exception rule {s!r} — expand "
-                "it into concrete suffixes before loading (see "
-                "with_registered_domain_psl)")
-        rows.append((s.lower(),))
+                f"load_suffix_rows: entry {s!r} needs match depth {depth} "
+                f"> max_suffix_labels={max_suffix_labels} — raise the cap "
+                "here and on with_registered_domain_psl")
+        if row not in seen:
+            seen.add(row)
+            rows.append(row)
     return rows
 
 
@@ -342,9 +410,14 @@ def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
     entry that IS a public suffix (``github.io`` itself, whose registered
     domain is '') gets SUFFIX semantics: it blocks every site directly
     under it, matched as a second broadcast anti join on the doc domain's
-    parent (registered domain minus its first label == the suffix). The
-    r8 lesson again: an entry class that silently blocks nothing is worse
-    than either refusing it or giving it its obvious meaning."""
+    parent (registered domain minus its first label == the suffix), AND
+    it blocks pages served at the apex host itself (``https://github.io/x``,
+    whose registered domain is also '' and so can never match a
+    domain-keyed anti join) via a third broadcast anti join on the exact
+    host (r9 ADVICE finding — the apex gap closed rather than
+    documented). The r8 lesson again: an entry class that silently
+    blocks nothing is worse than either refusing it or giving it its
+    obvious meaning."""
     bl_host = F.regexp_replace(
         F.lower(F.trim(F.col(blocked_domain_col))), r"^www\.", "")
     if suffixes is None:
@@ -360,14 +433,20 @@ def filter_blocklisted(docs: DataFrame, blocklist: DataFrame,
             host_col="__h", out_col="__dom")
         bl_reg = F.broadcast(
             bl_norm.filter(F.col("__dom") != "").select("__dom").distinct())
-        bl_sfx = F.broadcast(
-            bl_norm.filter((F.col("__dom") == "") & (F.col("__h") != ""))
-            .select(F.col("__h").alias("__parent")).distinct())
+        sfx_entries = (bl_norm
+                       .filter((F.col("__dom") == "") & (F.col("__h") != ""))
+                       .select("__h").distinct())
+        bl_sfx = F.broadcast(sfx_entries.select(
+            F.col("__h").alias("__parent")))
+        bl_apex = F.broadcast(sfx_entries.select(
+            F.col("__h").alias("__host")))
         out = (dom.join(bl_reg, "__dom", "left_anti")
                .withColumn("__parent",
                            F.regexp_replace("__dom", r"^[^.]+\.", ""))
                .join(bl_sfx, "__parent", "left_anti")
-               .drop("__parent"))
+               .withColumn("__host", extract_host(url_col))
+               .join(bl_apex, "__host", "left_anti")
+               .drop("__parent", "__host"))
     if keep_domain_col is None:
         return out.drop("__dom")
     return out.withColumnRenamed("__dom", keep_domain_col)

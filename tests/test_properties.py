@@ -608,8 +608,9 @@ def test_balanced_sample_by_key_properties(spark, rows, quota):
 
 
 # random hosts over a tiny label alphabet so suffix matches, exact-suffix
-# hosts, deep subdomains, and unlisted TLDs all occur; the suffix table is
-# drawn per example (possibly empty)
+# hosts, deep subdomains, and unlisted TLDs all occur; the rule table is
+# drawn per example (possibly empty) with all three PSL rule classes so
+# wildcard/exception interplay (r9 VERDICT item 2) is exercised
 _host_strategy = st.lists(
     st.one_of(
         st.none(),
@@ -617,22 +618,31 @@ _host_strategy = st.lists(
                  min_size=1, max_size=5).map(".".join)),
     min_size=1, max_size=25)
 _sfx_strategy = st.lists(
-    st.lists(st.sampled_from(["co", "uk", "io", "gh", "x"]),
-             min_size=1, max_size=3).map(".".join),
-    max_size=8, unique=True)
+    st.tuples(
+        st.lists(st.sampled_from(["co", "uk", "io", "gh", "x"]),
+                 min_size=1, max_size=3).map(".".join),
+        st.sampled_from(["rule", "wildcard", "exception"])),
+    max_size=10, unique=True)
 
 
 @SET
-@given(hosts=_host_strategy, suffixes=_sfx_strategy)
+@given(hosts=_host_strategy, rules=_sfx_strategy)
 def test_psl_registered_domain_matches_python_reference(spark, hosts,
-                                                        suffixes):
-    """with_registered_domain_psl on ANY host set and ANY suffix table
-    equals a direct pure-Python transcription of the publicsuffix.org
-    longest-match algorithm: longest listed suffix + one label; host ==
-    suffix -> ''; unlisted TLD -> implicit '*' (last two labels); NULL
+                                                        rules):
+    """with_registered_domain_psl on ANY host set and ANY rule table
+    (plain + wildcard + exception rows) equals a direct pure-Python
+    transcription of the publicsuffix.org algorithm: prevailing rule =
+    longest match, wildcard *.P matches direct children of P (never P
+    itself), a matching exception prevails over everything with public
+    suffix = exception minus its leftmost label; host == public suffix
+    -> ''; unlisted TLD -> implicit '*' (last two labels); NULL
     preserved."""
     from data_engineering_etl_pipeline_spark.extensions.weburl import (
         with_registered_domain_psl)
+
+    plain = {s for s, kind in rules if kind == "rule"}
+    wild = {s for s, kind in rules if kind == "wildcard"}
+    exc = {s for s, kind in rules if kind == "exception"}
 
     def ref(host):
         if host is None:
@@ -642,8 +652,13 @@ def test_psl_registered_domain_matches_python_reference(spark, hosts,
         labels = host.split(".")
         k = 1  # implicit '*' rule
         for d in range(1, min(4, len(labels)) + 1):
-            if ".".join(labels[-d:]) in set(suffixes):
+            if ".".join(labels[-d:]) in plain:
                 k = max(k, d)
+            if d >= 2 and ".".join(labels[-(d - 1):]) in wild:
+                k = max(k, d)
+        for d in range(1, min(4, len(labels)) + 1):
+            if ".".join(labels[-d:]) in exc:
+                k = d - 1  # ascending: longest exception wins
         if len(labels) <= k:
             return ""
         return ".".join(labels[-(k + 1):])
@@ -651,7 +666,7 @@ def test_psl_registered_domain_matches_python_reference(spark, hosts,
     df = spark.createDataFrame(list(enumerate(hosts)),
                                "id long, host string")
     sfx = spark.createDataFrame(
-        [(s,) for s in suffixes] or [(None,)], "suffix string")
+        list(rules) or [(None, None)], "suffix string, kind string")
     got = {r["id"]: r["domain"] for r in
            with_registered_domain_psl(df, sfx, host_col="host").collect()}
     want = {i: ref(h) for i, h in enumerate(hosts)}

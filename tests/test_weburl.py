@@ -315,16 +315,92 @@ def test_psl_blocklist_and_cap_use_private_suffix_grain(spark):
                       "ok.com": 1}
 
 
-def test_psl_loader_normalizes_and_refuses_wildcards(spark):
+def test_psl_loader_normalizes_and_classifies_rules(spark):
+    """r9 VERDICT item 2: the loader accepts the real PSL grammar —
+    wildcard rows stored as their parent with kind='wildcard', exception
+    rows with kind='exception' — and refuses entries deeper than the
+    match cap (r9 ADVICE: deeper entries would silently never match)."""
     import pytest
 
     from data_engineering_etl_pipeline_spark.extensions.weburl import (
         load_suffix_rows)
 
     rows = load_suffix_rows([
-        "// comment", "", "  COM  ", "co.uk", "github.io"])
-    assert rows == [("com",), ("co.uk",), ("github.io",)]
-    with pytest.raises(ValueError, match="wildcard/exception"):
-        load_suffix_rows(["*.ck"])
-    with pytest.raises(ValueError, match="wildcard/exception"):
-        load_suffix_rows(["!www.ck"])
+        "// comment", "", "  COM  ", "co.uk", "github.io", "*.ck",
+        "!www.ck", "co.uk"])
+    assert rows == [("com", "rule"), ("co.uk", "rule"),
+                    ("github.io", "rule"), ("ck", "wildcard"),
+                    ("www.ck", "exception")]
+    # depth guard: a 5-label rule (or a 4-label wildcard parent -> depth
+    # 5) exceeds the default max_suffix_labels=4
+    with pytest.raises(ValueError, match="match depth 5"):
+        load_suffix_rows(["a.b.c.d.e"])
+    with pytest.raises(ValueError, match="match depth 5"):
+        load_suffix_rows(["*.b.c.d.e"])
+    assert load_suffix_rows(["a.b.c.d.e"], max_suffix_labels=5) == [
+        ("a.b.c.d.e", "rule")]
+
+
+def test_psl_wildcard_and_exception_vectors(spark):
+    """The publicsuffix.org test vectors for the *.ck / !www.ck pair
+    (r9 VERDICT item 2 done-criteria): every direct child of a wildcard
+    parent is a public suffix; the exception prevails and is itself the
+    registered domain."""
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        load_suffix_rows, with_registered_domain_psl)
+
+    sfx = spark.createDataFrame(
+        load_suffix_rows(["com", "*.ck", "!www.ck"]),
+        "suffix string, kind string")
+    rows = [
+        (1, "ck"),               # wildcard doesn't match the parent -> ''
+        (2, "test.ck"),          # IS a wildcard public suffix -> ''
+        (3, "b.test.ck"),        # -> b.test.ck
+        (4, "a.b.test.ck"),      # -> b.test.ck
+        (5, "www.ck"),           # exception: registered domain is itself
+        (6, "www.www.ck"),       # -> www.ck
+        (7, "x.example.com"),    # plain rules unaffected
+    ]
+    df = spark.createDataFrame(rows, "id long, host string")
+    got = {r["id"]: r["domain"] for r in
+           with_registered_domain_psl(df, sfx, host_col="host").collect()}
+    assert got == {1: "", 2: "", 3: "b.test.ck", 4: "b.test.ck",
+                   5: "www.ck", 6: "www.ck", 7: "example.com"}
+
+
+def test_psl_suffix_table_duplicates_do_not_fan_out(spark):
+    """r9 ADVICE (medium): duplicate suffix entries (ICANN+private union)
+    must not duplicate corpus rows through the broadcast left joins."""
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        with_registered_domain_psl)
+
+    sfx = spark.createDataFrame(
+        [("com",), ("com",), ("github.io",), ("github.io",)],
+        "suffix string")
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/x"), (2, "https://alice.github.io/y")],
+        "doc_id long, url string")
+    out = with_registered_domain_psl(docs, sfx).collect()
+    assert len(out) == 2
+    assert {r["doc_id"]: r["domain"] for r in out} == {
+        1: "example.com", 2: "alice.github.io"}
+
+
+def test_psl_blocklist_suffix_entry_blocks_apex_host(spark):
+    """r9 ADVICE (low) / verdict watch item 2 closed: a suffix-class
+    blocklist entry (github.io) blocks pages served at the apex host
+    itself, not only sites under it — no doc with registered domain ''
+    is silently unblockable."""
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        filter_blocklisted)
+
+    sfx = spark.createDataFrame([("com",), ("io",), ("github.io",)],
+                                "suffix string")
+    docs = spark.createDataFrame(
+        [(1, "https://github.io/pages"),       # apex host itself
+         (2, "https://alice.github.io/a"),     # site under the suffix
+         (3, "https://ok.com/d")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("github.io",)], "domain string")
+    kept = filter_blocklisted(docs, bl, suffixes=sfx)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
