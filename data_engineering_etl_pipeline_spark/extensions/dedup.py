@@ -494,17 +494,62 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str, num_perm: int = 64,
-                       seed: int = 42) -> DataFrame:
-    """Minhash signature per doc: for permutation i, min over shingles of
-    ``(a_i * xxhash64(shingle) + b_i) mod p``. One groupBy computes all
-    ``num_perm`` mins (map-side partial agg keeps the shuffle tiny)."""
+def minhash_coefficients(num_perm: int,
+                         seed: int = 42) -> list[tuple[int, int]]:
+    """The ``(a_i, b_i)`` permutation coefficients of
+    :func:`minhash_signatures` — ONE generator shared with the DuckDB
+    oracle builder (queries/text.py embeds them as a VALUES table), so
+    the coefficient stream cannot drift between engine and oracle."""
     import random
 
     rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P))
-              for _ in range(num_perm)]
-    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MINHASH_P))
+    return [(rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P))
+            for _ in range(num_perm)]
+
+
+def minhash_token_hash(hash_fn: str = "xxhash64"):
+    """The per-shingle base hash ``h ∈ [0, p)`` of
+    :func:`minhash_signatures`, as a Column over ``shingle``:
+
+    - ``'xxhash64'`` (default): ``pmod(xxhash64(shingle), p)`` — the
+      100 TB path (one JVM hash per shingle, no string materialized);
+    - ``'md5'``: the first 8 hex digits of ``md5(shingle)`` parsed
+      base-16, mod p — ~3× the per-token cost, but md5 exists
+      BIT-IDENTICALLY in DuckDB (the ``simhash64_portable`` recipe
+      applied to minhash, r9 VERDICT item 1), so signatures — and with
+      them every LSH band and every signature-estimated Jaccard
+      DECISION — are reproducible in ANSI SQL and hash-checkable by the
+      driver. The verification twin, not the default."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MINHASH_P))
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+            .cast("long"), F.lit(_MINHASH_P))
+    raise ValueError(
+        f"minhash hash_fn={hash_fn!r}: expected 'xxhash64' or 'md5'")
+
+
+def minhash_token_hash_sql(expr: str) -> str:
+    """DuckDB twin of ``minhash_token_hash('md5')`` over a shingle
+    expression — hex digits folded positionally (the portable-simhash
+    ``strpos`` trick; DuckDB has no base-16 string parse)."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * CAST({16 ** (7 - j)} AS BIGINT)"
+        for j in range(8))
+    return f"(({digits}) % {_MINHASH_P})"
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, num_perm: int = 64,
+                       seed: int = 42,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """Minhash signature per doc: for permutation i, min over shingles of
+    ``(a_i * h(shingle) + b_i) mod p`` with ``h`` per
+    :func:`minhash_token_hash`. One groupBy computes all ``num_perm``
+    mins (map-side partial agg keeps the shuffle tiny)."""
+    coeffs = minhash_coefficients(num_perm, seed)
+    h = minhash_token_hash(hash_fn)
     aggs = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -604,12 +649,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 #: keeper's full signature carried ON the row, and the LSH config as
 #: constant columns so the incremental path can REFUSE a mismatched index
 _MH_INDEX_COLS = ("band", "bh", "keep_id", "keep_sig",
-                  "nperm", "nbands", "ngram", "mhseed")
+                  "nperm", "nbands", "ngram", "mhseed", "mhhash")
 
 
 def _doc_band_signatures(tok: DataFrame, id_col: str, n: int,
                          num_perm: int, bands: int,
-                         seed: int) -> DataFrame:
+                         seed: int, hash_fn: str = "xxhash64") -> DataFrame:
     """Per-doc ``(id, sig, band_0..band_{b-1})`` from a token projection:
     the full minhash signature as one array column plus the band hashes,
     all folded into the single signature groupBy's projection (one
@@ -619,7 +664,7 @@ def _doc_band_signatures(tok: DataFrame, id_col: str, n: int,
     paths keep them and leave them un-indexed."""
     rows = num_perm // bands
     sh = shingles_from_tokens(tok, id_col, n)
-    return minhash_signatures(sh, id_col, num_perm, seed).select(
+    return minhash_signatures(sh, id_col, num_perm, seed, hash_fn).select(
         F.col(id_col),
         F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig"),
         *_band_hash_cols(rows, bands))
@@ -628,7 +673,8 @@ def _doc_band_signatures(tok: DataFrame, id_col: str, n: int,
 def minhash_band_index(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_perm: int = 64, bands: int = 16,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """The persistable LEXICAL near-dup index — the MinHash twin of
     :func:`doc_fingerprints` (exact) and
     ``similarity.embedding_signature_index`` (semantic): one row per
@@ -648,10 +694,13 @@ def minhash_band_index(docs: DataFrame, id_col: str = "doc_id",
     The LSH config rides every row as constant columns (RLE ≈ free) so
     :func:`incremental_minhash_lsh_dedup` can refuse a config-mismatched
     index instead of silently matching nothing. ``docs`` must already be
-    KEEPERS (deduped); shingle-less docs contribute no rows."""
+    KEEPERS (deduped); shingle-less docs contribute no rows.
+    ``hash_fn='md5'`` builds the SQL-portable signature variant
+    (:func:`minhash_token_hash`) — same algebra, oracle-checkable."""
     _check_bands(num_perm, bands, "minhash_band_index")
     tok = tokenized_docs(docs, id_col, text_col)
-    sigd = _doc_band_signatures(tok, id_col, n, num_perm, bands, seed)
+    sigd = _doc_band_signatures(tok, id_col, n, num_perm, bands, seed,
+                                hash_fn)
     banded = sigd.select(
         F.col(id_col).alias("keep_id"), F.col("sig").alias("keep_sig"),
         F.explode(F.array(*[
@@ -662,7 +711,8 @@ def minhash_band_index(docs: DataFrame, id_col: str = "doc_id",
         F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
         "keep_id", "keep_sig",
         F.lit(num_perm).alias("nperm"), F.lit(bands).alias("nbands"),
-        F.lit(n).alias("ngram"), F.lit(seed).alias("mhseed"))
+        F.lit(n).alias("ngram"), F.lit(seed).alias("mhseed"),
+        F.lit(hash_fn).alias("mhhash"))
 
 
 def write_minhash_band_index(index: DataFrame, table: str,
@@ -692,7 +742,8 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
                                   text_col: str = "text", n: int = 3,
                                   num_perm: int = 64, bands: int = 16,
                                   threshold: float = 0.5, seed: int = 42,
-                                  driver_budget: int = 1_000_000
+                                  driver_budget: int = 1_000_000,
+                                  hash_fn: str = "xxhash64"
                                   ) -> tuple[DataFrame, DataFrame]:
     """Incremental MinHash-LSH near-dup dedup — the continuous-crawl form
     of :func:`minhash_lsh_pairs`, mirroring
@@ -720,6 +771,15 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
     not re-examined when a later batch would have clustered them
     differently — ingest order is part of the semantics.
 
+    ``hash_fn='md5'`` (r9 VERDICT item 1) swaps the per-shingle base
+    hash for the SQL-portable md5 recipe (:func:`minhash_token_hash`):
+    the signatures, and therefore the estimated-Jaccard DECISION above,
+    become bit-reproducible in DuckDB, which is what puts this
+    operator's cross-batch drop on the driver's hash-verified record
+    (the ``doc_minhash_lsh`` ``incr_fresh``/``index`` legs). xxhash64
+    stays the 100 TB default; the index carries ``mhhash`` so the two
+    configs can never be silently mixed.
+
     Plan: ONE pinned token projection feeds the signature build, the
     within-batch exact verify, and nothing else; ONE pinned signature
     relation feeds the within-batch self-join, the cross-batch index
@@ -738,25 +798,27 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
             f"incremental_minhash_lsh_dedup: index is missing columns "
             f"{missing} — build it with minhash_band_index")
     # distinct, not limit(1): a heterogeneous index (segments unioned from
-    # different configs) must be refused too — column-pruned scan of four
+    # different configs) must be refused too — column-pruned scan of five
     # constant RLE columns, KB-scale per (daily) ingest.
-    cfg = [(r["nperm"], r["nbands"], r["ngram"], r["mhseed"]) for r in
-           index.select("nperm", "nbands", "ngram", "mhseed")
+    cfg = [(r["nperm"], r["nbands"], r["ngram"], r["mhseed"], r["mhhash"])
+           for r in
+           index.select("nperm", "nbands", "ngram", "mhseed", "mhhash")
            .distinct().collect()]
     if len(cfg) > 1:
         raise ValueError(
             f"incremental_minhash_lsh_dedup: index mixes LSH configs "
             f"{sorted(cfg)} — rebuild the segments under one "
-            "(num_perm, bands, n, seed)")
-    if cfg and cfg[0] != (num_perm, bands, n, seed):
+            "(num_perm, bands, n, seed, hash_fn)")
+    if cfg and cfg[0] != (num_perm, bands, n, seed, hash_fn):
         raise ValueError(
             f"incremental_minhash_lsh_dedup: index was built with "
-            f"(num_perm, bands, n, seed)={cfg[0]} but this call uses "
-            f"({num_perm}, {bands}, {n}, {seed}) — band hashes would not "
-            "match")
+            f"(num_perm, bands, n, seed, hash_fn)={cfg[0]} but this call "
+            f"uses ({num_perm}, {bands}, {n}, {seed}, {hash_fn!r}) — band "
+            "hashes would not match")
 
     tok = pin(tokenized_docs(new_docs, id_col, text_col))
-    sigd = pin(_doc_band_signatures(tok, id_col, n, num_perm, bands, seed))
+    sigd = pin(_doc_band_signatures(tok, id_col, n, num_perm, bands, seed,
+                                    hash_fn))
     band_rows = _explode_band_rows(sigd, id_col, bands)
 
     # (a) within-batch: LSH candidates -> exact-verify tail (the batch
@@ -803,7 +865,7 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
     # small fresh set (no join-back against the pinned signatures)
     updated = index.select(*_MH_INDEX_COLS).unionByName(
         minhash_band_index(fresh, id_col, text_col, n, num_perm, bands,
-                           seed))
+                           seed, hash_fn))
     return fresh, updated
 
 

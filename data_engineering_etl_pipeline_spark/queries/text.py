@@ -154,28 +154,225 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
-@register(
-    "doc_minhash_lsh",
-    oracle=_SHINGLE_CTE + """
-    SELECT id_a, id_b,
-           ROUND(ni * 1.0 / (sa.sz + sb.sz - ni), 6) AS jaccard
-    FROM pairs
+def _minhash_coeff_cte() -> str:
+    """The ``coeffs`` CTE of the incremental-minhash oracle: the exact
+    ``(a_i, b_i)`` stream of :func:`minhash_signatures` at (64, seed 42),
+    generated by the SHARED :func:`minhash_coefficients` helper and
+    embedded as zipped unnest lists, so engine and oracle can never use
+    different permutations."""
+    from ..extensions.dedup import minhash_coefficients
+
+    coeffs = minhash_coefficients(64, 42)
+    a_list = ", ".join(str(a) for a, _ in coeffs)
+    b_list = ", ".join(str(b) for _, b in coeffs)
+    return f"""coeffs AS (
+      SELECT unnest(range(0, 64)) AS i,
+             unnest(CAST([{a_list}] AS BIGINT[])) AS a,
+             unnest(CAST([{b_list}] AS BIGINT[])) AS b
+    )"""
+
+
+def _minhash_incremental_oracle() -> str:
+    """DuckDB twin of the FULL ``doc_minhash_lsh`` row — the batch
+    'pairs' leg (exact all-pairs Jaccard ≥ 0.8 over day-1 docs; valid
+    because every LSH pair is exact-verified and the 32×2 band config's
+    false-negative probability is ≈ 6e-15 per qualifying pair) PLUS the
+    r9-verdict-item-1 incremental legs, recomputed from raw text:
+    portable-md5 minhash signatures (``minhash_token_hash_sql`` — the
+    simhash64_portable recipe applied to minhash, bit-identical
+    cross-engine), band keys as the signature-slice string (equal
+    strings ⟺ equal Spark band hashes modulo an xxhash64 collision,
+    the same astronomically-improbable caveat the 'pairs' leg already
+    documents), within-batch exact-Jaccard verify + transitive-closure
+    clustering, cross-batch SIGNATURE-estimated Jaccard (agreeing
+    components / 64 ≥ 0.5) against day-1 keepers — the DECISION the r9
+    verdict wanted hash-verified."""
+    from ..extensions.dedup import minhash_token_hash_sql
+
+    h_expr = minhash_token_hash_sql("shingle")
+    return f"""
+    WITH RECURSIVE {_minhash_coeff_cte()},
+    day2 AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(list_reverse(
+               string_split_regex(trim(text), '\\s+')), ' ') AS text
+      FROM documents WHERE doc_id % 9 = 0
+    ), allday AS (
+      SELECT doc_id, text, 1 AS is_d1 FROM documents
+      UNION ALL
+      SELECT doc_id, text, 0 AS is_d1 FROM day2
+    ), toks AS (
+      SELECT doc_id, is_d1,
+             string_split_regex(trim(text), '\\s+') AS t
+      FROM allday
+    ), sh AS (
+      SELECT DISTINCT doc_id, is_d1,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1)
+                             ELSE [] END) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), p1 AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS ni
+      FROM sh x JOIN sh y
+        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      WHERE x.is_d1 = 1 AND y.is_d1 = 1
+      GROUP BY 1, 2
+    ), hs AS (
+      SELECT doc_id, {h_expr} AS h FROM sh
+    ), sigs AS (
+      SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS mh
+      FROM hs CROSS JOIN coeffs GROUP BY doc_id, i
+    ), bandk AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bkey
+      FROM sigs GROUP BY doc_id, i // 4
+    ), b2 AS (
+      SELECT b.* FROM bandk b JOIN day2 d USING (doc_id)
+    ), wcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM b2 a JOIN b2 b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), winter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM wcand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    ), wpairs AS (
+      SELECT id_a, id_b FROM winter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM wpairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM wpairs
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), wdrops AS (
+      SELECT s AS doc_id FROM reach GROUP BY s
+      HAVING LEAST(s, MIN(d)) <> s
+    ), surv AS (
+      SELECT doc_id FROM day2
+      WHERE doc_id NOT IN (SELECT doc_id FROM wdrops)
+    ), xc AS (
+      SELECT DISTINCT sb.doc_id, db.doc_id AS keep_id
+      FROM bandk sb
+      JOIN surv s ON s.doc_id = sb.doc_id
+      JOIN bandk db ON db.band = sb.band AND db.bkey = sb.bkey
+      JOIN documents d1 ON d1.doc_id = db.doc_id
+    ), agreec AS (
+      SELECT x.doc_id, x.keep_id,
+             COUNT(*) FILTER (WHERE s1.mh = s2.mh) AS na
+      FROM xc x
+      JOIN sigs s1 ON s1.doc_id = x.doc_id
+      JOIN sigs s2 ON s2.doc_id = x.keep_id AND s2.i = s1.i
+      GROUP BY 1, 2
+    ), hits AS (
+      SELECT DISTINCT doc_id FROM agreec WHERE na * 1.0 / 64 >= 0.5
+    ), fresh AS (
+      SELECT doc_id FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    ), idx AS (
+      SELECT d.doc_id FROM documents d
+      WHERE EXISTS (SELECT 1 FROM sh WHERE sh.doc_id = d.doc_id)
+      UNION
+      SELECT f.doc_id FROM fresh f
+      WHERE EXISTS (SELECT 1 FROM sh WHERE sh.doc_id = f.doc_id)
+    )
+    SELECT 'pairs' AS stage, id_a, id_b,
+           ROUND(ni * 1.0 / (sa.sz + sb.sz - ni), 6) AS jaccard,
+           CAST(NULL AS BIGINT) AS doc_id
+    FROM p1
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.8
-    """,
-)
+    UNION ALL
+    SELECT 'incr_fresh' AS stage, CAST(NULL AS BIGINT) AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard,
+           doc_id
+    FROM fresh
+    UNION ALL
+    SELECT 'index' AS stage, CAST(NULL AS BIGINT) AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard,
+           doc_id
+    FROM idx
+    """
+
+
+@register("doc_minhash_lsh", oracle=_minhash_incremental_oracle())
 def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms) + LSH(32 bands × 2 rows) candidate pairs, verified
-    with exact Jaccard ≥ 0.8. Because every emitted pair is exact-verified
-    (no false positives) and the band config makes the false-negative
-    probability ≈ (1−0.8²)³² ≈ 6e-15 per qualifying pair, the exact
-    all-pairs Jaccard ≥ 0.8 SQL is a valid deterministic oracle — the LSH
-    machinery (signatures → banding → bucket equi-join → verification) must
-    reproduce the exact answer to hash-match it."""
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", n=3,
-                             num_perm=64, bands=32, threshold=0.8)
+    """MinHash-LSH near-dup dedup — batch AND incremental — in one
+    stage-tagged row (r9 VERDICT item 1: the cross-batch DECISION joins
+    the driver's hash-verified record).
+
+    ``pairs``: MinHash(64 perms) + LSH(32 bands × 2 rows) candidate
+    pairs over the documents table, verified with exact Jaccard ≥ 0.8.
+    Because every emitted pair is exact-verified (no false positives)
+    and the band config makes the false-negative probability
+    ≈ (1−0.8²)³² ≈ 6e-15 per qualifying pair, exact all-pairs Jaccard is
+    a valid deterministic oracle for this leg.
+
+    ``incr_fresh``/``index``: the operator a continuous crawl runs DAILY
+    (:func:`incremental_minhash_lsh_dedup` under the PORTABLE md5
+    minhash config, 64 perms × 16 bands, threshold 0.5). Day-1 corpus →
+    band index; day-2 ingest = replayed exact copies (every 7th doc,
+    id+1e6 — estimate 1.0, must drop), lightly-mutated docs (every 5th,
+    text+' v2', id+2e6 — the signature-estimated Jaccard decides
+    per-doc) and token-REVERSED docs (every 9th, id+3e6 — trigram
+    overlap destroyed, must survive minus within-batch collisions).
+    ``incr_fresh`` emits the surviving ids; ``index`` the updated
+    index's distinct keeper ids (shingle-bearing day-1 docs ∪ fresh).
+    The oracle recomputes signatures/bands/estimates from raw text in
+    SQL — portable md5 base hash via the shared recipe, shared
+    coefficient stream — so the cross-batch drop decision is
+    bit-verified end-to-end, closing the one unverified decision
+    surface of the dedup family."""
+    from ..extensions.dedup import (incremental_minhash_lsh_dedup,
+                                    minhash_band_index)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3,
+                              num_perm=64, bands=32, threshold=0.8)
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    pairs_leg = pairs.select(F.lit("pairs").alias("stage"), "id_a", "id_b",
+                             "jaccard", nl.alias("doc_id"))
+
+    day2 = (docs.filter(F.col("doc_id") % 7 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000000)
+            .unionByName(
+                docs.filter(F.col("doc_id") % 5 == 0)
+                .withColumn("doc_id", F.col("doc_id") + 2000000)
+                .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 9 == 0)
+                .withColumn("doc_id", F.col("doc_id") + 3000000)
+                .withColumn("text", F.array_join(
+                    F.reverse(F.split(F.trim(F.col("text")), r"\s+")),
+                    " "))))
+    index = minhash_band_index(docs, "doc_id", "text", n=3, num_perm=64,
+                               bands=16, seed=42, hash_fn="md5")
+    fresh, updated = incremental_minhash_lsh_dedup(
+        day2, index, "doc_id", "text", n=3, num_perm=64, bands=16,
+        threshold=0.5, seed=42, hash_fn="md5")
+    incr = fresh.select(F.lit("incr_fresh").alias("stage"),
+                        nl.alias("id_a"), nl.alias("id_b"),
+                        nd.alias("jaccard"), "doc_id")
+    idx = (updated.select("keep_id").distinct()
+           .select(F.lit("index").alias("stage"), nl.alias("id_a"),
+                   nl.alias("id_b"), nd.alias("jaccard"),
+                   F.col("keep_id").alias("doc_id")))
+    return pairs_leg.unionByName(incr).unionByName(idx)
 
 
 _CLUSTERS_ORACLE = _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1) + """

