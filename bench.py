@@ -165,8 +165,35 @@ def main() -> int:
         "calibration_after_s": cal_after,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
+    out.update(calibration_stability(cal_before, cal_after))
     print(json.dumps(out))
     return 0
+
+
+#: before/after calibration ratio beyond which a record is flagged as
+#: captured under a drifting host (the r9 driver record drifted 3.5×
+#: intra-run — r9 VERDICT watch item 1 / next-round item 3): the record
+#: stays usable (nothing is suppressed) but carries the flag so
+#: cross-round comparisons reach for a stable re-run instead of README
+#: archaeology.
+CALIBRATION_DRIFT_RATIO = 1.5
+
+
+def calibration_stability(cal_before: float, cal_after: float) -> dict:
+    """Annotate a BENCH record with intra-run host stability: the
+    before/after sentinel ratio, and ``calibration_unstable: true`` plus
+    re-run guidance when it exceeds ``CALIBRATION_DRIFT_RATIO`` in
+    either direction."""
+    ratio = (max(cal_before, cal_after) / min(cal_before, cal_after)
+             if min(cal_before, cal_after) > 0 else float("inf"))
+    out: dict = {"calibration_ratio": round(ratio, 3)}
+    if ratio > CALIBRATION_DRIFT_RATIO:
+        out["calibration_unstable"] = True
+        out["calibration_note"] = (
+            f"host drifted {ratio:.2f}x intra-run (sentinel "
+            f"{cal_before}s -> {cal_after}s); re-run on a stable host "
+            "before cross-round comparison")
+    return out
 
 
 if __name__ == "__main__":

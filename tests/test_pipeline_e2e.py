@@ -120,6 +120,29 @@ def test_readme_counts_match_registry():
     assert int(m.group(2)) == len(QUERIES)
 
 
+def test_bench_calibration_stability_flag():
+    """r9 VERDICT item 3: a BENCH record captured under a drifting host
+    (the r9 driver record: sentinel 1.625s -> 0.459s, 3.5x intra-run)
+    must carry calibration_unstable + re-run guidance; a stable record
+    carries only the ratio. Symmetric in drift direction; a zero
+    sentinel (clock glitch) flags rather than dividing by zero."""
+    import bench
+
+    stable = bench.calibration_stability(1.0, 1.1)
+    assert stable == {"calibration_ratio": 1.1}
+    drifted = bench.calibration_stability(1.625, 0.459)
+    assert drifted["calibration_unstable"] is True
+    assert drifted["calibration_ratio"] == round(1.625 / 0.459, 3)
+    assert "re-run" in drifted["calibration_note"]
+    assert bench.calibration_stability(0.459, 1.625)[
+        "calibration_unstable"] is True
+    assert bench.calibration_stability(0.0, 1.0)[
+        "calibration_unstable"] is True
+    # boundary: exactly the threshold is still stable
+    assert "calibration_unstable" not in bench.calibration_stability(
+        1.5, 1.0)
+
+
 def test_bench_and_smoke_names_exist_in_registry():
     """bench.py and scale_smoke.py run registry queries by name; a registry
     consolidation that renames a row must update them or the driver's
