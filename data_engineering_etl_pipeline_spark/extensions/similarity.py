@@ -1997,18 +1997,38 @@ def write_signature_index(index: DataFrame, table: str,
     cross-batch candidate join exchange-free on the index side (the same
     contract as ``dedup.write_fingerprint_index``; plan-pinned in
     tests/test_plans.py). Both join-key columns bucket+sort: v1 bucketing
-    only engages when the join keys exactly cover the bucket columns."""
-    from ..scale import write_bucketed
+    only engages when the join keys exactly cover the bucket columns.
+
+    The LSH config is additionally written as a ``_index_manifest.json``
+    sidecar (r9 VERDICT item 6, same contract as
+    ``dedup.write_minhash_band_index``): :func:`read_signature_index`
+    attaches it so ``incremental_semantic_dedup``'s config check becomes
+    metadata-only; the constant columns stay as the no-manifest fallback.
+    A mixed-config index gets no manifest — the fallback scan then
+    refuses the mix."""
+    from ..scale import write_bucketed, write_table_manifest
 
     write_bucketed(index.select(*_SIG_INDEX_COLS), table,
                    bucket_col=["table", "bucket"], n_buckets=n_buckets,
                    sort_col=["table", "bucket"])
+    cfg = [r.asDict() for r in
+           index.select("planes", "tables").distinct().limit(2).collect()]
+    if len(cfg) == 1:
+        write_table_manifest(index.sparkSession, table, cfg[0])
 
 
 def read_signature_index(spark, table: str) -> DataFrame:
     """Read a bucketed signature index back with its bucket metadata (so
-    joins on ``(table, bucket)`` need no index-side exchange)."""
-    return spark.table(table)
+    joins on ``(table, bucket)`` need no index-side exchange); the
+    manifest sidecar, when present, rides along as ``_index_manifest``
+    for the metadata-only config check."""
+    from ..scale import read_table_manifest
+
+    df = spark.table(table)
+    manifest = read_table_manifest(spark, table)
+    if manifest is not None:
+        df._index_manifest = manifest
+    return df
 
 
 def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
@@ -2077,21 +2097,34 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
         raise ValueError(
             f"incremental_semantic_dedup: index is missing columns "
             f"{missing} — build it with embedding_signature_index")
-    # distinct, not limit(1): a heterogeneous index (segments unioned from
-    # different configs) must be refused too — one matching sample row
-    # would let the mismatched segment silently match nothing (review
-    # finding). Column-pruned scan of two constant RLE columns — cheap.
-    cfg = [(r["planes"], r["tables"])
-           for r in index.select("planes", "tables").distinct().collect()]
-    if len(cfg) > 1:
-        raise ValueError(
-            f"incremental_semantic_dedup: index mixes LSH configs {sorted(cfg)}"
-            " — rebuild the segments under one (n_planes, n_tables)")
-    if cfg and cfg[0] != (n_planes, n_tables):
-        raise ValueError(
-            f"incremental_semantic_dedup: index was built with (n_planes, "
-            f"n_tables)={cfg[0]} but this call uses "
-            f"({n_planes}, {n_tables}) — signatures would not match")
+    # config check: manifest fast path (metadata-only — r9 VERDICT
+    # item 6) when the index came through read_signature_index, else the
+    # distinct-scan fallback. Distinct, not limit(1): a heterogeneous
+    # index (segments unioned from different configs) must be refused
+    # too — one matching sample row would let the mismatched segment
+    # silently match nothing (review finding). Column-pruned scan of two
+    # constant RLE columns — cheap.
+    manifest = getattr(index, "_index_manifest", None)
+    if manifest is not None:
+        got = (manifest.get("planes"), manifest.get("tables"))
+        if got != (n_planes, n_tables):
+            raise ValueError(
+                f"incremental_semantic_dedup: index manifest says "
+                f"(n_planes, n_tables)={got} but this call uses "
+                f"({n_planes}, {n_tables}) — signatures would not match")
+    else:
+        cfg = [(r["planes"], r["tables"])
+               for r in index.select("planes", "tables").distinct().collect()]
+        if len(cfg) > 1:
+            raise ValueError(
+                f"incremental_semantic_dedup: index mixes LSH configs "
+                f"{sorted(cfg)}"
+                " — rebuild the segments under one (n_planes, n_tables)")
+        if cfg and cfg[0] != (n_planes, n_tables):
+            raise ValueError(
+                f"incremental_semantic_dedup: index was built with "
+                f"(n_planes, n_tables)={cfg[0]} but this call uses "
+                f"({n_planes}, {n_tables}) — signatures would not match")
 
     sigs = pin(_multi_table_buckets(
         batch.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,

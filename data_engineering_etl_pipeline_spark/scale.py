@@ -112,6 +112,64 @@ def salted_distinct_count(df: DataFrame, key_cols: Sequence[str],
             .agg(F.sum("__partial").alias(f"n_distinct_{value_col}")))
 
 
+def table_location(spark: SparkSession, table: str) -> str:
+    """Managed-table location for ``table``, normalized the way the
+    catalog does it: lower-case, db-qualified names under
+    ``<warehouse>/<db>.db/<table>`` (the raw string missed both — r5
+    review finding)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parts = table.lower().split(".")
+    rel = (os.path.join(f"{parts[0]}.db", parts[1]) if len(parts) == 2
+           else parts[0])
+    return os.path.join(warehouse, rel)
+
+
+#: manifest sidecar file name — underscore-prefixed, so Spark's file
+#: source treats it as metadata and never reads it as table data
+_MANIFEST_NAME = "_index_manifest.json"
+
+
+def write_table_manifest(spark: SparkSession, table: str,
+                         manifest: dict) -> None:
+    """Write a KB-scale JSON manifest INSIDE the managed table's
+    directory (r9 VERDICT item 6): configuration that describes the
+    table (e.g. an LSH index's build parameters) travels with the table
+    bytes and is readable without scanning a single data row.
+    Hadoop FS API, so any ``file:``/``hdfs:``/``gs:`` warehouse works."""
+    import json
+
+    from .io import _hadoop_fs
+
+    path = f"{table_location(spark, table)}/{_MANIFEST_NAME}"
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode()))
+    finally:
+        out.close()
+
+
+def read_table_manifest(spark: SparkSession, table: str) -> dict | None:
+    """Read a :func:`write_table_manifest` sidecar; None when absent
+    (pre-manifest tables fall back to whatever data-derived check the
+    caller keeps)."""
+    import json
+
+    from .io import _hadoop_fs
+
+    path = f"{table_location(spark, table)}/{_MANIFEST_NAME}"
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        jvm = spark.sparkContext._jvm
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode())
+
+
 def write_bucketed(df: DataFrame, table: str,
                    bucket_col: str | Sequence[str],
                    n_buckets: int = 8,
@@ -130,15 +188,7 @@ def write_bucketed(df: DataFrame, table: str,
     # (in-memory) catalog forgot the table — clear both, else saveAsTable
     # fails with LOCATION_ALREADY_EXISTS
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    # normalize the identifier the way the catalog does: lower-case, and
-    # db-qualified names live under <warehouse>/<db>.db/<table> (the raw
-    # string missed both, so the stale dir survived and saveAsTable failed
-    # with the very error this guard exists to prevent — r5 review finding)
-    parts = table.lower().split(".")
-    rel = (os.path.join(f"{parts[0]}.db", parts[1]) if len(parts) == 2
-           else parts[0])
-    stale = os.path.join(warehouse.removeprefix("file:"), rel)
+    stale = table_location(spark, table).removeprefix("file:")
     if os.path.isdir(stale):
         shutil.rmtree(stale, ignore_errors=True)
     bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)

@@ -168,6 +168,45 @@ def test_config_mismatch_and_missing_columns_refused(spark):
             incremental_minhash_lsh_dedup(batch, md5_index)
 
 
+def test_manifest_config_check_is_metadata_only(spark):
+    """r9 VERDICT item 6: a persisted index carries its LSH config in a
+    _index_manifest.json sidecar; read_minhash_band_index attaches it
+    and the incremental probe validates against IT — zero index scans.
+    Proof of no-scan: an index whose ROWS say the default config but
+    whose attached manifest says another is refused on the manifest
+    (a data scan would have passed it). Mixed-config writes get no
+    manifest, so the fallback scan still refuses the mix."""
+    from data_engineering_etl_pipeline_spark.scale import (
+        read_table_manifest)
+
+    with engine_pin_scope():
+        day1 = spark.createDataFrame([(1, _BASE_A)], _SCHEMA)
+        batch = spark.createDataFrame([(2, _BASE_B)], _SCHEMA)
+        index = minhash_band_index(day1)
+        write_minhash_band_index(index, "t_mh_manifest")
+        assert read_table_manifest(spark, "t_mh_manifest") == {
+            "nperm": 64, "nbands": 16, "ngram": 3, "mhseed": 42,
+            "mhhash": "xxhash64"}
+        disk = read_minhash_band_index(spark, "t_mh_manifest")
+        assert disk._index_manifest["nperm"] == 64
+        # happy path: manifest matches the call -> runs
+        fresh, _ = incremental_minhash_lsh_dedup(batch, disk)
+        assert sorted(r["doc_id"] for r in fresh.collect()) == [2]
+        # manifest mismatch refuses, and on the MANIFEST: rows carry the
+        # default config, so a scan-based check would have passed
+        disk._index_manifest = dict(disk._index_manifest, nbands=8)
+        with pytest.raises(ValueError, match="manifest says"):
+            incremental_minhash_lsh_dedup(batch, disk)
+        # a mixed-config index gets NO manifest; the fallback distinct
+        # scan refuses the mix
+        mixed = index.unionByName(minhash_band_index(day1, bands=8))
+        write_minhash_band_index(mixed, "t_mh_manifest_mixed")
+        assert read_table_manifest(spark, "t_mh_manifest_mixed") is None
+        mixed_disk = read_minhash_band_index(spark, "t_mh_manifest_mixed")
+        with pytest.raises(ValueError, match="mixes LSH configs"):
+            incremental_minhash_lsh_dedup(batch, mixed_disk)
+
+
 def test_portable_md5_minhash_matches_duckdb(spark):
     """r9 VERDICT item 1, the cross-engine keystone: the md5 minhash
     config's per-shingle base hash AND full signature stream are

@@ -587,6 +587,33 @@ def test_incremental_semantic_dedup_refuses_config_mismatch(spark):
         incremental_semantic_dedup(emb, index)  # defaults (16, 4)
 
 
+def test_semantic_index_manifest_config_check_is_metadata_only(spark):
+    """r9 VERDICT item 6, semantic twin: write_signature_index writes the
+    LSH config as a manifest sidecar; read_signature_index attaches it;
+    incremental_semantic_dedup validates against the MANIFEST (rows say
+    the right config here, the tampered manifest says another — a data
+    scan would have passed, so the refusal proves the metadata-only
+    path)."""
+    import pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        embedding_signature_index, incremental_semantic_dedup,
+        read_signature_index, write_signature_index)
+    from data_engineering_etl_pipeline_spark.scale import (
+        read_table_manifest)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id",
+                                                         "embedding")
+    write_signature_index(embedding_signature_index(emb), "mf_sig_index")
+    assert read_table_manifest(spark, "mf_sig_index") == {
+        "planes": 16, "tables": 4}
+    disk = read_signature_index(spark, "mf_sig_index")
+    assert disk._index_manifest == {"planes": 16, "tables": 4}
+    disk._index_manifest = {"planes": 8, "tables": 4}
+    with pytest.raises(ValueError, match="manifest says"):
+        incremental_semantic_dedup(emb, disk)
+
+
 def test_incremental_semantic_dedup_preserves_batch_columns(spark):
     """fresh must carry EVERY batch column (the incremental_exact_dedup
     contract this operator mirrors): payload projected away silently loses
