@@ -213,12 +213,12 @@ def predict_lang_trained(docs: DataFrame, model: dict,
         .otherwise(best).alias("z_q"))
 
 
-def lang_id_scores_sql(model: dict, text_expr: str = "text",
+def lang_id_scores_sql(model: dict,
                        q_scale: int = LOGREG_Q_SCALE) -> dict[str, str]:
-    """DuckDB twins of the per-language score folds over a text
-    expression — same char-n-gram bucket hash (the ``_MD5_32`` digit
-    fold), same relative frequencies, same per-term
-    ``FLOOR(freq * w * Q)`` association, same BIGINT sum. Returns
+    """DuckDB twins of the per-language score folds — same char-n-gram
+    bucket hash (the ``_MD5_32`` digit fold), same relative
+    frequencies, same per-term ``FLOOR(freq * w * Q)`` association,
+    same BIGINT sum. Returns
     ``{lang: sql_expr}``; NULL/feature-less text yields NULL (callers
     CASE on it for the fallback). Each expression references ``freq``
     — a ``DOUBLE[]`` column callers build once with

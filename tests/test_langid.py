@@ -9,12 +9,10 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from data_engineering_etl_pipeline_spark.caching import engine_pin_scope
 from data_engineering_etl_pipeline_spark.extensions.langid import (
-    char_buckets_sql, char_freq_sql, char_freq_vector, fit_lang_id,
-    lang_id_scores_sql,
+    char_buckets_sql, char_freq_sql, fit_lang_id, lang_id_scores_sql,
     predict_lang_trained)
 
 _SCHEMA = "doc_id long, lang string, text string"
