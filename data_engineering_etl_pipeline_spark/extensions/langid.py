@@ -188,6 +188,17 @@ def predict_lang_trained(docs: DataFrame, model: dict,
             f"predict_lang_trained: fallback={fallback!r} "
             "(want 'heuristic' or 'und')")
     langs = sorted(model["langs"])
+    for lang in langs:
+        n_w = len(model["models"][lang]["weights"])
+        if n_w != model["dim"]:
+            # zip_with would pad the shorter side with NULLs and every
+            # score would fold to NULL — silently predicting nothing;
+            # refuse loudly (the prepare_training_corpus quality_clf
+            # convention)
+            raise ValueError(
+                f"predict_lang_trained: model[{lang!r}] has {n_w} "
+                f"weights but dim={model['dim']} — fit and predict must "
+                "share the hashing dimension")
     dim, n, salt = model["dim"], model["n"], model["salt"]
     v = char_freq_vector(text_col, dim, n, salt)
     staged = docs.select(F.col(id_col), F.col(text_col), v.alias("__v"))

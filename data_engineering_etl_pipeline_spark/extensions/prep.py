@@ -50,6 +50,7 @@ def prepare_training_corpus(docs: DataFrame,
                             apply_gopher: bool = False,
                             gopher_first: bool = False,
                             quality_clf: dict | None = None,
+                            lang_filter: dict | None = None,
                             train_frac: float = 0.9,
                             pack_budget: int = 2048,
                             n_shards: int = 64,
@@ -86,7 +87,19 @@ def prepare_training_corpus(docs: DataFrame,
     no fit pass inside prep). Optional and off by default: the heuristic
     floor keeps prep's chained DuckDB oracle intact, while the classifier
     stage is unit-verified (extensions/classifier.py documents why libm
-    exp cannot meet the cross-engine zero-tolerance hash)."""
+    exp cannot meet the cross-engine zero-tolerance hash).
+
+    ``lang_filter`` (r10): language selection with the TRAINED lang-ID
+    (``langid.fit_lang_id``) — ``{"model": fit_lang_id output, "keep":
+    ["en", ...], "fallback": 'heuristic'|'und' (default 'heuristic')}``.
+    Applied after the heuristic quality floor: map-only per-language
+    fixed-point score folds → argmax → keep rows whose predicted
+    language is in ``keep`` (feature-less docs predict via the fallback
+    and survive only if that answer is in ``keep`` — include ``'und'``
+    in ``keep`` to retain no-evidence docs). Optional and off by
+    default, the ``quality_clf`` convention: prep's chained DuckDB
+    oracle is untouched, and the lang-ID decision itself is
+    DuckDB-hash-checked in tests/test_langid.py."""
     if gopher_first:
         apply_gopher = True
         docs = docs.filter(gopher_keep(text_col))
@@ -151,6 +164,22 @@ def prepare_training_corpus(docs: DataFrame,
         quality_score(text_col, toks=F.col("__toks")) >= min_quality)
     if apply_gopher and not gopher_first:
         kept = kept.filter(gopher_keep(text_col))
+    if lang_filter is not None:
+        from .langid import predict_lang_trained
+
+        keep_langs = list(lang_filter["keep"])
+        if not keep_langs:
+            raise ValueError(
+                "prepare_training_corpus: lang_filter['keep'] is empty — "
+                "it would drop the whole corpus")
+        preds = predict_lang_trained(
+            kept, lang_filter["model"], id_col=id_col, text_col=text_col,
+            fallback=lang_filter.get("fallback", "heuristic"))
+        lang_ids = (preds.filter(F.col("pred_lang").isin(*keep_langs))
+                    .select(id_col))
+        # docs-sized semi join on the shrunk corpus; the scored side is
+        # map-only off `kept`'s pinned lineage (the quality_clf shape)
+        kept = kept.join(lang_ids, id_col, "left_semi")
     if quality_clf is not None:
         from .classifier import score_logreg
         from .corpus import hashed_tfidf_vectors

@@ -150,3 +150,34 @@ def test_decision_fold_hash_matches_duckdb(spark):
         FROM z""").fetchall()
     want = {i: (p, z) for i, p, z in rows}
     assert got == want
+
+
+def test_prep_pipeline_lang_filter(spark):
+    """r10 composition: prepare_training_corpus(lang_filter=...) keeps
+    exactly the docs whose TRAINED prediction is in `keep`, running the
+    full clean/dedup/pack pipeline around it (the quality_clf stage
+    pattern); off by default so the prep driver oracle is untouched."""
+    from data_engineering_etl_pipeline_spark.extensions.prep import (
+        prepare_training_corpus)
+
+    with engine_pin_scope():
+        train = spark.createDataFrame(_rows("train"), _SCHEMA)
+        model = fit_lang_id(train, langs=["de", "en", "es", "sv"])
+        # three terminally-punctuated sentences per page so the C4 page
+        # filter (>=3 sentences) keeps every doc; ids encode lang
+        docs = spark.createDataFrame(
+            [(i, f"{a}. {b}. {c}.") for i, (a, b, c) in
+             enumerate((_CORPUS[lang][j], _CORPUS[lang][j + 1],
+                        _CORPUS[lang][j + 2])
+                       for lang in ("en", "de", "sv")
+                       for j in (0, 3))],
+            "doc_id long, text string")
+        # ids 0,1 en; 2,3 de; 4,5 sv
+        out = prepare_training_corpus(
+            docs, min_quality=0.01,
+            lang_filter={"model": model, "keep": ["en", "sv"]})
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [0, 1, 4, 5]
+        # without the filter all six survive (stage is off by default)
+        out_all = prepare_training_corpus(docs, min_quality=0.01)
+        assert sorted(r["doc_id"] for r in out_all.collect()) == list(range(6))
