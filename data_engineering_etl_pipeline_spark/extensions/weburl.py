@@ -279,7 +279,15 @@ def with_registered_domain_psl(docs: DataFrame, suffixes: DataFrame,
     for k in range(1, max_suffix_labels + 1):
         m = F.col(f"__m{k}")
         if k >= 2:
-            m = m | F.col(f"__w{k}")
+            # the n >= k guard matters only for wildcards: a plain match
+            # at depth k implies n >= k (the candidate slice is NULL
+            # otherwise), but the wildcard joins on the PARENT slice
+            # c{k-1}, which exists at n == k-1 too — and per the PSL
+            # algorithm a wildcard rule only matches hosts with at least
+            # as many labels as the rule (* must consume one), so a host
+            # that IS the wildcard parent falls through to whatever else
+            # matches (usually the implicit '*')
+            m = m | (F.col(f"__w{k}") & (F.col("__n") >= k))
         klen = F.when(m, F.lit(k)).otherwise(klen)
     for k in range(1, max_suffix_labels + 1):
         klen = F.when(F.col(f"__e{k}"), F.lit(k - 1)).otherwise(klen)

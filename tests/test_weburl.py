@@ -366,6 +366,20 @@ def test_psl_wildcard_and_exception_vectors(spark):
            with_registered_domain_psl(df, sfx, host_col="host").collect()}
     assert got == {1: "", 2: "", 3: "b.test.ck", 4: "b.test.ck",
                    5: "www.ck", 6: "www.ck", 7: "example.com"}
+    # PSL label-count rule (r10 regression): a wildcard rule only
+    # matches hosts with MORE labels than its parent — a host that IS
+    # the parent falls through to the implicit '*' (the *.co.uk / co.uk
+    # divergence: '' would claim the host is a public suffix; the spec
+    # says its registered domain is itself)
+    sfx2 = spark.createDataFrame(load_suffix_rows(["*.co.uk"]),
+                                 "suffix string, kind string")
+    df2 = spark.createDataFrame(
+        [(1, "co.uk"), (2, "shop.co.uk"), (3, "x.shop.co.uk")],
+        "id long, host string")
+    got2 = {r["id"]: r["domain"] for r in
+            with_registered_domain_psl(df2, sfx2, host_col="host")
+            .collect()}
+    assert got2 == {1: "co.uk", 2: "", 3: "x.shop.co.uk"}
 
 
 def test_psl_suffix_table_duplicates_do_not_fan_out(spark):
