@@ -302,6 +302,52 @@ def with_registered_domain_psl(docs: DataFrame, suffixes: DataFrame,
     return out.withColumn(out_col, reg).drop(*drop)
 
 
+def registered_domain_psl_sql(h: str, rules, max_suffix_labels: int = 4
+                              ) -> str:
+    """DuckDB twin of :func:`with_registered_domain_psl` for a FIXED
+    rule table (``load_suffix_rows`` output, embedded as list literals)
+    over a HOST expression ``h`` — a transcription of the same
+    algorithm (ascending longest-match fold incl. the wildcard
+    label-count guard, exception override, implicit ``*``), not of
+    expected outputs, so a driver oracle using it value-checks the
+    matcher's decisions rule-for-rule (the ``doc_url_curation`` ``psl``
+    grain)."""
+    plain = sorted({s for s, k in rules if k == "rule"})
+    wild = sorted({s for s, k in rules if k == "wildcard"})
+    exc = sorted({s for s, k in rules if k == "exception"})
+
+    def lit(vals):
+        return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+    lab = f"string_split({h}, '.')"
+    n = f"len({lab})"
+
+    def cand(k: int) -> str:
+        return f"array_to_string({lab}[-{k}:], '.')"
+
+    expr = "1"  # implicit '*'
+    for k in range(1, max_suffix_labels + 1):
+        conds = []
+        if plain and k <= max(len(s.split(".")) for s in plain):
+            conds.append(f"({n} >= {k} AND "
+                         f"list_contains({lit(plain)}, {cand(k)}))")
+        if wild and k >= 2:
+            conds.append(f"({n} >= {k} AND "
+                         f"list_contains({lit(wild)}, {cand(k - 1)}))")
+        if conds:
+            expr = (f"CASE WHEN {' OR '.join(conds)} THEN {k} "
+                    f"ELSE {expr} END")
+    for k in range(1, max_suffix_labels + 1):
+        if exc:
+            expr = (f"CASE WHEN {n} >= {k} AND "
+                    f"list_contains({lit(exc)}, {cand(k)}) THEN {k - 1} "
+                    f"ELSE {expr} END")
+    return f"""CASE WHEN {h} IS NULL THEN NULL
+        WHEN {h} = '' THEN ''
+        WHEN {n} <= ({expr}) THEN ''
+        ELSE array_to_string({lab}[-(({expr}) + 1):], '.') END"""
+
+
 def load_suffix_rows(entries,
                      max_suffix_labels: int = 4) -> list[tuple[str, str]]:
     """Normalize raw public-suffix-list lines into ``(suffix, kind)``

@@ -979,6 +979,15 @@ SYNTHETIC_URL_SQL = """
 _URL_BLOCKLIST = ("www.example3.com", "shop7.co.uk",
                   " Tracker.Example11.COM ")
 
+#: fixed PSL rule table for the r10 ``psl`` grain — every rule class
+#: lands on real zoo hosts at every scale factor: the private-suffix
+#: rule hits exampleN.com at N==7 (host IS a suffix → ''), the wildcard
+#: makes every shopN.co.uk a public suffix (registered = the sub.
+#: host), and the exception carves shop5.co.uk back out (registered =
+#: shop5.co.uk itself, overriding the wildcard)
+_PSL_RULE_LINES = ("com", "uk", "co.uk", "example7.com", "*.co.uk",
+                   "!shop5.co.uk")
+
 
 def _url_curation_oracle() -> str:
     """DuckDB twin of the three URL-curation stages from the SAME shared
@@ -993,9 +1002,13 @@ def _url_curation_oracle() -> str:
     resolved on the oracle side."""
     from ..extensions.sampling import quota_rank_sql
     from ..extensions.weburl import (canonicalize_url_sql, host_sql,
-                                     registered_domain_from_host_sql)
+                                     load_suffix_rows,
+                                     registered_domain_from_host_sql,
+                                     registered_domain_psl_sql)
 
     vals = ", ".join(f"('{b}')" for b in _URL_BLOCKLIST)
+    psl_dom = registered_domain_psl_sql(
+        "h", load_suffix_rows(_PSL_RULE_LINES))
     return f"""
     WITH u AS (SELECT doc_id, {SYNTHETIC_URL_SQL} AS url FROM documents),
     c AS (SELECT doc_id, {canonicalize_url_sql('url')} AS canonical_url
@@ -1026,6 +1039,11 @@ def _url_curation_oracle() -> str:
            TRUE AS kept
     FROM d
     WHERE domain IS NULL OR domain NOT IN (SELECT domain FROM bl)
+    UNION ALL
+    SELECT 'psl' AS stage, doc_id,
+           CAST(NULL AS VARCHAR) AS canonical_url,
+           {psl_dom} AS domain, TRUE AS kept
+    FROM hh
     """
 
 
@@ -1046,14 +1064,24 @@ def doc_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       partitionBy(domain) sort);
     - ``blocklist``: broadcast LEFT ANTI domain blocklist survivors,
       with one full-host blocklist entry proving both sides normalize to
-      the registered domain.
+      the registered domain;
+    - ``psl`` (r10): the FULL publicsuffix.org matcher
+      (:func:`with_registered_domain_psl`) under a fixed rule table
+      exercising every rule class against real zoo hosts — plain +
+      private suffixes, a wildcard (every ``shopN.co.uk`` becomes a
+      public suffix), and an exception that carves ``shop5.co.uk`` back
+      out; the oracle transcribes the same ascending longest-match
+      algorithm (incl. the wildcard label-count guard) over the embedded
+      rule lists (``registered_domain_psl_sql``), so the matcher's
+      decisions are hash-verified rule-for-rule, not just unit-tested.
 
     Everything is map-only except the dedup hash agg and the quota
     machinery's two bounded exchanges; the oracle rebuilds every rule
     from the shared constants with zero tolerance."""
     from ..extensions.weburl import (domain_balanced_sample,
-                                     filter_blocklisted,
-                                     url_dedup_keep_first)
+                                     filter_blocklisted, load_suffix_rows,
+                                     url_dedup_keep_first,
+                                     with_registered_domain_psl)
 
     # engine-pinned (caller-release contract): the three stages each scan
     # the docs relation — uncached, the parquet scan + the synthetic-URL
@@ -1073,4 +1101,10 @@ def doc_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("blocklist").alias("stage"), "doc_id",
                 nul.alias("canonical_url"), "domain",
                 F.lit(True).alias("kept"))
-    return canon.unionByName(quota).unionByName(survivors)
+    sfx = spark.createDataFrame(load_suffix_rows(_PSL_RULE_LINES),
+                                "suffix string, kind string")
+    psl = with_registered_domain_psl(docs, sfx).select(
+        F.lit("psl").alias("stage"), "doc_id",
+        nul.alias("canonical_url"), "domain", F.lit(True).alias("kept"))
+    return (canon.unionByName(quota).unionByName(survivors)
+            .unionByName(psl))
