@@ -273,6 +273,23 @@ def test_psl_plan_is_map_only_broadcast_joins(spark):
     assert "BroadcastHashJoin" in p, p
     assert "Exchange hashpartitioning" not in p, p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p, p
+    # r10: the full rule grammar (wildcard + exception tables -> up to
+    # 3K broadcast joins) keeps the same shape - still ZERO corpus
+    # shuffles, no Python
+    from data_engineering_etl_pipeline_spark.extensions.weburl import (
+        load_suffix_rows)
+
+    sfx3 = spark.createDataFrame(
+        load_suffix_rows(["com", "co.uk", "*.co.uk", "!shop5.co.uk"]),
+        "suffix string, kind string")
+    out3 = with_registered_domain_psl(docs, sfx3)
+    buf3 = io.StringIO()
+    with contextlib.redirect_stdout(buf3):
+        out3.explain("formatted")
+    p3 = buf3.getvalue()
+    assert "BroadcastHashJoin" in p3, p3
+    assert "Exchange hashpartitioning" not in p3, p3
+    assert "MapInPandas" not in p3 and "BatchEvalPython" not in p3, p3
 
 
 def test_psl_blocklist_and_cap_use_private_suffix_grain(spark):
