@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,7 +167,8 @@ def predict_lang_trained(docs: DataFrame, model: dict,
                          id_col: str = "doc_id", text_col: str = "text",
                          out_col: str = "pred_lang",
                          fallback: str = "heuristic",
-                         q_scale: int = LOGREG_Q_SCALE) -> DataFrame:
+                         q_scale: int = LOGREG_Q_SCALE,
+                         mode: str = "expr") -> DataFrame:
     """Predict languages with a :func:`fit_lang_id` model: ``(id,
     pred_lang, z_q)`` where ``pred_lang`` is the argmax language of the
     per-language fixed-point score folds (``z_q`` the winning score;
@@ -179,10 +182,24 @@ def predict_lang_trained(docs: DataFrame, model: dict,
     - ``'und'``: the undetermined sentinel, for pipelines that prefer
       an honest no-evidence answer.
 
-    Map-only: K score folds as pure expressions with literal weights —
-    one scan, no shuffle, no Python. The DECISION (scores + argmax +
-    tiebreak) is bit-portable; ``lang_id_scores_sql`` is the DuckDB
-    twin (hash-checked in tests/test_langid.py)."""
+    Map-only: K score folds with literal weights — one scan, no
+    shuffle. The DECISION (scores + argmax + tiebreak) is bit-portable;
+    ``lang_id_scores_sql`` is the DuckDB twin (hash-checked in
+    tests/test_langid.py).
+
+    ``mode`` picks the score-fold execution, BIT-identical outputs:
+
+    - ``'expr'`` (default): K pure-expression folds, zero Python — the
+      right shape up to a few dozen languages;
+    - ``'arrow'``: ONE Arrow-batched kernel computes all K quantized
+      scores per row with the identical per-term
+      ``floor((freq_i · w_ki) · Q)`` float64 products and int64 sums
+      (order-matched to the expression fold, so equality is by
+      construction, and unit-pinned). The large-K path: a
+      100-language model in expr mode is K·dim ≈ 6400+ floor terms per
+      row — past whole-stage-codegen's expression budget Spark falls
+      back to interpreted evaluation, while the kernel is one
+      vectorized pass whatever K is."""
     if fallback not in ("heuristic", "und"):
         raise ValueError(
             f"predict_lang_trained: fallback={fallback!r} "
@@ -200,11 +217,47 @@ def predict_lang_trained(docs: DataFrame, model: dict,
                 f"weights but dim={model['dim']} — fit and predict must "
                 "share the hashing dimension")
     dim, n, salt = model["dim"], model["n"], model["salt"]
+    if mode not in ("expr", "arrow"):
+        raise ValueError(
+            f"predict_lang_trained: mode={mode!r} (want 'expr' or 'arrow')")
     v = char_freq_vector(text_col, dim, n, salt)
     staged = docs.select(F.col(id_col), F.col(text_col), v.alias("__v"))
-    zcols = {lang: _zq_fold(F.col("__v"), model["models"][lang]["weights"],
-                            model["models"][lang]["bias"], q_scale)
-             for lang in langs}
+    if mode == "expr":
+        zcols = {lang: _zq_fold(F.col("__v"),
+                                model["models"][lang]["weights"],
+                                model["models"][lang]["bias"], q_scale)
+                 for lang in langs}
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        w_mat = np.asarray(
+            [model["models"][lang]["weights"] for lang in langs],
+            dtype=np.float64)
+        b_q = np.asarray(
+            [int(math.floor(float(model["models"][lang]["bias"])
+                            * q_scale)) for lang in langs],
+            dtype=np.int64)
+        qf = float(q_scale)
+
+        @pandas_udf("array<long>")
+        def all_scores(vec: pd.Series) -> pd.Series:
+            out = []
+            for arr in vec:
+                if arr is None:
+                    out.append(None)
+                    continue
+                x = np.asarray(arr, dtype=np.float64)
+                # per-term (x_i * w_ki) * Q, floored — the exact product
+                # order of the expression fold's a*c*qf — then an
+                # associativity-free int64 sum per language
+                terms = np.floor((x[None, :] * w_mat) * qf)
+                out.append((terms.astype(np.int64).sum(axis=1)
+                            + b_q).tolist())
+            return pd.Series(out)
+
+        staged = staged.withColumn("__z", all_scores(F.col("__v")))
+        zcols = {lang: F.element_at(F.col("__z"), i + 1)
+                 for i, lang in enumerate(langs)}
     best = F.greatest(*zcols.values()) if len(zcols) > 1 \
         else next(iter(zcols.values()))
     pred: Column = F.lit(None).cast("string")

@@ -181,3 +181,24 @@ def test_prep_pipeline_lang_filter(spark):
         # without the filter all six survive (stage is off by default)
         out_all = prepare_training_corpus(docs, min_quality=0.01)
         assert sorted(r["doc_id"] for r in out_all.collect()) == list(range(6))
+
+
+def test_arrow_mode_bit_identical_to_expr_mode(spark):
+    """mode='arrow' (the large-K scale path: one Arrow kernel instead of
+    K*dim codegen'd floor terms) must reproduce mode='expr' BIT-for-bit
+    - same per-term float64 product order, same int64 sums, same argmax
+    - across feature-bearing, feature-less, and NULL rows."""
+    with engine_pin_scope():
+        train = spark.createDataFrame(_rows("train"), _SCHEMA)
+        model = fit_lang_id(train)
+        docs_rows = _rows("train") + _rows("test") + [
+            (100, None, "z"), (101, None, None)]
+        docs = spark.createDataFrame(docs_rows, _SCHEMA)
+        expr = {r["doc_id"]: (r["pred_lang"], r["z_q"]) for r in
+                predict_lang_trained(docs, model).collect()}
+        arrow = {r["doc_id"]: (r["pred_lang"], r["z_q"]) for r in
+                 predict_lang_trained(docs, model, mode="arrow").collect()}
+        assert expr == arrow
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="mode"):
+            predict_lang_trained(docs, model, mode="gpu")
