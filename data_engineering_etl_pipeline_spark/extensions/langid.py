@@ -150,6 +150,27 @@ def fit_lang_id(labeled: DataFrame, lang_col: str = "lang",
             "salt": salt}
 
 
+def planted_lang_id(langs, seed: int, dim: int = LANGID_DIM,
+                    n: int = LANGID_N, salt: str = LANGID_SALT) -> dict:
+    """Seeded deterministic lang-ID model — one
+    ``classifier.planted_logreg`` per language (seed offset by the
+    language's sorted index), shaped exactly like :func:`fit_lang_id`
+    output. The ``planted_projection``/``planted_logreg`` convention:
+    a driver row can value-check the trained-prediction DECISION
+    machinery (featurization → K score folds → argmax → fallback)
+    under constants both engines embed verbatim, without the
+    data-dependence of a real fit (trained weights pass through libm
+    exp; the fit stays byte-stable-unit-verified, the
+    ``quality_classifier_gate`` split)."""
+    from .classifier import planted_logreg
+
+    ls = sorted(langs)
+    return {"langs": ls,
+            "models": {lang: planted_logreg(seed + i, dim)
+                       for i, lang in enumerate(ls)},
+            "dim": dim, "n": n, "salt": salt}
+
+
 def _zq_fold(vec: Column, weights: list[float], bias: float,
              q_scale: int) -> Column:
     """The quality-gate fixed-point score fold over a dense double

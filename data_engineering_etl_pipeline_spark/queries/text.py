@@ -459,6 +459,46 @@ _LANG_SCORE_SQL = "\n".join(
         ",".join(f"'{w}'" for w in ws), code)
     for code, ws in _LANG_SETS.items()).rstrip(",")
 
+#: planted trained-lang-ID model for the r10 `pred_lang_trained` columns —
+#: the `quality_classifier_gate` recipe (seeded constants both engines
+#: embed verbatim) applied to the lang-ID decision machinery: hashed
+#: char-bigram featurization → K fixed-point score folds → argmax with
+#: ascending tiebreak → 'und' fallback for feature-less docs. The fit
+#: itself stays byte-stable-unit-verified (libm exp — the documented
+#:  non-oracle-able surface); this row value-checks every PREDICTION step.
+_LANGID_TRAINED_SEED = 1117
+
+
+def _langid_model() -> dict:
+    from ..extensions.langid import planted_lang_id
+
+    return planted_lang_id(tuple(_LANG_SETS), _LANGID_TRAINED_SEED)
+
+
+def _langid_trained_sql() -> tuple[str, str, str, str]:
+    """(buckets_expr, freq_expr, z-columns, final SELECT snippet) for the
+    trained-lang-ID legs of the ``doc_text_stats`` oracle — built from
+    the SAME model constants and SQL builders the engine path uses."""
+    from ..extensions.langid import (char_buckets_sql, char_freq_sql,
+                                     lang_id_scores_sql)
+
+    model = _langid_model()
+    z = lang_id_scores_sql(model)
+    langs = sorted(z)
+    zcols = ",\n             ".join(f"{z[lang]} AS z_{lang}"
+                                   for lang in langs)
+    g = "greatest(" + ", ".join(f"z_{lang}" for lang in langs) + ")"
+    pred = ("CASE WHEN zq_trained IS NULL THEN 'und' "
+            + " ".join(f"WHEN z_{lang} = zq_trained THEN '{lang}'"
+                       for lang in langs[:-1])
+            + f" ELSE '{langs[-1]}' END")
+    return (char_buckets_sql(model, "text"), char_freq_sql(model),
+            zcols, (g, pred))
+
+
+_LANGID_BK_SQL, _LANGID_FREQ_SQL, _LANGID_Z_SQL, \
+    (_LANGID_G_SQL, _LANGID_PRED_SQL) = _langid_trained_sql()
+
 
 @register(
     "doc_text_stats",
@@ -481,6 +521,16 @@ _LANG_SCORE_SQL = "\n".join(
       SELECT doc_id, MAX(c) AS best, SUM(c) AS total
       FROM (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
       GROUP BY 1
+    ), bk AS (
+      SELECT doc_id, {_LANGID_BK_SQL} AS __bk FROM documents
+    ), fv AS (
+      SELECT doc_id, {_LANGID_FREQ_SQL} AS freq FROM bk
+    ), lz AS (
+      SELECT doc_id,
+             {_LANGID_Z_SQL}
+      FROM fv
+    ), tr AS (
+      SELECT *, {_LANGID_G_SQL} AS zq_trained FROM lz
     )
     SELECT doc_id, lang,
            CAST(len(t) AS BIGINT) AS n_tokens,
@@ -513,9 +563,12 @@ _LANG_SCORE_SQL = "\n".join(
                       THEN 1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln)
                       ELSE 0.0 END, 6) AS dup_line_frac,
            ROUND(COALESCE(m.best * 1.0 / m.total, 0.0), 6) AS top_bigram_frac,
-           CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+           CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash,
+           {_LANGID_PRED_SQL} AS pred_lang_trained,
+           zq_trained
     FROM langed LEFT JOIN mode m USING (doc_id)
     LEFT JOIN sig s USING (doc_id)
+    LEFT JOIN tr USING (doc_id)
     """,
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,7 +589,22 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     freed the slot for ``doc_c4_line_filter``): ONE token split feeds all
     the stats. Since r6 the row also carries the md5-portable SimHash-64
     signature (former standalone ``doc_simhash_portable`` row — registry
-    consolidation; same hash-checked construction, now joined on doc_id)."""
+    consolidation; same hash-checked construction, now joined on doc_id).
+
+    r10 adds the TRAINED lang-ID decision surface
+    (``pred_lang_trained``/``zq_trained``): the production
+    ``langid.predict_lang_trained`` path — hashed char-bigram
+    relative-frequency featurization, one fixed-point score fold per
+    language, argmax with ascending tiebreak, 'und' for feature-less
+    docs — under a PLANTED model (``planted_lang_id``, the
+    ``quality_classifier_gate`` seeded-constants recipe), so every step
+    the real fitted model drives in production is hash-verified against
+    a DuckDB twin built from the same model literals; the byte-stable
+    fit itself stays unit-verified (libm exp — the documented
+    non-oracle-able surface). Map-only: weights ride as literals — no
+    shuffle, no Python."""
+    from ..extensions.langid import predict_lang_trained
+
     raw = load_table(spark, sf_dir, "documents")
     # Materialize the token array once per row (see dedup.word_shingles —
     # inlining the split into every consumer re-runs the regex per reference).
@@ -562,7 +630,11 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
         F.round(top_ngram_fraction_udf("text", 2), 6).alias("top_bigram_frac"),
     )
-    return stats.join(simhash, "doc_id")
+    trained = (predict_lang_trained(raw, _langid_model(),
+                                    out_col="pred_lang_trained",
+                                    fallback="und")
+               .withColumnRenamed("z_q", "zq_trained"))
+    return stats.join(simhash, "doc_id").join(trained, "doc_id")
 
 
 #: corpus_split_profile's value oracle — registry slot consolidated in r8

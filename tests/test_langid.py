@@ -202,3 +202,21 @@ def test_arrow_mode_bit_identical_to_expr_mode(spark):
         import pytest as _pytest
         with _pytest.raises(ValueError, match="mode"):
             predict_lang_trained(docs, model, mode="gpu")
+
+
+def test_planted_lang_id_deterministic_and_per_language():
+    """planted_lang_id (the doc_text_stats pred_lang_trained driver
+    grain's model) must be reproducible from its seed alone — both
+    engines embed the constants verbatim — and give each language its
+    own weight vector (seed offset by sorted index)."""
+    from data_engineering_etl_pipeline_spark.extensions.langid import (
+        planted_lang_id)
+
+    m1 = planted_lang_id(("en", "de", "es"), 1117)
+    m2 = planted_lang_id(("es", "de", "en"), 1117)
+    assert m1 == m2  # order-insensitive: languages are sorted
+    assert m1["langs"] == ["de", "en", "es"]
+    assert m1["dim"] == 64 and len(m1["models"]["en"]["weights"]) == 64
+    ws = {lang: tuple(m1["models"][lang]["weights"]) for lang in m1["langs"]}
+    assert len(set(ws.values())) == 3
+    assert planted_lang_id(("en", "de", "es"), 1118) != m1
