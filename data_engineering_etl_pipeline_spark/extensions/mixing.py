@@ -1,0 +1,322 @@
+"""Source-mixture construction for training corpora (r10): temperature
+mixture weights, deterministic budget allocation, and token-budget
+prefix sampling — the "decide how much of each source goes into the run"
+step every large-scale pretraining pipeline executes after curation
+(mT5/Raffel temperature sampling ``w_s ∝ n_s^alpha``; The Pile's fixed
+per-source epochs; token-budget corpus assembly). The repo's curation
+operators decide WHICH documents survive; this module decides HOW MANY
+tokens of each surviving source the training run consumes.
+
+Determinism contract (the ``sampling`` module convention): within a
+source, documents fill the budget in the engine's portable md5 hash
+order of the id + salt — NOT arrival order (which over-selects whatever
+was crawled first) — so the kept set is rerun-, repartition- and
+engine-stable, and a serial SQL engine reproduces the fill DECISION
+bit-for-bit (:func:`token_budget_sql`). The only non-oracle-able piece
+is ``n^alpha`` for fractional ``alpha`` (libm pow — the documented
+``fit_logreg_exact`` class of surface): weight VALUES are unit-checked
+at round-6 tolerance, while budget allocation (given weights) and the
+fill decision (given budgets) are exact-integer and hash-checkable with
+zero tolerance.
+
+Plan contract (the r7-verdict scale shape): the corpus NEVER feeds a
+``Window.partitionBy(source)`` full sort. Selection is two-phase like
+``balanced_sample_by_key``: a map-only partition-local prefix prune
+(rows beyond the budget within their own partition cannot be within it
+globally — the prefix-sum subset property), then the global per-source
+cumulative sum runs over candidates only, and keeper ids join back as a
+flag. Weight/count tables are sources-sized (KB) — broadcast by nature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .corpus import _portable_hv
+
+#: candidate-set size past which the fill's flag join stops hinting a
+#: broadcast (the ``sampling.KEEPER_BROADCAST_ROWS`` convention)
+_KEEPER_BROADCAST_ROWS = 4_000_000
+
+
+def _hv(id_col: str, salt: str) -> F.Column:
+    """Portable 32-bit selection hash of the id + salt — the
+    ``balanced_sample_by_key`` order, shared with :func:`token_budget_sql`."""
+    return _portable_hv(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+
+
+def _hv_sql(id_expr: str, salt: str) -> str:
+    return (f"CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) "
+            f"|| '|{salt}'), 1, 8) AS UBIGINT)")
+
+
+def mixture_weights(docs: DataFrame, source_col: str = "lang",
+                    alpha: float = 0.3,
+                    token_col: str | None = None) -> DataFrame:
+    """Per-source temperature mixture weights: ``(source, n, weight)``
+    with ``n`` = document count (or token sum when ``token_col`` is
+    given — the right mass for budget math) and
+    ``weight = n^alpha / Σ_s n_s^alpha`` (mT5 §3.1: ``alpha = 1`` keeps
+    the natural distribution, ``alpha = 0`` is uniform, the usual
+    ``0.2–0.7`` flattens the head so low-resource sources are not
+    drowned). NULL sources form their own group (same as the sampler's
+    NULL-key contract).
+
+    Plan: ONE hash agg over the corpus → a sources-sized frame; the
+    normalizing total is a 1-row cross join (broadcast by nature). The
+    ``n^alpha`` double is libm pow — cross-engine portable only to
+    ~1 ulp, so value units compare at ROUND 6 (:func:`mixture_weights_sql`)
+    and anything needing exactness downstream goes through
+    :func:`allocate_budgets` integers instead."""
+    if alpha < 0:
+        raise ValueError(f"mixture_weights: alpha={alpha} must be >= 0")
+    n = (F.count(F.lit(1)) if token_col is None
+         else F.sum(F.coalesce(F.col(token_col), F.lit(0))))
+    agg = docs.groupBy(F.col(source_col).alias("source")) \
+              .agg(n.cast("long").alias("n"))
+    p = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    tot = agg.agg(F.sum(p).alias("__tot"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("source", "n", (p / F.col("__tot")).alias("weight")))
+
+
+def mixture_weights_sql(source_expr: str, alpha: float,
+                        token_expr: str | None = None,
+                        table: str = "documents") -> str:
+    """DuckDB twin of :func:`mixture_weights` with ``weight`` at ROUND 6
+    (the libm-pow tolerance documented in the module docstring; ``n`` is
+    exact)."""
+    n = ("COUNT(*)" if token_expr is None
+         else f"SUM(COALESCE({token_expr}, 0))")
+    return f"""
+    WITH c AS (
+      SELECT {source_expr} AS source, CAST({n} AS BIGINT) AS n
+      FROM {table} GROUP BY 1
+    )
+    SELECT source, n,
+           ROUND(POW(CAST(n AS DOUBLE), {float(alpha)!r})
+                 / SUM(POW(CAST(n AS DOUBLE), {float(alpha)!r})) OVER (),
+                 6) AS weight
+    FROM c
+    """
+
+
+def allocate_budgets(weights: dict, total_budget: int) -> dict:
+    """Integer per-source token budgets from mixture weights by the
+    largest-remainder method: ``base_s = floor(w_s · total)``, then the
+    leftover ``total − Σ base`` goes one token at a time to the largest
+    fractional remainders (ties → source ascending, NULL-source last) —
+    so ``Σ budgets == total_budget`` EXACTLY and the allocation is a
+    pure deterministic function of (weights, total). Driver-side pure
+    Python over a sources-sized dict (the codebook convention — KB-scale
+    metadata, never corpus data). Negative weights are refused; weights
+    need not sum to 1 (they are renormalized)."""
+    if total_budget < 0:
+        raise ValueError(
+            f"allocate_budgets: total_budget={total_budget} must be >= 0")
+    if not weights:
+        return {}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("allocate_budgets: negative weight")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0.0:
+        return {s: 0 for s in weights}
+    shares = {s: (w / wsum) * total_budget for s, w in weights.items()}
+    out = {s: int(shares[s]) for s in weights}
+    leftover = total_budget - sum(out.values())
+    # ties: source ascending, with None (NULL source) sorted last — a
+    # total order both reruns and documentation can state
+    order = sorted(shares,
+                   key=lambda s: (-(shares[s] - int(shares[s])),
+                                  s is None, s if s is not None else ""))
+    for s in order[:leftover]:
+        out[s] += 1
+    return out
+
+
+def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
+                           key_col: str = "lang",
+                           token_col: str = "n_tokens",
+                           id_col: str = "doc_id",
+                           salt: str = "token-budget-42") -> DataFrame:
+    """Flag the deterministic hash-order PREFIX of each key's documents
+    whose cumulative token count stays within the key's budget — returns
+    ``(id_col, key_col, token_col, kept)`` for EVERY input row.
+    ``budgets`` is a per-key dict (keys absent from it get budget 0 — an
+    unallocated source contributes nothing, loudly visible in the flag)
+    or one int applied to every key. A row is kept iff the cumulative
+    sum INCLUDING it, taken in the portable hash order (md5 of id +
+    salt, ties by id), is ``<= budget`` — the strict never-exceed prefix
+    (a boundary-crossing doc is dropped whole; token budgets cut at
+    document granularity, the ``pack_sequences`` step splits finer).
+
+    Row identity is ``(id, key)`` (the ``balanced_sample_by_key``
+    contract): copies share one budget slot and one flag; copies that
+    disagree on the token count resolve to the MIN (deterministic);
+    NULL token counts count 0 toward the budget; NULL keys form their
+    own group.
+
+    Plan (two-phase, no corpus-wide key sort): phase 1 is a map-only
+    partition-local prefix prune — within a partition, a row whose
+    LOCAL cumulative sum already exceeds the budget can only rank worse
+    globally (its global prefix is a superset of its local one), so
+    dropping it is lossless; survivors are at most budget-many
+    non-empty docs per (key, partition). Phase 2 sorts candidates only:
+    per-(id,key) min-token collapse, one window cumsum, keeper flag
+    joined back (broadcast-hinted while the candidate bound is small).
+    Zero-token docs never advance the sum and are kept while the prefix
+    is still within budget (they are free)."""
+    if isinstance(budgets, int):
+        if budgets < 0:
+            raise ValueError(
+                f"sample_to_token_budget: budget={budgets} must be >= 0")
+        budget_of = None
+        const_budget = budgets
+    else:
+        if any(b < 0 for b in budgets.values()):
+            raise ValueError("sample_to_token_budget: negative budget")
+        budget_of = dict(budgets)
+        const_budget = None
+    from ..caching import pin
+
+    base = pin(docs.select(
+        F.col(id_col), F.col(key_col),
+        F.coalesce(F.col(token_col), F.lit(0)).cast("long")
+        .alias(token_col)))
+    ranked = base.withColumn("__hv", _hv(id_col, salt))
+
+    import pandas as pd
+
+    schema = ranked.schema
+    tok, key, idc = token_col, key_col, id_col
+
+    def prune(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cat = (pdf if best is None
+                   else pd.concat((best, pdf), ignore_index=True))
+            cat = cat.sort_values(["__hv", idc], kind="mergesort",
+                                  ignore_index=True)
+            # copies of one (id, key): keep the MIN token count — the
+            # deterministic resolution the global phase re-applies
+            cat = (cat.sort_values(tok, kind="mergesort")
+                   .drop_duplicates(subset=[key, idc])
+                   .sort_values(["__hv", idc], kind="mergesort",
+                                ignore_index=True))
+            cum = cat.groupby(key, sort=False, dropna=False)[tok].cumsum()
+            if budget_of is None:
+                lim = const_budget
+            else:
+                # pandas renders a NULL key as None or NaN depending on
+                # dtype — normalize to None so the NULL-key group reads
+                # ITS budget, not the absent-key 0 (phase 1 must never
+                # prune a row phase 2 would keep)
+                lim = cat[key].map(
+                    lambda k: budget_of.get(
+                        None if pd.isna(k) else k, 0)).astype("int64")
+            best = cat[cum <= lim]
+        if best is not None and len(best):
+            yield best
+
+    cand = ranked.mapInPandas(prune, schema)
+    # per-(id, key) min-token collapse — the same exchange the window
+    # needs, so this adds no extra shuffle stage
+    cand = (cand.groupBy(key_col, id_col)
+            .agg(F.min("__hv").alias("__hv"),
+                 F.min(token_col).alias("__tok")))
+    if budget_of is None:
+        blim = F.lit(const_budget).cast("long")
+        withb = cand
+    else:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # the budget table's key column takes the CAND key's exact type
+        # (sources are usually strings but nothing here requires it),
+        # and the join is null-safe so a None-key budget entry reaches
+        # the NULL-key group
+        ktype = cand.schema[key_col].dataType
+        bdf = cand.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in budget_of.items()],
+            StructType([StructField("__bkey", ktype),
+                        StructField("__budget", LongType())]))
+        withb = (cand.join(F.broadcast(bdf),
+                           F.col(key_col).eqNullSafe(F.col("__bkey")),
+                           "left").drop("__bkey"))
+        blim = F.coalesce(F.col("__budget"), F.lit(0)).cast("long")
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col("__hv").asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    keepers = (withb.withColumn("__cum", F.sum("__tok").over(w))
+               .filter(F.col("__cum") <= blim)
+               .select(F.col(id_col).alias("__kid"),
+                       F.col(key_col).alias("__kkey")))
+    if budget_of is not None:
+        # each key keeps at most budget non-empty docs; the zero-token
+        # tail is unbounded in theory but empty docs are curation input,
+        # not corpus mass — keep the hint unless budgets alone overflow
+        if sum(budget_of.values()) <= _KEEPER_BROADCAST_ROWS:
+            keepers = F.broadcast(keepers)
+    cond = ((F.col(id_col) == F.col("__kid"))
+            & F.col(key_col).eqNullSafe(F.col("__kkey")))
+    return (base.join(keepers, cond, "left")
+            .select(F.col(id_col), F.col(key_col), F.col(token_col),
+                    F.col("__kid").isNotNull().alias("kept")))
+
+
+def token_budget_sql(id_expr: str, key_expr: str, token_expr: str,
+                     budgets: dict, salt: str,
+                     table: str = "documents") -> str:
+    """DuckDB twin of :func:`sample_to_token_budget`'s fill DECISION for
+    a FIXED budget dict (embedded as VALUES): same portable hash order,
+    same min-token duplicate collapse, same inclusive-prefix rule —
+    exact integers end to end, zero tolerance. Emits
+    ``(id, key, tokens, kept)`` one row per DISTINCT (id, key) — join it
+    back to the raw rows when comparing a duplicate-bearing input."""
+    vals = ", ".join(
+        f"({'NULL' if k is None else repr(k)}, {int(v)})"
+        for k, v in sorted(budgets.items(),
+                           key=lambda kv: (kv[0] is None, str(kv[0]))))
+    hv = _hv_sql("id", salt)
+    return f"""
+    WITH b(key, budget) AS (VALUES {vals}),
+    r AS (
+      SELECT {id_expr} AS id, {key_expr} AS key,
+             MIN(CAST(COALESCE({token_expr}, 0) AS BIGINT)) AS tok
+      FROM {table} GROUP BY 1, 2
+    ), c AS (
+      SELECT id, key, tok,
+             SUM(tok) OVER (PARTITION BY key ORDER BY {hv} ASC, id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r
+    )
+    SELECT c.id, c.key, c.tok AS tokens,
+           c.cum <= COALESCE(b.budget, 0) AS kept
+    FROM c LEFT JOIN b ON c.key IS NOT DISTINCT FROM b.key
+    """
+
+
+def temperature_sample(docs: DataFrame, source_col: str = "lang",
+                       token_col: str = "n_tokens",
+                       total_budget: int = 0, alpha: float = 0.3,
+                       id_col: str = "doc_id",
+                       salt: str = "token-budget-42") -> DataFrame:
+    """The composed mixture step: temperature weights over the ACTUAL
+    per-source token mass (:func:`mixture_weights` with
+    ``token_col``) → integer budgets summing to exactly
+    ``total_budget`` (:func:`allocate_budgets`) → deterministic prefix
+    fill (:func:`sample_to_token_budget`). Returns the fill's
+    ``(id, source, tokens, kept)`` flags.
+
+    The weight collect is sources-sized (the codebook convention); the
+    budget dict is computed driver-side in one deterministic pass, so
+    reruns see identical budgets. A source whose allocated budget is
+    smaller than its smallest document keeps nothing — temperature
+    flattening is a cap, not a guarantee (the mT5 semantics)."""
+    w = {r["source"]: r["weight"] for r in
+         mixture_weights(docs, source_col, alpha, token_col).collect()}
+    budgets = allocate_budgets(w, total_budget)
+    return sample_to_token_budget(docs, budgets, key_col=source_col,
+                                  token_col=token_col, id_col=id_col,
+                                  salt=salt)

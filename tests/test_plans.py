@@ -512,3 +512,36 @@ def test_doc_url_curation_plan_contracts(spark):
     assert iw < im, p
     seg = p[iw:im]
     assert "Scan parquet" not in seg, seg
+
+
+def test_token_budget_fill_two_phase_prefix_selection(spark):
+    """The r10 mixture fill (extensions/mixing.sample_to_token_budget)
+    must keep the sampling family's two-phase shape: (a) the window's
+    cumulative sum consumes the MAP-SIDE prefix prune (MapInPandas), not
+    the corpus — no scan between Window and the prune; (b) exactly two
+    non-broadcast exchanges, both candidate-sized (the (key,id) min-token
+    collapse and the window sort); (c) the budget table and the keeper
+    flag both join as broadcasts; (d) no row-at-a-time Python."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.caching import engine_pin_scope
+    from data_engineering_etl_pipeline_spark.extensions.mixing import (
+        sample_to_token_budget)
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    with engine_pin_scope():
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "lang", F.length("text").alias("n_tokens"))
+        out = sample_to_token_budget(docs, {"en": 5000, "de": 2000},
+                                     key_col="lang", token_col="n_tokens",
+                                     salt="plan-test")
+        p = plan_text(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert shuffles(p) == 2, p
+    assert p.count("MapInPandas (") == 1, p  # tree node, printed once
+    iw = p.index("Window")
+    im = p.index("MapInPandas")
+    assert iw < im, p
+    seg = p[iw:im]
+    assert "Scan parquet" not in seg and "InMemoryTableScan" not in seg, seg
+    assert p.count("BroadcastHashJoin LeftOuter") == 2, p
