@@ -51,6 +51,7 @@ def prepare_training_corpus(docs: DataFrame,
                             gopher_first: bool = False,
                             quality_clf: dict | None = None,
                             lang_filter: dict | None = None,
+                            mixture: dict | None = None,
                             train_frac: float = 0.9,
                             pack_budget: int = 2048,
                             n_shards: int = 64,
@@ -99,7 +100,20 @@ def prepare_training_corpus(docs: DataFrame,
     in ``keep`` to retain no-evidence docs). Optional and off by
     default, the ``quality_clf`` convention: prep's chained DuckDB
     oracle is untouched, and the lang-ID decision itself is
-    DuckDB-hash-checked in tests/test_langid.py."""
+    DuckDB-hash-checked in tests/test_langid.py.
+
+    ``mixture`` (r10): temperature source mixing
+    (``mixing.temperature_sample``) — ``{"total_budget": tokens,
+    "alpha": 0.3, "source_col": 'lang', "salt": ...}``. Runs after
+    every quality gate and BEFORE the split (the mixture shapes what
+    the run trains on; val is carved from the mixed corpus so it is
+    distribution-matched): per-source whitespace-token mass (the
+    pinned ``__toks`` array — no re-split) → ``n^alpha`` weights →
+    largest-remainder integer budgets → deterministic hash-order
+    prefix fill; survivors semi-join back. The source column is read
+    from the RAW input frame by id (cleaning dropped it at stage 1).
+    Optional and off by default; the fill decision is
+    DuckDB-hash-checked in tests/test_mixing.py."""
     if gopher_first:
         apply_gopher = True
         docs = docs.filter(gopher_keep(text_col))
@@ -206,6 +220,20 @@ def prepare_training_corpus(docs: DataFrame,
         # docs-sized semi join on the already-shrunk corpus; the scored
         # side is map-only off `kept`'s pinned lineage
         kept = kept.join(keep_ids, id_col, "left_semi")
+    if mixture is not None:
+        from .mixing import temperature_sample
+
+        src_col = mixture.get("source_col", "lang")
+        cand = (kept.select(F.col(id_col),
+                            F.size("__toks").cast("long").alias("__mix_tok"))
+                .join(docs.select(id_col, src_col), id_col, "left"))
+        flags = temperature_sample(
+            cand, source_col=src_col, token_col="__mix_tok",
+            total_budget=int(mixture["total_budget"]),
+            alpha=float(mixture.get("alpha", 0.3)), id_col=id_col,
+            salt=mixture.get("salt", "token-budget-42"))
+        kept = kept.join(flags.filter(F.col("kept")).select(id_col),
+                         id_col, "left_semi")
 
     # 7. Deterministic content-hash split (train_frac of the 32-bit hash
     #    space → train). THE SAME portable-md5 helper as stratified_sample /

@@ -204,3 +204,42 @@ def test_temperature_sample_end_to_end(spark):
                                     id_col="doc_id",
                                     salt="temp-test").collect()}
     assert rerun == {(r["doc_id"], r["kept"]) for r in got}
+
+
+def test_prep_mixture_stage_composition(spark):
+    """r10 composition: prepare_training_corpus(mixture=...) keeps
+    exactly the docs temperature_sample selects over the cleaned
+    corpus's whitespace-token mass (source read back from the raw
+    frame by id); off by default so the prep driver oracle is
+    untouched."""
+    from data_engineering_etl_pipeline_spark.extensions.prep import (
+        prepare_training_corpus)
+
+    def page(tag):
+        w = [f"{tag}{chr(97 + k)}{chr(97 + (k * 7) % 26)}word"
+             for k in range(18)]
+        return "\n".join((" ".join(w[:6]) + ".", " ".join(w[6:12]) + ".",
+                          " ".join(w[12:]) + "!"))
+
+    rows = [(i, page(f"s{chr(97 + i // 26)}{chr(97 + i % 26)}x"),
+             "en" if i < 24 else "de") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with engine_pin_scope():
+        base = prepare_training_corpus(docs, min_quality=0.01).toPandas()
+    assert len(base) == 30  # clean corpus: nothing drops without mixture
+    cand_rows = [(int(r["doc_id"]), "en" if r["doc_id"] < 24 else "de",
+                  len(r["text"].split())) for _, r in base.iterrows()]
+    cand = spark.createDataFrame(cand_rows, "doc_id long, lang string, nt long")
+    with engine_pin_scope():
+        exp = {r["doc_id"] for r in
+               temperature_sample(cand, "lang", "nt", total_budget=300,
+                                  alpha=0.5, salt="mix-prep").collect()
+               if r["kept"]}
+        got = {r["doc_id"] for r in prepare_training_corpus(
+            docs, min_quality=0.01,
+            mixture={"total_budget": 300, "alpha": 0.5,
+                     "salt": "mix-prep"}).collect()}
+    # every doc is 18 whitespace tokens: en 432, de 108; sqrt weights
+    # split 300 -> 200/100 -> 11 en + 5 de docs survive
+    assert got == exp
+    assert len(got) == 16
