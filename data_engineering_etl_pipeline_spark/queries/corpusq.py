@@ -90,9 +90,27 @@ _LM_CTE = """
     )"""
 
 
-@register(
-    "ccnet_perplexity_mix",
-    oracle=_LM_CTE + """,
+#: fixed per-language token budgets for the ``mix`` grain — the
+#: planted-constants convention: the libm-pow weight step stays
+#: unit-verified (round-6 — the documented non-portable class), while
+#: the integer fill DECISION under these budgets is hash-verified with
+#: zero tolerance. es=0 proves a zero budget keeps nothing; zh is
+#: deliberately ABSENT (absent key ⇒ budget 0 — the unallocated-source
+#: contract); en/de/fr truncate at different depths at every SF.
+_MIX_BUDGETS = {"en": 3000, "de": 800, "es": 0, "fr": 500}
+
+#: whitespace-token mass of a doc, SQL form (NULL text → NULL → costs 0
+#: in the fill; empty text → [''] → 1 in BOTH engines)
+_WTOK_SQL = ("CASE WHEN text IS NULL THEN NULL ELSE "
+             "len(string_split_regex(trim(text), '\\s+')) END")
+
+
+def _ccnet_mix_oracle() -> str:
+    from ..extensions.mixing import token_budget_sql
+
+    fill = token_budget_sql("doc_id", "lang", _WTOK_SQL, _MIX_BUDGETS,
+                            "ccnet-mix-v1")
+    return _LM_CTE + """,
     cuts AS (SELECT quantile_cont(xent, [1.0/3.0, 2.0/3.0]) AS c FROM lw),
     bucketed AS (
       SELECT doc_id, n_bigrams, xent,
@@ -102,30 +120,77 @@ _LM_CTE = """
                   ELSE 'tail' END AS ppl_bucket
       FROM lw CROSS JOIN cuts
     )
-    SELECT * FROM bucketed
+    SELECT 'ccnet' AS stage, doc_id, n_bigrams, xent, ppl_bucket,
+           CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS BIGINT) AS mix_tokens,
+           CAST(NULL AS BOOLEAN) AS kept
+    FROM bucketed
     WHERE ppl_bucket IS NOT NULL
       AND """ + _MD5_32.format(
-        arg="CAST(doc_id AS VARCHAR) || '|ccnet-v1'") + """
+        arg="CAST(doc_id AS VARCHAR) || '|ccnet-v1'") + f"""
           < CASE ppl_bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
                             ELSE 0.1 END * 4294967296
-    """,
-)
+    UNION ALL
+    SELECT 'mix' AS stage, id AS doc_id,
+           CAST(NULL AS BIGINT) AS n_bigrams,
+           CAST(NULL AS DOUBLE) AS xent,
+           CAST(NULL AS VARCHAR) AS ppl_bucket,
+           key AS lang, tokens AS mix_tokens, kept
+    FROM ({fill})
+    """
+
+
+@register("ccnet_perplexity_mix", oracle=_ccnet_mix_oracle())
 def ccnet_perplexity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity bucketing + per-bucket downsampling in one
-    row (Wenzek et al. 2020 §4.3): score every doc with the corpus-trained
-    bigram-LM cross-entropy, assign head/middle/tail terciles (one exact
-    1-row percentile agg), then keep head=100% / middle=50% / tail=10% via
-    the deterministic md5 per-stratum sampler (extensions/corpus.py
-    perplexity_buckets + stratified_sample — the r4 consolidation of the
-    former standalone ``stratified_sample`` row into a strictly richer
-    query: the oracle must reproduce the scores, the tercile cutoffs, the
-    bucket assignment, AND the exact surviving sample bit-for-bit)."""
+    """Two corpus down-sampling DECISION surfaces in one stage-tagged row.
+
+    ``ccnet``: CCNet-style perplexity bucketing + per-bucket
+    downsampling (Wenzek et al. 2020 §4.3): score every doc with the
+    corpus-trained bigram-LM cross-entropy, assign head/middle/tail
+    terciles (one exact 1-row percentile agg), then keep head=100% /
+    middle=50% / tail=10% via the deterministic md5 per-stratum sampler
+    (extensions/corpus.py perplexity_buckets + stratified_sample — the
+    r4 consolidation of the former standalone ``stratified_sample`` row
+    into a strictly richer query: the oracle must reproduce the scores,
+    the tercile cutoffs, the bucket assignment, AND the exact surviving
+    sample bit-for-bit).
+
+    ``mix`` (late r10): the temperature-mixture token-budget fill
+    (extensions/mixing.py ``sample_to_token_budget``) over the
+    documents table — per-language whitespace-token mass, FIXED planted
+    budgets (``_MIX_BUDGETS``: truncating, zero, and absent languages
+    all exercised), deterministic portable-hash-order inclusive prefix
+    — every keep/drop decision hash-verified against the DuckDB
+    ``token_budget_sql`` twin with zero tolerance. The ``n^alpha``
+    weight/allocation steps stay unit-verified (libm pow — the
+    ``quality_classifier_gate`` split applied to mixing: plant the
+    non-portable constants, hash-verify the machinery they drive)."""
+    from ..extensions.mixing import sample_to_token_budget
+
     docs = load_table(spark, sf_dir, "documents")
     b = (corpus.perplexity_buckets(docs)
          .filter(F.col("ppl_bucket").isNotNull()))
-    return corpus.stratified_sample(
+    nl, nd, ns = (F.lit(None).cast("long"), F.lit(None).cast("double"),
+                  F.lit(None).cast("string"))
+    cc = (corpus.stratified_sample(
         b, "ppl_bucket", {"head": 1.0, "middle": 0.5, "tail": 0.1},
         "doc_id", salt="ccnet-v1")
+        .select(F.lit("ccnet").alias("stage"), "doc_id", "n_bigrams",
+                "xent", "ppl_bucket", ns.alias("lang"),
+                nl.alias("mix_tokens"),
+                F.lit(None).cast("boolean").alias("kept")))
+    wtok = (F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                       .cast("long")))
+    mix = (sample_to_token_budget(
+        docs.select("doc_id", "lang", wtok.alias("mix_tokens")),
+        _MIX_BUDGETS, key_col="lang", token_col="mix_tokens",
+        id_col="doc_id", salt="ccnet-mix-v1")
+        .select(F.lit("mix").alias("stage"), "doc_id",
+                nl.alias("n_bigrams"), nd.alias("xent"),
+                ns.alias("ppl_bucket"), F.col("lang"), "mix_tokens",
+                "kept"))
+    return cc.unionByName(mix)
 
 
 @register(
