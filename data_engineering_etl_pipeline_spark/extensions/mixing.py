@@ -21,11 +21,14 @@ zero tolerance.
 
 Plan contract (the r7-verdict scale shape): the corpus NEVER feeds a
 ``Window.partitionBy(source)`` full sort. Selection is two-phase like
-``balanced_sample_by_key``: a map-only partition-local prefix prune
-(rows beyond the budget within their own partition cannot be within it
-globally — the prefix-sum subset property), then the global per-source
-cumulative sum runs over candidates only, and keeper ids join back as a
-flag. Weight/count tables are sources-sized (KB) — broadcast by nature.
+``balanced_sample_by_key``: a map-only partition-local prune keeps each
+partition's within-budget prefix PLUS the first budget-crossing row
+(forwarding the crossing row is what makes the prune sound — any
+candidate that is not truly kept then sees forwarded predecessor mass
+exceeding the budget, while truly-kept rows never order after a pruned
+row, so their phase-2 sums are exact); the global per-source cumulative
+sum runs over candidates only, and keeper ids join back as a flag.
+Weight/count tables are sources-sized (KB) — broadcast by nature.
 """
 
 from __future__ import annotations
@@ -154,20 +157,27 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
 
     Row identity is ``(id, key)`` (the ``balanced_sample_by_key``
     contract): copies share one budget slot and one flag; copies that
-    disagree on the token count resolve to the MIN (deterministic);
-    NULL token counts count 0 toward the budget; NULL keys form their
-    own group.
+    disagree on the token count resolve to the MAX — the one resolution
+    that stays layout-sound through the two-phase plan (see the prune
+    comment; copies normally agree, the count being a function of the
+    text); NULL token counts count 0 toward the budget; NULL keys form
+    their own group.
 
     Plan (two-phase, no corpus-wide key sort): phase 1 is a map-only
-    partition-local prefix prune — within a partition, a row whose
-    LOCAL cumulative sum already exceeds the budget can only rank worse
-    globally (its global prefix is a superset of its local one), so
-    dropping it is lossless; survivors are at most budget-many
-    non-empty docs per (key, partition). Phase 2 sorts candidates only:
-    per-(id,key) min-token collapse, one window cumsum, keeper flag
-    joined back (broadcast-hinted while the candidate bound is small).
-    Zero-token docs never advance the sum and are kept while the prefix
-    is still within budget (they are free)."""
+    partition-local prune keeping each partition's within-budget prefix
+    PLUS the first budget-crossing row — a row whose local EXCLUSIVE
+    prefix already exceeds the budget can only rank worse globally (its
+    global prefix is a superset of its local one), so dropping it is
+    lossless, and forwarding the crossing row guarantees any candidate
+    that is not truly kept sees forwarded predecessor mass over the
+    budget in phase 2 (without it, a pruned positive-mass row's absence
+    would let later zero/low-mass rows under-count their prefix — the
+    Hypothesis-property finding). Survivors are at most budget-many
+    non-empty docs + 1 per (key, partition). Phase 2 sorts candidates
+    only: per-(id,key) MAX-token collapse, one window cumsum, keeper
+    flag joined back (broadcast-hinted while the candidate bound is
+    small). Zero-token docs never advance the sum and are kept while
+    the prefix is still within budget (they are free)."""
     if isinstance(budgets, int):
         if budgets < 0:
             raise ValueError(
@@ -197,12 +207,19 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
         for pdf in batches:
             cat = (pdf if best is None
                    else pd.concat((best, pdf), ignore_index=True))
-            cat = cat.sort_values(["__hv", idc], kind="mergesort",
-                                  ignore_index=True)
-            # copies of one (id, key): keep the MIN token count — the
-            # deterministic resolution the global phase re-applies
+            # copies of one (id, key): keep the MAX token count. MAX —
+            # not min — is what keeps the two-phase plan sound when
+            # copies disagree (layout-stress finding): the partition-
+            # local collapse can only UNDERestimate the global max, so
+            # the prune keeps a superset (lossless), and if any copy is
+            # pruned, that partition's forwarded prefix already weighs
+            # more than the budget, so the entity — and every row after
+            # it — is correctly dropped in phase 2 whatever mass its
+            # surviving copies report. (Under min-resolution both
+            # directions break: the min copy can be pruned away while a
+            # heavier copy survives, and local prefixes overcount.)
             cat = (cat.sort_values(tok, kind="mergesort")
-                   .drop_duplicates(subset=[key, idc])
+                   .drop_duplicates(subset=[key, idc], keep="last")
                    .sort_values(["__hv", idc], kind="mergesort",
                                 ignore_index=True))
             cum = cat.groupby(key, sort=False, dropna=False)[tok].cumsum()
@@ -216,16 +233,32 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
                 lim = cat[key].map(
                     lambda k: budget_of.get(
                         None if pd.isna(k) else k, 0)).astype("int64")
-            best = cat[cum <= lim]
+            # EXCLUSIVE-prefix condition: keep the within-budget prefix
+            # PLUS the first budget-crossing row per key. Forwarding the
+            # crossing row is what makes the prune sound (caught by the
+            # Hypothesis property): without it, a partition whose
+            # positive-mass row was pruned contributes nothing to later
+            # rows' phase-2 prefix sums, and a zero/low-mass row ordered
+            # after it would under-count its global prefix and be
+            # wrongly kept. With it, any candidate that is not truly
+            # kept sees forwarded predecessor mass > budget (each
+            # partition forwards either its whole group or a prefix
+            # whose sum already exceeds the budget), while truly-kept
+            # rows never order after any pruned row — their phase-2
+            # sums stay exact. (The quota sampler gets this for free:
+            # its forwarded 'quota rows per key' IS prefix-plus-boundary
+            # in row units.)
+            best = cat[(cum - cat[tok]) <= lim]
         if best is not None and len(best):
             yield best
 
     cand = ranked.mapInPandas(prune, schema)
-    # per-(id, key) min-token collapse — the same exchange the window
+    # per-(id, key) MAX-token collapse (see the prune comment for why
+    # max is the sound resolution) — the same exchange the window
     # needs, so this adds no extra shuffle stage
     cand = (cand.groupBy(key_col, id_col)
             .agg(F.min("__hv").alias("__hv"),
-                 F.min(token_col).alias("__tok")))
+                 F.max(token_col).alias("__tok")))
     if budget_of is None:
         blim = F.lit(const_budget).cast("long")
         withb = cand
@@ -270,7 +303,7 @@ def token_budget_sql(id_expr: str, key_expr: str, token_expr: str,
                      table: str = "documents") -> str:
     """DuckDB twin of :func:`sample_to_token_budget`'s fill DECISION for
     a FIXED budget dict (embedded as VALUES): same portable hash order,
-    same min-token duplicate collapse, same inclusive-prefix rule —
+    same MAX-token duplicate collapse, same inclusive-prefix rule —
     exact integers end to end, zero tolerance. Emits
     ``(id, key, tokens, kept)`` one row per DISTINCT (id, key) — join it
     back to the raw rows when comparing a duplicate-bearing input."""
@@ -283,7 +316,7 @@ def token_budget_sql(id_expr: str, key_expr: str, token_expr: str,
     WITH b(key, budget) AS (VALUES {vals}),
     r AS (
       SELECT {id_expr} AS id, {key_expr} AS key,
-             MIN(CAST(COALESCE({token_expr}, 0) AS BIGINT)) AS tok
+             MAX(CAST(COALESCE({token_expr}, 0) AS BIGINT)) AS tok
       FROM {table} GROUP BY 1, 2
     ), c AS (
       SELECT id, key, tok,

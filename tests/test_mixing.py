@@ -78,11 +78,12 @@ def test_allocate_budgets_exact_total_and_determinism():
         allocate_budgets({"a": 1.0}, -1)
 
 
-def test_duplicate_copies_share_one_slot_min_token_resolution(spark):
-    """(id, key) copies consume ONE budget slot at the MIN token count,
-    every copy carries the shared flag, and the output row count equals
-    the input's (the balanced_sample_by_key hygiene contract)."""
-    rows = [(1, "a", 6), (1, "a", 100),  # copies: resolve to 6
+def test_duplicate_copies_share_one_slot_max_token_resolution(spark):
+    """(id, key) copies consume ONE budget slot at the MAX token count
+    (the layout-sound resolution — see the prune comment), every copy
+    carries the shared flag, and the output row count equals the
+    input's (the balanced_sample_by_key hygiene contract)."""
+    rows = [(1, "a", 6), (1, "a", 100),  # copies: resolve to 100
             (2, "a", 5), (3, "a", 4)]
     with engine_pin_scope():
         df = spark.createDataFrame(rows, "id long, k string, t long")
@@ -95,14 +96,16 @@ def test_duplicate_copies_share_one_slot_min_token_resolution(spark):
         flags.setdefault(r["id"], set()).add(r["kept"])
     assert all(len(v) == 1 for v in flags.values())  # copies agree
     kept_ids = {r["id"] for r in out if r["kept"]}
-    # hash order for salt 'dup-test' is deterministic; whatever it is,
-    # the kept prefix must be budget-consistent under min-token sizes
-    sizes = {1: 6, 2: 5, 3: 4}
+    # id 1 resolves to 100 tokens: it can never fit the budget of 10,
+    # and the kept prefix must stay budget-consistent
+    assert 1 not in kept_ids
+    sizes = {1: 100, 2: 5, 3: 4}
     assert sum(sizes[i] for i in kept_ids) <= 10
-    # and re-running with copy 100 dropped must give the same decision
+    # re-running with the SMALLER copy dropped (resolution unchanged)
+    # must give the same decision
     with engine_pin_scope():
         df2 = spark.createDataFrame(
-            [(1, "a", 6), (2, "a", 5), (3, "a", 4)],
+            [(1, "a", 100), (2, "a", 5), (3, "a", 4)],
             "id long, k string, t long")
         out2 = sample_to_token_budget(df2, {"a": 10}, key_col="k",
                                       token_col="t", id_col="id",

@@ -671,3 +671,62 @@ def test_psl_registered_domain_matches_python_reference(spark, hosts,
            with_registered_domain_psl(df, sfx, host_col="host").collect()}
     want = {i: ref(h) for i, h in enumerate(hosts)}
     assert got == want
+
+
+_budget_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 40),                       # id (dups possible)
+              st.sampled_from(["a", "b", None]),        # key incl. NULL
+              st.one_of(st.none(), st.integers(0, 9))),  # tokens incl. NULL/0
+    min_size=1, max_size=40)
+_budget_map_strategy = st.fixed_dictionaries(
+    {"a": st.integers(0, 25), "b": st.integers(0, 25),
+     None: st.integers(0, 25)})
+
+
+@SET
+@given(rows=_budget_rows_strategy, budgets=_budget_map_strategy)
+def test_token_budget_fill_matches_python_reference(spark, rows, budgets):
+    """For ANY keyed token-bearing input (duplicate ids, NULL keys, NULL
+    and zero token counts) and ANY budget map, under BOTH partition
+    layouts (the r8 co-location discipline): the two-phase fill equals
+    the naive reference — per key, distinct (id, key) at MAX tokens
+    (NULL → 0; max is the layout-sound resolution, see the prune
+    comment), sorted by (portable md5 of id+salt, id), kept while the
+    inclusive prefix sum stays within the budget — and the output has
+    exactly the input's rows with copies sharing one flag."""
+    import hashlib
+
+    from data_engineering_etl_pipeline_spark.extensions.mixing import (
+        sample_to_token_budget)
+
+    from .conftest import partition_layouts
+
+    resolved: dict = {}
+    for i, k, t in rows:
+        t0 = 0 if t is None else t
+        cur = resolved.get((i, k))
+        resolved[(i, k)] = t0 if cur is None else max(cur, t0)
+    want: dict = {}
+    by_key: dict = {}
+    for (i, k), t in resolved.items():
+        by_key.setdefault(k, []).append((i, t))
+    for k, members in by_key.items():
+        order = sorted(
+            (int(hashlib.md5(f"{i}|prop-mix".encode()).hexdigest()[:8], 16),
+             i, t) for i, t in members)
+        cum = 0
+        for _, i, t in order:
+            cum += t
+            want[(i, k)] = cum <= budgets[k]
+    df = spark.createDataFrame(rows, "id long, k string, t long")
+    for layout, frame in partition_layouts(df):
+        out = sample_to_token_budget(frame, budgets, key_col="k",
+                                     token_col="t", id_col="id",
+                                     salt="prop-mix").collect()
+        assert len(out) == len(rows), layout
+        got: dict = {}
+        for r in out:
+            prev = got.get((r["id"], r["k"]))
+            assert prev is None or prev == r["kept"], layout
+            got[(r["id"], r["k"])] = r["kept"]
+        assert got == want, (layout, got, want)
