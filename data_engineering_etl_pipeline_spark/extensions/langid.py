@@ -189,7 +189,7 @@ def predict_lang_trained(docs: DataFrame, model: dict,
                          out_col: str = "pred_lang",
                          fallback: str = "heuristic",
                          q_scale: int = LOGREG_Q_SCALE,
-                         mode: str = "expr") -> DataFrame:
+                         mode: str = "arrow") -> DataFrame:
     """Predict languages with a :func:`fit_lang_id` model: ``(id,
     pred_lang, z_q)`` where ``pred_lang`` is the argmax language of the
     per-language fixed-point score folds (``z_q`` the winning score;
@@ -210,17 +210,24 @@ def predict_lang_trained(docs: DataFrame, model: dict,
 
     ``mode`` picks the score-fold execution, BIT-identical outputs:
 
-    - ``'expr'`` (default): K pure-expression folds, zero Python — the
-      right shape up to a few dozen languages;
-    - ``'arrow'``: ONE Arrow-batched kernel computes all K quantized
-      scores per row with the identical per-term
-      ``floor((freq_i · w_ki) · Q)`` float64 products and int64 sums
-      (order-matched to the expression fold, so equality is by
-      construction, and unit-pinned). The large-K path: a
-      100-language model in expr mode is K·dim ≈ 6400+ floor terms per
-      row — past whole-stage-codegen's expression budget Spark falls
-      back to interpreted evaluation, while the kernel is one
-      vectorized pass whatever K is."""
+    - ``'expr'``: K pure-expression folds, zero Python. Fine for a
+      handful of languages on MODEST corpora, but beware Catalyst's
+      project collapsing: the shared ``__v`` frequency-vector alias is
+      INLINED into every fold, the argmax, and the null checks, so the
+      O(dim·len) featurization re-executes once per reference —
+      measured 590 s for the 5-language doc_text_stats row at sf0.1
+      (the r10 bench finding) vs ~2 s on the arrow path;
+    - ``'arrow'`` (default): the staged projection computes only the
+      hashed BUCKET array (one md5 per n-gram — O(len), JVM-side), and
+      ONE Arrow-batched kernel does the bincount, the relative
+      frequencies (the same exact IEEE ``count/total`` divisions), and
+      all K quantized scores with the identical per-term
+      ``floor((freq_i · w_ki) · Q)`` float64 products and int64 sums —
+      order-matched to the expression fold, so equality is by
+      construction (unit-pinned). One vectorized pass whatever K is;
+      also the large-K path (a 100-language model in expr mode is
+      K·dim ≈ 6400+ floor terms per row, past whole-stage-codegen's
+      expression budget)."""
     if fallback not in ("heuristic", "und"):
         raise ValueError(
             f"predict_lang_trained: fallback={fallback!r} "
@@ -241,13 +248,14 @@ def predict_lang_trained(docs: DataFrame, model: dict,
     if mode not in ("expr", "arrow"):
         raise ValueError(
             f"predict_lang_trained: mode={mode!r} (want 'expr' or 'arrow')")
-    v = char_freq_vector(text_col, dim, n, salt)
-    staged = docs.select(F.col(id_col), F.col(text_col), v.alias("__v"))
     if mode == "expr":
+        v = char_freq_vector(text_col, dim, n, salt)
+        staged = docs.select(F.col(id_col), F.col(text_col), v.alias("__v"))
         zcols = {lang: _zq_fold(F.col("__v"),
                                 model["models"][lang]["weights"],
                                 model["models"][lang]["bias"], q_scale)
                  for lang in langs}
+        no_features = F.col("__v").isNull()
     else:
         from pyspark.sql.functions import pandas_udf
 
@@ -259,26 +267,41 @@ def predict_lang_trained(docs: DataFrame, model: dict,
                             * q_scale)) for lang in langs],
             dtype=np.int64)
         qf = float(q_scale)
+        ndim = dim
 
         @pandas_udf("array<long>")
-        def all_scores(vec: pd.Series) -> pd.Series:
+        def all_scores(buckets: pd.Series) -> pd.Series:
             out = []
-            for arr in vec:
-                if arr is None:
+            for arr in buckets:
+                if arr is None or len(arr) == 0:
+                    # NULL text or feature-less: no evidence → NULL
+                    # scores (the NULL-frequency-vector convention)
                     out.append(None)
                     continue
-                x = np.asarray(arr, dtype=np.float64)
-                # per-term (x_i * w_ki) * Q, floored — the exact product
-                # order of the expression fold's a*c*qf — then an
+                bk = np.asarray(arr, dtype=np.int64)
+                counts = np.bincount(bk, minlength=ndim)[:ndim]
+                # the exact IEEE division of char_freq_vector's
+                # count/total, then per-term (x_i * w_ki) * Q floored —
+                # the expression fold's product order — and an
                 # associativity-free int64 sum per language
+                x = counts.astype(np.float64) / np.float64(len(bk))
                 terms = np.floor((x[None, :] * w_mat) * qf)
                 out.append((terms.astype(np.int64).sum(axis=1)
                             + b_q).tolist())
             return pd.Series(out)
 
-        staged = staged.withColumn("__z", all_scores(F.col("__v")))
+        # the staged projection carries only the BUCKET array — O(len)
+        # with one JVM md5 per n-gram; the O(dim·len) frequency-vector
+        # expression never exists on this path, and the UDF boundary
+        # stops Catalyst from inlining the featurization into every
+        # downstream reference (the 590 s expr-mode bench finding)
+        bk = char_ngram_buckets(text_col, dim, n, salt)
+        staged = (docs.select(F.col(id_col), F.col(text_col),
+                              bk.alias("__bk"))
+                  .withColumn("__z", all_scores(F.col("__bk"))))
         zcols = {lang: F.element_at(F.col("__z"), i + 1)
                  for i, lang in enumerate(langs)}
+        no_features = F.col("__z").isNull()
     best = F.greatest(*zcols.values()) if len(zcols) > 1 \
         else next(iter(zcols.values()))
     pred: Column = F.lit(None).cast("string")
@@ -293,8 +316,8 @@ def predict_lang_trained(docs: DataFrame, model: dict,
         fb = F.lit("und")
     return staged.select(
         F.col(id_col),
-        F.when(F.col("__v").isNull(), fb).otherwise(pred).alias(out_col),
-        F.when(F.col("__v").isNull(), F.lit(None).cast("long"))
+        F.when(no_features, fb).otherwise(pred).alias(out_col),
+        F.when(no_features, F.lit(None).cast("long"))
         .otherwise(best).alias("z_q"))
 
 
