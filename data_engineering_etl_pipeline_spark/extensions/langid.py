@@ -24,8 +24,12 @@ Scale shapes:
   iteration is one map-only Arrow pass + a model-sized integer reduce —
   byte-stable under any partitioning; the feature projection is
   engine-pinned once and shared by all K fits;
-- prediction is map-only expressions with the K weight vectors as
-  literals: one scan, no shuffle, no Python, no collect.
+- prediction is one corpus scan, no shuffle, no collect: the default
+  ``mode='arrow'`` stages the hashed bucket array as a pure expression
+  (one JVM md5 per n-gram) and computes all K scores in ONE
+  Arrow-batched kernel; ``mode='expr'`` is the zero-Python variant but
+  beware Catalyst inlining the shared frequency vector into every fold
+  (see ``predict_lang_trained``).
 
 Decision portability: per-language scores are the quality-gate fold
 ``z_q = floor(b·Q) + Σ_i floor(freq_i · w_i · Q)`` — each term one

@@ -37,10 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .corpus import _portable_hv
-
-#: candidate-set size past which the fill's flag join stops hinting a
-#: broadcast (the ``sampling.KEEPER_BROADCAST_ROWS`` convention)
-_KEEPER_BROADCAST_ROWS = 4_000_000
+from .sampling import KEEPER_BROADCAST_ROWS
 
 
 def _hv(id_col: str, salt: str) -> F.Column:
@@ -81,8 +78,13 @@ def mixture_weights(docs: DataFrame, source_col: str = "lang",
               .agg(n.cast("long").alias("n"))
     p = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
     tot = agg.agg(F.sum(p).alias("__tot"))
+    # zero-mass guard: ANSI mode (Spark 4 default) raises on x/0, and a
+    # corpus whose every source has zero token mass normalizes by 0 —
+    # weights are NULL then (no defined mixture; temperature_sample
+    # maps NULL -> 0.0 budgets)
+    w = F.when(F.col("__tot") > 0, p / F.col("__tot"))
     return (agg.crossJoin(F.broadcast(tot))
-            .select("source", "n", (p / F.col("__tot")).alias("weight")))
+            .select("source", "n", w.alias("weight")))
 
 
 def mixture_weights_sql(source_expr: str, alpha: float,
@@ -99,9 +101,10 @@ def mixture_weights_sql(source_expr: str, alpha: float,
       FROM {table} GROUP BY 1
     )
     SELECT source, n,
-           ROUND(POW(CAST(n AS DOUBLE), {float(alpha)!r})
-                 / SUM(POW(CAST(n AS DOUBLE), {float(alpha)!r})) OVER (),
-                 6) AS weight
+           CASE WHEN SUM(POW(CAST(n AS DOUBLE), {float(alpha)!r})) OVER () > 0
+                THEN ROUND(POW(CAST(n AS DOUBLE), {float(alpha)!r})
+                     / SUM(POW(CAST(n AS DOUBLE), {float(alpha)!r})) OVER (),
+                     6) END AS weight
     FROM c
     """
 
@@ -160,7 +163,11 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
     disagree on the token count resolve to the MAX — the one resolution
     that stays layout-sound through the two-phase plan (see the prune
     comment; copies normally agree, the count being a function of the
-    text); NULL token counts count 0 toward the budget; NULL keys form
+    text); NULL token counts count 0 toward the budget and negative
+    counts are CLAMPED to 0 (non-negative mass is what the prune's
+    losslessness proof needs, and ``F.size`` of a NULL array is -1);
+    NULL ids are never budget candidates (no deterministic identity to
+    order on) and flow through with ``kept=False``; NULL keys form
     their own group.
 
     Plan (two-phase, no corpus-wide key sort): phase 1 is a map-only
@@ -191,16 +198,30 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
         const_budget = None
     from ..caching import pin
 
+    # NULL → 0, and negatives CLAMPED to 0: the prune's losslessness
+    # argument needs non-negative mass (prefix sums must be monotone —
+    # a negative row could resurrect pruned successors), and callers CAN
+    # produce negatives innocently (F.size of a NULL array is -1).
+    # token_budget_sql applies the same GREATEST(.., 0).
     base = pin(docs.select(
         F.col(id_col), F.col(key_col),
-        F.coalesce(F.col(token_col), F.lit(0)).cast("long")
-        .alias(token_col)))
-    ranked = base.withColumn("__hv", _hv(id_col, salt))
+        F.greatest(F.coalesce(F.col(token_col), F.lit(0)), F.lit(0))
+        .cast("long").alias(token_col)))
+    # NULL ids are never budget candidates: they have no deterministic
+    # identity to hash-order on (and pandas NaN-last vs Spark NULL-first
+    # sort orders would disagree) — they flow through with kept=False,
+    # consuming nothing; token_budget_sql mirrors with id IS NOT NULL.
+    ranked = (base.filter(F.col(id_col).isNotNull())
+              .withColumn("__hv", _hv(id_col, salt)))
 
     import pandas as pd
 
     schema = ranked.schema
     tok, key, idc = token_col, key_col, id_col
+    if budget_of is not None:
+        _nonnull_budgets = {k: v for k, v in budget_of.items()
+                            if k is not None}
+        _null_key_budget = budget_of.get(None, 0)
 
     def prune(batches):
         best: pd.DataFrame | None = None
@@ -226,13 +247,17 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
             if budget_of is None:
                 lim = const_budget
             else:
-                # pandas renders a NULL key as None or NaN depending on
-                # dtype — normalize to None so the NULL-key group reads
-                # ITS budget, not the absent-key 0 (phase 1 must never
-                # prune a row phase 2 would keep)
-                lim = cat[key].map(
-                    lambda k: budget_of.get(
-                        None if pd.isna(k) else k, 0)).astype("int64")
+                # vectorized dict lookup (no per-row Python on the
+                # corpus hot path — the sampling-prune discipline):
+                # Series.map(dict) leaves BOTH null keys and absent
+                # keys as NaN; null keys then take the None entry's
+                # budget (pandas renders a NULL key as None or NaN
+                # depending on dtype — the NULL-key group must read ITS
+                # budget, phase 1 must never prune a row phase 2 would
+                # keep), absent keys take 0
+                lim = cat[key].map(_nonnull_budgets)
+                lim = (lim.where(~cat[key].isna(), _null_key_budget)
+                       .fillna(0).astype("int64"))
             # EXCLUSIVE-prefix condition: keep the within-budget prefix
             # PLUS the first budget-crossing row per key. Forwarding the
             # crossing row is what makes the prune sound (caught by the
@@ -289,7 +314,7 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
         # each key keeps at most budget non-empty docs; the zero-token
         # tail is unbounded in theory but empty docs are curation input,
         # not corpus mass — keep the hint unless budgets alone overflow
-        if sum(budget_of.values()) <= _KEEPER_BROADCAST_ROWS:
+        if sum(budget_of.values()) <= KEEPER_BROADCAST_ROWS:
             keepers = F.broadcast(keepers)
     cond = ((F.col(id_col) == F.col("__kid"))
             & F.col(key_col).eqNullSafe(F.col("__kkey")))
@@ -307,17 +332,24 @@ def token_budget_sql(id_expr: str, key_expr: str, token_expr: str,
     exact integers end to end, zero tolerance. Emits
     ``(id, key, tokens, kept)`` one row per DISTINCT (id, key) — join it
     back to the raw rows when comparing a duplicate-bearing input."""
+    def q(s: str) -> str:
+        # SQL string literal with '' doubling — repr() would emit
+        # double-quoted (identifier) syntax for values containing a
+        # single quote (review finding)
+        return "'" + s.replace("'", "''") + "'"
+
     vals = ", ".join(
-        f"({'NULL' if k is None else repr(k)}, {int(v)})"
+        f"({'NULL' if k is None else q(str(k))}, {int(v)})"
         for k, v in sorted(budgets.items(),
                            key=lambda kv: (kv[0] is None, str(kv[0]))))
-    hv = _hv_sql("id", salt)
+    hv = _hv_sql("id", q(salt)[1:-1] if "'" in salt else salt)
     return f"""
     WITH b(key, budget) AS (VALUES {vals}),
     r AS (
       SELECT {id_expr} AS id, {key_expr} AS key,
-             MAX(CAST(COALESCE({token_expr}, 0) AS BIGINT)) AS tok
-      FROM {table} GROUP BY 1, 2
+             MAX(GREATEST(CAST(COALESCE({token_expr}, 0) AS BIGINT), 0))
+               AS tok
+      FROM {table} WHERE {id_expr} IS NOT NULL GROUP BY 1, 2
     ), c AS (
       SELECT id, key, tok,
              SUM(tok) OVER (PARTITION BY key ORDER BY {hv} ASC, id ASC
@@ -347,7 +379,11 @@ def temperature_sample(docs: DataFrame, source_col: str = "lang",
     reruns see identical budgets. A source whose allocated budget is
     smaller than its smallest document keeps nothing — temperature
     flattening is a cap, not a guarantee (the mT5 semantics)."""
-    w = {r["source"]: r["weight"] for r in
+    # a corpus whose every source has zero mass yields NULL weights
+    # (Spark 0/0 → NULL): treat as weight 0 so the allocation is the
+    # clear all-zero answer instead of a TypeError (review finding)
+    w = {r["source"]: (r["weight"] if r["weight"] is not None else 0.0)
+         for r in
          mixture_weights(docs, source_col, alpha, token_col).collect()}
     budgets = allocate_budgets(w, total_budget)
     return sample_to_token_budget(docs, budgets, key_col=source_col,

@@ -93,8 +93,8 @@ def prepare_training_corpus(docs: DataFrame,
     ``lang_filter`` (r10): language selection with the TRAINED lang-ID
     (``langid.fit_lang_id``) — ``{"model": fit_lang_id output, "keep":
     ["en", ...], "fallback": 'heuristic'|'und' (default 'heuristic')}``.
-    Applied after the heuristic quality floor: map-only per-language
-    fixed-point score folds → argmax → keep rows whose predicted
+    Applied after the heuristic quality floor: one scan — Arrow-batched
+    per-language fixed-point score folds → argmax → keep rows whose predicted
     language is in ``keep`` (feature-less docs predict via the fallback
     and survive only if that answer is in ``keep`` — include ``'und'``
     in ``keep`` to retain no-evidence docs). Optional and off by

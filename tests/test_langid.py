@@ -194,8 +194,11 @@ def test_arrow_mode_bit_identical_to_expr_mode(spark):
         docs_rows = _rows("train") + _rows("test") + [
             (100, None, "z"), (101, None, None)]
         docs = spark.createDataFrame(docs_rows, _SCHEMA)
+        # mode='expr' EXPLICITLY: arrow became the default (the r10
+        # bench regression fix), and defaulting here would compare
+        # arrow against arrow — vacuous (review finding)
         expr = {r["doc_id"]: (r["pred_lang"], r["z_q"]) for r in
-                predict_lang_trained(docs, model).collect()}
+                predict_lang_trained(docs, model, mode="expr").collect()}
         arrow = {r["doc_id"]: (r["pred_lang"], r["z_q"]) for r in
                  predict_lang_trained(docs, model, mode="arrow").collect()}
         assert expr == arrow

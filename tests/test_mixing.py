@@ -246,3 +246,53 @@ def test_prep_mixture_stage_composition(spark):
     # split 300 -> 200/100 -> 11 en + 5 de docs survive
     assert got == exp
     assert len(got) == 16
+
+
+def test_negative_tokens_clamped_and_null_ids_never_kept(spark, duck):
+    """Review findings pinned: (a) negative token counts (F.size of a
+    NULL array is -1) are clamped to 0 in BOTH engines — a negative
+    mass would break the prune's monotone-prefix soundness; (b) NULL
+    ids are never budget candidates (kept=False, consuming nothing)
+    and the twin mirrors by excluding them."""
+    rows = [(1, "a", -7), (2, "a", 5), (None, "a", 1), (3, "a", 6)]
+    with engine_pin_scope():
+        df = spark.createDataFrame(rows, "id long, k string, t long")
+        out = {r["id"]: (r["kept"], r["t"]) for r in
+               sample_to_token_budget(df, {"a": 11}, key_col="k",
+                                      token_col="t", id_col="id",
+                                      salt="neg-test").collect()}
+    assert len(out) == 4  # every row flagged, incl. the NULL id
+    assert out[None][0] is False
+    assert out[1][1] == 0  # clamped in the returned token column too
+    # clamped doc 1 is free: 0 + 5 + 6 == 11 fits, all non-null kept
+    assert out[1][0] and out[2][0] and out[3][0]
+    # DuckDB twin agrees decision-for-decision on the same rows
+    duck.execute("CREATE OR REPLACE TABLE negrows(id BIGINT, k VARCHAR, "
+                 "t BIGINT)")
+    duck.executemany("INSERT INTO negrows VALUES (?, ?, ?)", rows)
+    twin = token_budget_sql("id", "k", "t", {"a": 11}, "neg-test",
+                            table="negrows")
+    want = {r[0]: r[3] for r in duck.execute(twin).fetchall()}
+    assert want == {1: True, 2: True, 3: True}  # NULL id excluded
+    duck.execute("DROP TABLE negrows")
+
+
+def test_quoted_budget_keys_and_all_zero_mass(spark, duck):
+    """Review findings pinned: (a) a budget key containing a single
+    quote must embed as a doubled-quote SQL literal, not repr()'s
+    double-quoted identifier; (b) a corpus whose every source has zero
+    token mass allocates all-zero budgets instead of raising."""
+    twin = token_budget_sql("id", "k", "t", {"o'neil": 5}, "q-test",
+                            table="(SELECT 1 AS id, 'o''neil' AS k, "
+                                  "3 AS t)")
+    rows = duck.execute(twin).fetchall()
+    assert rows == [(1, "o'neil", 3, True)]
+    zero = spark.createDataFrame([(1, "a", 0), (2, "b", None)],
+                                 "doc_id long, lang string, nt long")
+    with engine_pin_scope():
+        out = temperature_sample(zero, source_col="lang", token_col="nt",
+                                 total_budget=100, alpha=0.5)
+        got = {r["doc_id"]: r["kept"] for r in out.collect()}
+    # zero-mass sources get zero budgets; zero-token docs at budget 0
+    # have inclusive cum 0 <= 0 and are kept (they are free)
+    assert got == {1: True, 2: True}

@@ -519,7 +519,7 @@ def test_token_budget_fill_two_phase_prefix_selection(spark):
     must keep the sampling family's two-phase shape: (a) the window's
     cumulative sum consumes the MAP-SIDE prefix prune (MapInPandas), not
     the corpus — no scan between Window and the prune; (b) exactly two
-    non-broadcast exchanges, both candidate-sized (the (key,id) min-token
+    non-broadcast exchanges, both candidate-sized (the (key,id) MAX-token
     collapse and the window sort); (c) the budget table and the keeper
     flag both join as broadcasts; (d) no row-at-a-time Python."""
     from pyspark.sql import functions as F
