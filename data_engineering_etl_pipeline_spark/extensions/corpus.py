@@ -245,6 +245,71 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 1024,
                 .alias("pack_id")))
 
 
+def epoch_plan(packs: DataFrame, n_epochs: int,
+               pack_col: str = "pack_id", shard_col: str = "shard",
+               salt: str = "epoch-v1") -> DataFrame:
+    """Deterministic per-epoch training order over packed sequences —
+    the step after :func:`pack_sequences`: for each epoch, every pack
+    gets a fresh pseudo-random position so the run never replays one
+    fixed order (the standard between-epoch reshuffle), WITHOUT any RNG
+    state: returns ``(epoch, shard, pack_id, epoch_order)`` where
+    ``epoch_order`` ranks the shard's packs by the portable md5 hash of
+    ``(pack_id, epoch, salt)`` (ties by pack_id — total order). A
+    loader reading epoch e of shard s sorts its packs by
+    ``epoch_order``; across shards the loader interleaves (shards are
+    hash-uniform over ids, so any interleaving is unbiased).
+
+    Determinism contract: a pure function of (pack_id, epoch, salt) —
+    rerun-, repartition-, and engine-stable; the DuckDB twin is
+    ``epoch_plan_sql`` (hash-checked in tests).
+
+    Plan shape: the epoch fan-out is a bounded ``explode`` (n_epochs
+    per pack — epochs are single digits), and the rank runs per
+    ``(epoch, shard)`` — the pack_sequences convention: shards bound
+    every sort at 1/n_shards of the corpus, nothing sorts globally.
+    Duplicate pack rows are collapsed first (``pack_sequences`` emits
+    one row per DOC; the plan is per PACK — docs-sized input, pack-
+    sized output)."""
+    if n_epochs <= 0:
+        raise ValueError(f"epoch_plan: n_epochs={n_epochs} must be > 0")
+    base = packs.select(pack_col, shard_col).distinct()
+    fanned = base.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))))
+    hv = _portable_hv(F.concat_ws("|", F.col(pack_col).cast("string"),
+                                  F.col("epoch").cast("string"),
+                                  F.lit(salt)))
+    w = Window.partitionBy("epoch", shard_col).orderBy(
+        hv.asc(), F.col(pack_col).asc())
+    return fanned.select(
+        "epoch", F.col(shard_col),
+        F.col(pack_col),
+        F.row_number().over(w).alias("epoch_order"))
+
+
+def epoch_plan_sql(n_epochs: int, pack_expr: str = "pack_id",
+                   shard_expr: str = "shard",
+                   salt: str = "epoch-v1",
+                   table: str = "packs") -> str:
+    """DuckDB twin of :func:`epoch_plan` — same portable hash of
+    ``pack_id|epoch|salt``, same (epoch, shard)-partitioned rank."""
+    hv = ("CAST('0x' || substr(md5(CAST(pack_id AS VARCHAR) || '|' || "
+          f"CAST(epoch AS VARCHAR) || '|' || '{salt}'), 1, 8) AS UBIGINT)")
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT {pack_expr} AS pack_id, {shard_expr} AS shard
+      FROM {table}
+    ), f AS (
+      SELECT pack_id, shard, unnest(range(0, {int(n_epochs)})) AS epoch
+      FROM p
+    )
+    SELECT epoch, shard, pack_id,
+           ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                              ORDER BY {hv} ASC, pack_id ASC)
+             AS epoch_order
+    FROM f
+    """
+
+
 def _portable_hv(col) -> F.Column:
     """Engine-portable 32-bit hash: first 8 hex digits of md5 (the same
     convention as ``stratified_sample`` / the train-val split, so any

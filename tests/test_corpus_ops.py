@@ -729,3 +729,37 @@ def test_fit_once_apply_daily_equals_self_fit_bytewise(spark):
     for k, v in got2.items():
         assert (np.asarray(v, dtype=np.float32).tobytes()
                 == np.asarray(frozen[k], dtype=np.float32).tobytes()), k
+
+
+def test_epoch_plan_matches_duckdb_and_is_a_permutation(spark, duck):
+    """epoch_plan (the between-epoch reshuffle after pack_sequences):
+    (a) hash-matches the DuckDB twin bit-for-bit on real packed data;
+    (b) each (epoch, shard) ranks its packs as a permutation 1..n;
+    (c) epochs genuinely differ in order (the point of the reshuffle);
+    (d) n_epochs must be positive."""
+    import pytest as _pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.corpus import (
+        epoch_plan, epoch_plan_sql, pack_sequences)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    packed = pack_sequences(docs, budget=256, n_shards=4,
+                            portable_shard=True)
+    got = epoch_plan(packed, n_epochs=3, salt="ep-test")
+    pdf = packed.select("pack_id", "shard").toPandas()
+    duck.register("packs_tmp", pdf)
+    sql = epoch_plan_sql(3, salt="ep-test", table="packs_tmp")
+    assert_matches_oracle(got, duck, sql, "epoch_plan")
+    duck.unregister("packs_tmp")
+    rows = got.collect()
+    by_es: dict = {}
+    order_of: dict = {}
+    for r in rows:
+        by_es.setdefault((r["epoch"], r["shard"]), []).append(
+            r["epoch_order"])
+        order_of.setdefault(r["epoch"], {})[r["pack_id"]] = r["epoch_order"]
+    for (e, s), orders in by_es.items():
+        assert sorted(orders) == list(range(1, len(orders) + 1)), (e, s)
+    assert order_of[0] != order_of[1]  # epochs reshuffle
+    with _pytest.raises(ValueError, match="n_epochs"):
+        epoch_plan(packed, n_epochs=0)
