@@ -2,8 +2,10 @@
 mixture weights, deterministic budget allocation, and token-budget
 prefix sampling — the "decide how much of each source goes into the run"
 step every large-scale pretraining pipeline executes after curation
-(mT5/Raffel temperature sampling ``w_s ∝ n_s^alpha``; The Pile's fixed
-per-source epochs; token-budget corpus assembly). The repo's curation
+(temperature sampling ``w_s ∝ n_s^alpha`` — Xue et al. 2021, mT5,
+arXiv:2010.11934 §3.1, following Arivazhagan et al. 2019; fixed
+per-source epoch weights — Gao et al. 2020, The Pile, arXiv:2101.00027
+§1.2; token-budget corpus assembly). The repo's curation
 operators decide WHICH documents survive; this module decides HOW MANY
 tokens of each surviving source the training run consumes.
 
