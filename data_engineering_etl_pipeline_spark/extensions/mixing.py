@@ -391,3 +391,65 @@ def temperature_sample(docs: DataFrame, source_col: str = "lang",
     return sample_to_token_budget(docs, budgets, key_col=source_col,
                                   token_col=token_col, id_col=id_col,
                                   salt=salt)
+
+
+def incremental_token_budget_fill(batch: DataFrame,
+                                  consumed: DataFrame | None,
+                                  budgets: dict,
+                                  key_col: str = "lang",
+                                  token_col: str = "n_tokens",
+                                  id_col: str = "doc_id",
+                                  salt: str = "token-budget-42"
+                                  ) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest form of :func:`sample_to_token_budget` — the
+    mixture budget consumed ACROSS daily batches (the
+    ``incremental_exact_dedup`` convention: ingest order is part of the
+    semantics; a later batch's documents never displace earlier
+    keepers, however good their hash rank). Returns ``(flags,
+    new_consumed)``:
+
+    - ``flags``: ``(id, key, tokens, kept)`` for every batch row — the
+      batch fills each key's REMAINING budget (total budget minus mass
+      already consumed by prior batches) in the portable hash order,
+      under exactly :func:`sample_to_token_budget`'s contracts (clamp,
+      NULL rules, MAX duplicate resolution, two-phase plan);
+    - ``new_consumed``: the updated ``(key, consumed)`` state — prior
+      consumption plus this batch's kept mass. Sources-sized (KB): the
+      state is metadata, not corpus data — persist it like a codebook
+      (parquet/JSON; readers of the flags output need no state).
+
+    ``consumed`` is the previous state frame (``None`` for the first
+    batch). Keys in the state but absent from ``budgets`` stay in the
+    state untouched (budget 0 admits nothing more). Replay-idempotent:
+    re-running a batch against the SAME state yields identical flags —
+    only committing ``new_consumed`` advances the run. The per-batch
+    DECISION is SQL-reproducible given the remaining-budget dict
+    (:func:`token_budget_sql` — units hash-check each batch)."""
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("incremental_token_budget_fill: negative budget")
+    cons: dict = {}
+    if consumed is not None:
+        # sources-sized collect (the codebook convention)
+        cons = {r[key_col]: int(r["consumed"])
+                for r in consumed.select(key_col, "consumed").collect()}
+    remaining = {k: max(int(b) - cons.get(k, 0), 0)
+                 for k, b in budgets.items()}
+    flags = sample_to_token_budget(batch, remaining, key_col=key_col,
+                                   token_col=token_col, id_col=id_col,
+                                   salt=salt)
+    spent = {r[key_col]: int(r["spent"]) for r in
+             (flags.filter(F.col("kept"))
+              .groupBy(key_col)
+              .agg(F.sum(token_col).alias("spent"))).collect()}
+    merged = dict(cons)
+    for k, v in spent.items():
+        merged[k] = merged.get(k, 0) + v
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ktype = batch.schema[key_col].dataType
+    new_consumed = batch.sparkSession.createDataFrame(
+        sorted(((k, v) for k, v in merged.items()),
+               key=lambda kv: (kv[0] is None, str(kv[0]))),
+        StructType([StructField(key_col, ktype),
+                    StructField("consumed", LongType())]))
+    return flags, new_consumed

@@ -296,3 +296,71 @@ def test_quoted_budget_keys_and_all_zero_mass(spark, duck):
     # zero-mass sources get zero budgets; zero-token docs at budget 0
     # have inclusive cum 0 <= 0 and are kept (they are free)
     assert got == {1: True, 2: True}
+
+
+def test_incremental_fill_across_batches(spark, duck):
+    """Continuous-ingest fill (the incremental_exact_dedup convention):
+    (a) every batch's DECISION hash-matches the DuckDB twin under the
+    REMAINING budgets; (b) total kept mass across batches never exceeds
+    the budget; (c) earlier keepers are never displaced (ingest order
+    is the semantics); (d) replaying a batch against the same state is
+    idempotent; (e) the state equals the kept mass exactly."""
+    from data_engineering_etl_pipeline_spark.extensions.mixing import (
+        incremental_token_budget_fill)
+
+    budgets = {"a": 20, "b": 4}
+    b1 = spark.createDataFrame(
+        [(1, "a", 7), (2, "a", 6), (3, "a", 9), (10, "b", 5)],
+        "id long, k string, t long")
+    b2 = spark.createDataFrame(
+        [(4, "a", 7), (5, "a", 2), (11, "b", 3), (12, "b", 1)],
+        "id long, k string, t long")
+    with engine_pin_scope():
+        f1, s1 = incremental_token_budget_fill(
+            b1, None, budgets, key_col="k", token_col="t", id_col="id",
+            salt="incr-mix")
+        flags1 = {r["id"]: r["kept"] for r in f1.collect()}
+        state1 = {r["k"]: r["consumed"] for r in s1.collect()}
+    kept1_mass = {k: 0 for k in budgets}
+    sizes = {1: 7, 2: 6, 3: 9, 10: 5, 4: 7, 5: 2, 11: 3, 12: 1}
+    keys = {1: "a", 2: "a", 3: "a", 10: "b", 4: "a", 5: "a",
+            11: "b", 12: "b"}
+    for i, kept in flags1.items():
+        if kept:
+            kept1_mass[keys[i]] += sizes[i]
+    # keys with zero kept mass are simply absent from the state
+    assert state1 == {k: m for k, m in kept1_mass.items() if m}
+    assert not flags1[10]  # b: 5 > 4, never fits
+    with engine_pin_scope():
+        f2, s2 = incremental_token_budget_fill(
+            b2, s1, budgets, key_col="k", token_col="t", id_col="id",
+            salt="incr-mix")
+        flags2 = {r["id"]: r["kept"] for r in f2.collect()}
+        state2 = {r["k"]: r["consumed"] for r in s2.collect()}
+        # (d) replay idempotence: same state -> same flags
+        f2r, _ = incremental_token_budget_fill(
+            b2, s1, budgets, key_col="k", token_col="t", id_col="id",
+            salt="incr-mix")
+        assert {r["id"]: r["kept"] for r in f2r.collect()} == flags2
+    # (b) budget never exceeded across batches
+    total = dict(kept1_mass)
+    for i, kept in flags2.items():
+        if kept:
+            total[keys[i]] += sizes[i]
+    assert total["a"] <= 20 and total["b"] <= 4
+    assert state2 == {k: m for k, m in total.items() if m}
+    # (a) batch-2 decision hash-matches the twin under remaining budgets
+    remaining = {k: budgets[k] - state1.get(k, 0) for k in budgets}
+    duck.execute("CREATE OR REPLACE TABLE b2rows(id BIGINT, k VARCHAR, "
+                 "t BIGINT)")
+    duck.executemany("INSERT INTO b2rows VALUES (?, ?, ?)",
+                     [(4, "a", 7), (5, "a", 2), (11, "b", 3),
+                      (12, "b", 1)])
+    twin = token_budget_sql("id", "k", "t", remaining, "incr-mix",
+                            table="b2rows")
+    want = {r[0]: r[3] for r in duck.execute(twin).fetchall()}
+    assert want == flags2
+    duck.execute("DROP TABLE b2rows")
+    with pytest.raises(ValueError, match="negative"):
+        incremental_token_budget_fill(b2, s1, {"a": -1}, key_col="k",
+                                      token_col="t", id_col="id")
