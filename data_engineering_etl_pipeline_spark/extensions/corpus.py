@@ -269,10 +269,15 @@ def epoch_plan(packs: DataFrame, n_epochs: int,
     every sort at 1/n_shards of the corpus, nothing sorts globally.
     Duplicate pack rows are collapsed first (``pack_sequences`` emits
     one row per DOC; the plan is per PACK — docs-sized input, pack-
-    sized output)."""
+    sized output). NULL pack ids are excluded in BOTH engines: the
+    engine's ``concat_ws`` hash would silently collapse distinct NULL
+    packs onto one 'epoch|salt' rank while the SQL twin's ``||`` chain
+    NULLs out — engine divergence on an id no loader could schedule
+    anyway (``pack_sequences`` never emits them; r10 advisor finding)."""
     if n_epochs <= 0:
         raise ValueError(f"epoch_plan: n_epochs={n_epochs} must be > 0")
-    base = packs.select(pack_col, shard_col).distinct()
+    base = (packs.filter(F.col(pack_col).isNotNull())
+            .select(pack_col, shard_col).distinct())
     fanned = base.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))))
     hv = _portable_hv(F.concat_ws("|", F.col(pack_col).cast("string"),
@@ -291,13 +296,14 @@ def epoch_plan_sql(n_epochs: int, pack_expr: str = "pack_id",
                    salt: str = "epoch-v1",
                    table: str = "packs") -> str:
     """DuckDB twin of :func:`epoch_plan` — same portable hash of
-    ``pack_id|epoch|salt``, same (epoch, shard)-partitioned rank."""
+    ``pack_id|epoch|salt``, same (epoch, shard)-partitioned rank, same
+    NULL-pack exclusion."""
     hv = ("CAST('0x' || substr(md5(CAST(pack_id AS VARCHAR) || '|' || "
           f"CAST(epoch AS VARCHAR) || '|' || '{salt}'), 1, 8) AS UBIGINT)")
     return f"""
     WITH p AS (
       SELECT DISTINCT {pack_expr} AS pack_id, {shard_expr} AS shard
-      FROM {table}
+      FROM {table} WHERE {pack_expr} IS NOT NULL
     ), f AS (
       SELECT pack_id, shard, unnest(range(0, {int(n_epochs)})) AS epoch
       FROM p

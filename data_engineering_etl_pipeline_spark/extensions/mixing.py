@@ -64,7 +64,11 @@ def mixture_weights(docs: DataFrame, source_col: str = "lang",
     the natural distribution, ``alpha = 0`` is uniform, the usual
     ``0.2–0.7`` flattens the head so low-resource sources are not
     drowned). NULL sources form their own group (same as the sampler's
-    NULL-key contract).
+    NULL-key contract). Per-row token masses are clamped at 0 — the
+    fill's clamp contract (``F.size`` of a NULL array is -1): a negative
+    mass would make ``pow(n, alpha)`` NaN for fractional alpha (crashing
+    ``allocate_budgets``) or silently skew the normalizer (r10 advisor
+    finding).
 
     Plan: ONE hash agg over the corpus → a sources-sized frame; the
     normalizing total is a 1-row cross join (broadcast by nature). The
@@ -75,7 +79,8 @@ def mixture_weights(docs: DataFrame, source_col: str = "lang",
     if alpha < 0:
         raise ValueError(f"mixture_weights: alpha={alpha} must be >= 0")
     n = (F.count(F.lit(1)) if token_col is None
-         else F.sum(F.coalesce(F.col(token_col), F.lit(0))))
+         else F.sum(F.greatest(F.coalesce(F.col(token_col), F.lit(0)),
+                               F.lit(0))))
     agg = docs.groupBy(F.col(source_col).alias("source")) \
               .agg(n.cast("long").alias("n"))
     p = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
@@ -94,9 +99,9 @@ def mixture_weights_sql(source_expr: str, alpha: float,
                         table: str = "documents") -> str:
     """DuckDB twin of :func:`mixture_weights` with ``weight`` at ROUND 6
     (the libm-pow tolerance documented in the module docstring; ``n`` is
-    exact)."""
+    exact, including the per-row GREATEST(.., 0) clamp)."""
     n = ("COUNT(*)" if token_expr is None
-         else f"SUM(COALESCE({token_expr}, 0))")
+         else f"SUM(GREATEST(COALESCE({token_expr}, 0), 0))")
     return f"""
     WITH c AS (
       SELECT {source_expr} AS source, CAST({n} AS BIGINT) AS n
@@ -187,6 +192,25 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
     flag joined back (broadcast-hinted while the candidate bound is
     small). Zero-token docs never advance the sum and are kept while
     the prefix is still within budget (they are free)."""
+    base, keepers, bcast = _fill_keepers(docs, budgets, key_col,
+                                         token_col, id_col, salt)
+    return _flags_from_keepers(base, keepers, bcast, key_col, token_col,
+                               id_col)
+
+
+def _fill_keepers(docs: DataFrame, budgets: dict | int, key_col: str,
+                  token_col: str, id_col: str,
+                  salt: str) -> tuple[DataFrame, DataFrame, bool]:
+    """The two-phase fill core shared by :func:`sample_to_token_budget`
+    and :func:`incremental_token_budget_fill`: ``(base, keepers,
+    broadcastable)`` where ``base`` is the clamped input (one row per
+    INPUT row) and ``keepers`` is ONE row per kept ``(id, key)`` ENTITY
+    carrying its MAX-resolved mass as ``__tok`` — the DECISION grain, so
+    per-key spent mass is ``SUM(__tok)`` over keepers: duplicate copies
+    charge the budget once, at exactly the mass the keep decision used
+    (r10 advisor finding — summing the per-row flags output would count
+    each copy at its own clamped value). ``broadcastable``: the keeper
+    set is bounded by a dict budget small enough to hint the flag join."""
     if isinstance(budgets, int):
         if budgets < 0:
             raise ValueError(
@@ -310,17 +334,27 @@ def sample_to_token_budget(docs: DataFrame, budgets: dict | int,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     keepers = (withb.withColumn("__cum", F.sum("__tok").over(w))
                .filter(F.col("__cum") <= blim)
-               .select(F.col(id_col).alias("__kid"),
-                       F.col(key_col).alias("__kkey")))
-    if budget_of is not None:
-        # each key keeps at most budget non-empty docs; the zero-token
-        # tail is unbounded in theory but empty docs are curation input,
-        # not corpus mass — keep the hint unless budgets alone overflow
-        if sum(budget_of.values()) <= KEEPER_BROADCAST_ROWS:
-            keepers = F.broadcast(keepers)
+               .select(F.col(id_col), F.col(key_col), F.col("__tok")))
+    # each key keeps at most budget non-empty docs; the zero-token
+    # tail is unbounded in theory but empty docs are curation input,
+    # not corpus mass — keep the hint unless budgets alone overflow
+    bcast = (budget_of is not None
+             and sum(budget_of.values()) <= KEEPER_BROADCAST_ROWS)
+    return base, keepers, bcast
+
+
+def _flags_from_keepers(base: DataFrame, keepers: DataFrame, bcast: bool,
+                        key_col: str, token_col: str,
+                        id_col: str) -> DataFrame:
+    """Join the keeper entities back onto ``base`` as the per-row
+    ``kept`` flag — the output contract of :func:`sample_to_token_budget`."""
+    k = keepers.select(F.col(id_col).alias("__kid"),
+                       F.col(key_col).alias("__kkey"))
+    if bcast:
+        k = F.broadcast(k)
     cond = ((F.col(id_col) == F.col("__kid"))
             & F.col(key_col).eqNullSafe(F.col("__kkey")))
-    return (base.join(keepers, cond, "left")
+    return (base.join(k, cond, "left")
             .select(F.col(id_col), F.col(key_col), F.col(token_col),
                     F.col("__kid").isNotNull().alias("kept")))
 
@@ -340,13 +374,21 @@ def token_budget_sql(id_expr: str, key_expr: str, token_expr: str,
         # single quote (review finding)
         return "'" + s.replace("'", "''") + "'"
 
-    vals = ", ".join(
-        f"({'NULL' if k is None else q(str(k))}, {int(v)})"
-        for k, v in sorted(budgets.items(),
-                           key=lambda kv: (kv[0] is None, str(kv[0]))))
+    if budgets:
+        b_rel = "(VALUES " + ", ".join(
+            f"({'NULL' if k is None else q(str(k))}, {int(v)})"
+            for k, v in sorted(budgets.items(),
+                               key=lambda kv: (kv[0] is None,
+                                               str(kv[0])))) + ")"
+    else:
+        # empty dict = every key has budget 0 (the engine path accepts
+        # it); 'VALUES ' with no tuples is invalid SQL, so emit a typed
+        # empty relation instead (r10 advisor finding)
+        b_rel = ("(SELECT CAST(NULL AS VARCHAR) AS key, "
+                 "CAST(0 AS BIGINT) AS budget WHERE FALSE)")
     hv = _hv_sql("id", q(salt)[1:-1] if "'" in salt else salt)
     return f"""
-    WITH b(key, budget) AS (VALUES {vals}),
+    WITH b(key, budget) AS {b_rel},
     r AS (
       SELECT {id_expr} AS id, {key_expr} AS key,
              MAX(GREATEST(CAST(COALESCE({token_expr}, 0) AS BIGINT), 0))
@@ -424,9 +466,19 @@ def incremental_token_budget_fill(batch: DataFrame,
     re-running a batch against the SAME state yields identical flags —
     only committing ``new_consumed`` advances the run. The per-batch
     DECISION is SQL-reproducible given the remaining-budget dict
-    (:func:`token_budget_sql` — units hash-check each batch)."""
+    (:func:`token_budget_sql` — units hash-check each batch).
+
+    Spent mass is aggregated over the KEEPER entities (one row per kept
+    ``(id, key)`` at the MAX-resolved token) — exactly the mass the fill
+    decision charged, so duplicate copies in a batch are counted once
+    (r10 advisor finding), and the pass is one keeper-sized agg instead
+    of a rescan of the corpus-wide flags join (r10 verdict item 5); the
+    pinned keeper frame then feeds the returned flags, so the batch
+    pays the two-phase fill exactly once."""
     if any(b < 0 for b in budgets.values()):
         raise ValueError("incremental_token_budget_fill: negative budget")
+    from ..caching import pin
+
     cons: dict = {}
     if consumed is not None:
         # sources-sized collect (the codebook convention)
@@ -434,13 +486,14 @@ def incremental_token_budget_fill(batch: DataFrame,
                 for r in consumed.select(key_col, "consumed").collect()}
     remaining = {k: max(int(b) - cons.get(k, 0), 0)
                  for k, b in budgets.items()}
-    flags = sample_to_token_budget(batch, remaining, key_col=key_col,
-                                   token_col=token_col, id_col=id_col,
-                                   salt=salt)
+    base, keepers, bcast = _fill_keepers(batch, remaining, key_col,
+                                         token_col, id_col, salt)
+    keepers = pin(keepers)
     spent = {r[key_col]: int(r["spent"]) for r in
-             (flags.filter(F.col("kept"))
-              .groupBy(key_col)
-              .agg(F.sum(token_col).alias("spent"))).collect()}
+             (keepers.groupBy(key_col)
+              .agg(F.sum("__tok").alias("spent"))).collect()}
+    flags = _flags_from_keepers(base, keepers, bcast, key_col, token_col,
+                                id_col)
     merged = dict(cons)
     for k, v in spent.items():
         merged[k] = merged.get(k, 0) + v

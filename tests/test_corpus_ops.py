@@ -763,3 +763,18 @@ def test_epoch_plan_matches_duckdb_and_is_a_permutation(spark, duck):
     assert order_of[0] != order_of[1]  # epochs reshuffle
     with _pytest.raises(ValueError, match="n_epochs"):
         epoch_plan(packed, n_epochs=0)
+    # r10 advisor: NULL pack ids are excluded in BOTH engines (the
+    # concat_ws hash would otherwise collapse distinct NULL packs onto
+    # one rank while the SQL twin's || chain NULLs out)
+    withnull = spark.createDataFrame(
+        [(None, 0), (5, 0), (None, 1), (6, 1)],
+        "pack_id long, shard long")
+    got_n = epoch_plan(withnull, n_epochs=2, salt="ep-null")
+    rows_n = got_n.collect()
+    assert {r["pack_id"] for r in rows_n} == {5, 6}
+    assert all(r["epoch_order"] == 1 for r in rows_n)
+    duck.register("packs_null", withnull.toPandas())
+    assert_matches_oracle(
+        got_n, duck, epoch_plan_sql(2, salt="ep-null", table="packs_null"),
+        "epoch_plan_nulls")
+    duck.unregister("packs_null")

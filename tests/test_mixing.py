@@ -364,3 +364,83 @@ def test_incremental_fill_across_batches(spark, duck):
     with pytest.raises(ValueError, match="negative"):
         incremental_token_budget_fill(b2, s1, {"a": -1}, key_col="k",
                                       token_col="t", id_col="id")
+
+
+def test_incremental_fill_duplicate_copies_charge_budget_once(spark):
+    """r10 advisor (medium): a batch carrying duplicate (id, key) copies
+    must charge the consumed state ONCE per entity, at the MAX-resolved
+    token — not once per copy — or later batches see a silently shrunken
+    remaining budget."""
+    from data_engineering_etl_pipeline_spark.extensions.mixing import (
+        incremental_token_budget_fill)
+
+    # id 1 appears THREE times (masses 2/5/5 -> entity mass 5); id 2 once
+    b1 = spark.createDataFrame(
+        [(1, "a", 2), (1, "a", 5), (1, "a", 5), (2, "a", 4)],
+        "id long, k string, t long")
+    with engine_pin_scope():
+        f1, s1 = incremental_token_budget_fill(
+            b1, None, {"a": 20}, key_col="k", token_col="t", id_col="id",
+            salt="dup-incr")
+        flags1 = {(r["id"], r["kept"]) for r in f1.collect()}
+        state1 = {r["k"]: r["consumed"] for r in s1.collect()}
+    assert flags1 == {(1, True), (2, True)}
+    # entity grain: 5 (MAX of the copies) + 4 — NOT 2+5+5+4 = 16
+    assert state1 == {"a": 9}
+    # the surviving 11 tokens of budget admit an 11-token day-2 doc —
+    # impossible under the per-copy overcount
+    b2 = spark.createDataFrame([(3, "a", 11)], "id long, k string, t long")
+    with engine_pin_scope():
+        f2, s2 = incremental_token_budget_fill(
+            b2, s1, {"a": 20}, key_col="k", token_col="t", id_col="id",
+            salt="dup-incr")
+        assert [r["kept"] for r in f2.collect()] == [True]
+        assert {r["k"]: r["consumed"] for r in s2.collect()} == {"a": 20}
+
+
+def test_mixture_weights_clamp_negative_mass(spark, duck):
+    """r10 advisor (low): negative per-row token masses (F.size of a
+    NULL array is -1) clamp to 0 in both engines — no NaN weights, no
+    skewed normalizer."""
+    rows = [(1, "a", -3), (2, "a", 10), (3, "b", 5), (4, "b", -1)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, nt long")
+    got = {r["source"]: (r["n"], round(r["weight"], 6)) for r in
+           mixture_weights(df, "lang", alpha=0.5, token_col="nt").collect()}
+    assert got["a"][0] == 10 and got["b"][0] == 5
+    assert all(w == w for _, w in got.values())  # no NaN
+    duck.execute("CREATE OR REPLACE TABLE negmass(doc_id BIGINT, "
+                 "lang VARCHAR, nt BIGINT)")
+    duck.executemany("INSERT INTO negmass VALUES (?, ?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in duck.execute(
+        mixture_weights_sql("lang", 0.5, "nt", table="negmass")).fetchall()}
+    assert want == got
+    duck.execute("DROP TABLE negmass")
+    # an all-negative source clamps to mass 0 and allocate_budgets
+    # receives a finite weight (0), not NaN
+    neg = spark.createDataFrame([(1, "x", -5)],
+                                "doc_id long, lang string, nt long")
+    with engine_pin_scope():
+        out = temperature_sample(neg, source_col="lang", token_col="nt",
+                                 total_budget=10, alpha=0.5,
+                                 id_col="doc_id")
+        assert [r["kept"] for r in out.collect()] == [True]  # clamped 0 fits
+
+
+def test_token_budget_sql_empty_budgets_valid(spark, duck):
+    """r10 advisor (low): an empty budget dict must emit VALID SQL (a
+    typed empty relation) reproducing the engine's all-budget-0 answer."""
+    twin = token_budget_sql("id", "k", "t", {}, "empty-test",
+                            table="(SELECT 1 AS id, 'a' AS k, 3 AS t "
+                                  "UNION ALL SELECT 2, 'a', 0)")
+    want = {r[0]: r[3] for r in duck.execute(twin).fetchall()}
+    # the 3-token doc can never fit budget 0; the zero-token doc is free
+    # only if it hash-orders first (prefix still within budget)
+    assert want[1] is False
+    df = spark.createDataFrame([(1, "a", 3), (2, "a", 0)],
+                               "id long, k string, t long")
+    with engine_pin_scope():
+        got = {r["id"]: r["kept"] for r in
+               sample_to_token_budget(df, {}, key_col="k", token_col="t",
+                                      id_col="id",
+                                      salt="empty-test").collect()}
+    assert got == want
