@@ -37,7 +37,6 @@ BENCH_QUERIES = [
     "signup_click_funnel_1h",
     "user_value_macd",
     "doc_exact_dedup",
-    "doc_ngram_jaccard",
     "doc_minhash_lsh",
     "doc_dedup_clusters",
     "doc_text_stats",

@@ -301,6 +301,181 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
+#: planted per-language budgets for the corpus_schedule fills: en truncates
+#: on DAY 1 (mass ≈ 5.7k at sf0.01 vs 4000), de keeps all of day 1 and
+#: truncates mid-DAY-2 (1.6k then 2k vs 2500) — the cross-batch remaining-
+#: budget decision provably bites in both directions; es=0 and zh-absent
+#: re-pin the zero/unallocated contracts.
+_SCHED_BUDGETS = {"en": 4000, "de": 2500, "es": 0, "fr": 700}
+_SCHED_SALT = "sched-v1"
+
+
+def _schedule_oracle() -> str:
+    """DuckDB twin of the FULL corpus_schedule row: the epoch-reshuffle
+    permutation over the packed table (pack_sequences' portable-md5
+    shard/pack chain + epoch_plan's per-(epoch, shard) hash rank,
+    inlined — both already proven standalone) and BOTH days of the
+    continuous-ingest token-budget fill, where day 2's budgets are
+    day 1's REMAINING budgets recomputed in SQL — the cross-batch state
+    arithmetic itself is on the hash, not just each batch given a fixed
+    dict. Exact integers end to end, zero tolerance."""
+    hv_id = _MD5_32.format(arg="CAST(doc_id AS VARCHAR)")
+    fill_hv = (f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+               f"'|{_SCHED_SALT}'), 1, 8) AS UBIGINT)")
+    ep_hv = ("CAST('0x' || substr(md5(CAST(pack_id AS VARCHAR) || '|' || "
+             "CAST(epoch AS VARCHAR) || '|' || 'epoch-v1'), 1, 8) "
+             "AS UBIGINT)")
+    vals = ", ".join(f"('{k}', {v})" for k, v in
+                     sorted(_SCHED_BUDGETS.items()))
+    cum = (f"SUM(tok) OVER (PARTITION BY lang ORDER BY {fill_hv} ASC, "
+           "doc_id ASC ROWS UNBOUNDED PRECEDING)")
+    return f"""
+    WITH ptoks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens,
+             CAST({hv_id} % 8 AS BIGINT) AS shard
+      FROM documents
+    ), packs AS (
+      SELECT DISTINCT shard,
+             CAST(shard * 4294967296
+             + (COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512) AS BIGINT) AS pack_id
+      FROM ptoks
+    ), fanned AS (
+      SELECT pack_id, shard, unnest(range(0, 3)) AS epoch
+      FROM packs WHERE pack_id IS NOT NULL
+    ), ep AS (
+      SELECT epoch, shard, pack_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                                ORDER BY {ep_hv} ASC, pack_id ASC)
+               AS epoch_order
+      FROM fanned
+    ), b(key, budget) AS (VALUES {vals}),
+    d AS (
+      SELECT doc_id, lang,
+             GREATEST(CAST(COALESCE({_WTOK_SQL}, 0) AS BIGINT), 0) AS tok
+      FROM documents WHERE doc_id IS NOT NULL
+    ), f1 AS (
+      SELECT c.doc_id, c.lang, c.tok,
+             c.cum <= COALESCE(b.budget, 0) AS kept
+      FROM (SELECT doc_id, lang, tok, {cum} AS cum
+            FROM d WHERE doc_id % 2 = 0) c
+      LEFT JOIN b ON c.lang IS NOT DISTINCT FROM b.key
+    ), spent1 AS (
+      SELECT lang, SUM(tok) AS s FROM f1 WHERE kept GROUP BY lang
+    ), rem AS (
+      SELECT b.key, GREATEST(b.budget - COALESCE(s.s, 0), 0) AS budget
+      FROM b LEFT JOIN spent1 s ON b.key IS NOT DISTINCT FROM s.lang
+    ), f2 AS (
+      SELECT c.doc_id, c.lang, c.tok,
+             c.cum <= COALESCE(r.budget, 0) AS kept
+      FROM (SELECT doc_id, lang, tok, {cum} AS cum
+            FROM d WHERE doc_id % 2 = 1) c
+      LEFT JOIN rem r ON c.lang IS NOT DISTINCT FROM r.key
+    ), state AS (
+      SELECT lang, SUM(tok) AS consumed
+      FROM (SELECT lang, tok FROM f1 WHERE kept
+            UNION ALL SELECT lang, tok FROM f2 WHERE kept)
+      GROUP BY lang
+    )
+    SELECT 'epoch' AS stage, CAST(epoch AS BIGINT) AS epoch, shard,
+           pack_id, CAST(epoch_order AS BIGINT) AS epoch_order,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS BIGINT) AS tokens, CAST(NULL AS BOOLEAN) AS kept,
+           CAST(NULL AS BIGINT) AS consumed
+    FROM ep
+    UNION ALL
+    SELECT 'fill1' AS stage, CAST(NULL AS BIGINT) AS epoch,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pack_id,
+           CAST(NULL AS BIGINT) AS epoch_order, doc_id, lang,
+           tok AS tokens, kept, CAST(NULL AS BIGINT) AS consumed
+    FROM f1
+    UNION ALL
+    SELECT 'fill2' AS stage, CAST(NULL AS BIGINT) AS epoch,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pack_id,
+           CAST(NULL AS BIGINT) AS epoch_order, doc_id, lang,
+           tok AS tokens, kept, CAST(NULL AS BIGINT) AS consumed
+    FROM f2
+    UNION ALL
+    SELECT 'state' AS stage, CAST(NULL AS BIGINT) AS epoch,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pack_id,
+           CAST(NULL AS BIGINT) AS epoch_order,
+           CAST(NULL AS BIGINT) AS doc_id, lang,
+           CAST(NULL AS BIGINT) AS tokens, CAST(NULL AS BOOLEAN) AS kept,
+           consumed
+    FROM state
+    """
+
+
+@register("corpus_schedule", oracle=_schedule_oracle())
+def corpus_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest mixing/epoch surface ON the driver record
+    (r10 VERDICT item 3; the slot came from headroom consolidation #5,
+    ``doc_ngram_jaccard`` → ``doc_minhash_lsh``'s ``ngram`` grain) —
+    four stage-tagged grains over the training-schedule family:
+
+    ``epoch``: :func:`extensions.corpus.epoch_plan` over the SAME packed
+    table as the ``pack_sequences`` row (portable-md5 shard) — the
+    deterministic between-epoch reshuffle: every (epoch, shard) ranks
+    its packs by the portable hash of ``pack_id|epoch|salt``. Bounded
+    explode (3 epochs), shard-bounded rank — nothing sorts globally.
+
+    ``fill1``/``fill2``/``state``: TWO chained batches of
+    :func:`extensions.mixing.incremental_token_budget_fill` — day 1 =
+    even doc_ids, day 2 = odd doc_ids filling each language's REMAINING
+    budget under the planted ``_SCHED_BUDGETS`` (en truncates day 1, de
+    truncates day 2, es=0, zh absent), plus the final consumed state.
+    The oracle recomputes day 2's remaining budgets FROM day 1's kept
+    mass in SQL, so the cross-batch state arithmetic — not just each
+    batch under a handed-in dict — is hash-verified with zero
+    tolerance (the ``doc_exact_dedup`` incr-leg convention applied to
+    the mixture family)."""
+    from ..extensions.mixing import incremental_token_budget_fill
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = corpus.pack_sequences(docs, budget=512, n_shards=8,
+                                   portable_shard=True)
+    ep = corpus.epoch_plan(packed, n_epochs=3, salt="epoch-v1")
+    nl, ns = F.lit(None).cast("long"), F.lit(None).cast("string")
+    nb = F.lit(None).cast("boolean")
+    ep_leg = ep.select(
+        F.lit("epoch").alias("stage"), F.col("epoch").cast("long"),
+        F.col("shard").cast("long"), F.col("pack_id").cast("long"),
+        F.col("epoch_order").cast("long"), nl.alias("doc_id"),
+        ns.alias("lang"), nl.alias("tokens"), nb.alias("kept"),
+        nl.alias("consumed"))
+    wtok = (F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                       .cast("long")))
+    base = docs.select("doc_id", "lang", wtok.alias("tokens"))
+    f1, s1 = incremental_token_budget_fill(
+        base.filter(F.col("doc_id") % 2 == 0), None, _SCHED_BUDGETS,
+        key_col="lang", token_col="tokens", id_col="doc_id",
+        salt=_SCHED_SALT)
+    f2, s2 = incremental_token_budget_fill(
+        base.filter(F.col("doc_id") % 2 == 1), s1, _SCHED_BUDGETS,
+        key_col="lang", token_col="tokens", id_col="doc_id",
+        salt=_SCHED_SALT)
+
+    def fill_leg(flags, tag):
+        return flags.select(
+            F.lit(tag).alias("stage"), nl.alias("epoch"),
+            nl.alias("shard"), nl.alias("pack_id"),
+            nl.alias("epoch_order"), F.col("doc_id"), F.col("lang"),
+            F.col("tokens"), F.col("kept"), nl.alias("consumed"))
+
+    state_leg = s2.select(
+        F.lit("state").alias("stage"), nl.alias("epoch"), nl.alias("shard"),
+        nl.alias("pack_id"), nl.alias("epoch_order"), nl.alias("doc_id"),
+        F.col("lang"), nl.alias("tokens"), nb.alias("kept"),
+        F.col("consumed").cast("long"))
+    return (ep_leg.unionByName(fill_leg(f1, "fill1"))
+            .unionByName(fill_leg(f2, "fill2")).unionByName(state_leg))
+
+
 @register(
     "doc_decontamination",
     oracle="""

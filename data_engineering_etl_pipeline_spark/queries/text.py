@@ -135,21 +135,28 @@ _SHINGLE_CTE = """
 """
 
 
-@register(
-    "doc_ngram_jaccard",
-    oracle=_SHINGLE_CTE + """
+#: full value oracle of the standalone trigram-Jaccard builder — the row
+#: left the driver registry in r11 (headroom consolidation #5: its pair
+#: grain rides ``doc_minhash_lsh`` as the ``ngram`` stage, same documents
+#: table, same pair grain); the standalone keeps this hash-checked twin as
+#: a unit (tests/test_queries_oracle.py), the retired-row convention.
+NGRAM_JACCARD_ORACLE = _SHINGLE_CTE + """
     SELECT id_a, id_b,
            ROUND(ni * 1.0 / (sa.sz + sb.sz - ni), 6) AS jaccard
     FROM pairs
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
-    """,
-)
+    """
+
+
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via an
     inverted shingle index — equi-join on shingle, never a cross product.
-    The integer ratio ni/(sa+sb-ni) is float-exact cross-engine."""
+    The integer ratio ni/(sa+sb-ni) is float-exact cross-engine.
+    Library query since r11 — its driver-record surface is the ``ngram``
+    stage grain of ``doc_minhash_lsh`` (registry consolidation under the
+    50-row cap; the freed slot registered ``corpus_schedule``)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
@@ -297,6 +304,14 @@ def _minhash_incremental_oracle() -> str:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.8
     UNION ALL
+    SELECT 'ngram' AS stage, id_a, id_b,
+           ROUND(ni * 1.0 / (sa.sz + sb.sz - ni), 6) AS jaccard,
+           CAST(NULL AS BIGINT) AS doc_id
+    FROM p1
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
+    UNION ALL
     SELECT 'incr_fresh' AS stage, CAST(NULL AS BIGINT) AS id_a,
            CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard,
            doc_id
@@ -336,7 +351,17 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL — portable md5 base hash via the shared recipe, shared
     coefficient stream — so the cross-batch drop decision is
     bit-verified end-to-end, closing the one unverified decision
-    surface of the dedup family."""
+    surface of the dedup family.
+
+    ``ngram`` (r11 — headroom consolidation #5): the exact word-trigram
+    Jaccard near-dup pairs (threshold 0.5) of the former standalone
+    ``doc_ngram_jaccard`` row ride this row as a fourth grain — same
+    documents table, same (id_a, id_b, jaccard) pair grain, and the
+    oracle's existing day-1 pair CTE serves both thresholds, so the
+    whole inverted-shingle-index machinery (hot-shingle DF cap included)
+    stays value-verified under one slot. The standalone builder keeps
+    its full oracle as a unit (``NGRAM_JACCARD_ORACLE``,
+    tests/test_queries_oracle.py)."""
     from ..extensions.dedup import (incremental_minhash_lsh_dedup,
                                     minhash_band_index)
 
@@ -347,6 +372,10 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.lit(None).cast("double")
     pairs_leg = pairs.select(F.lit("pairs").alias("stage"), "id_a", "id_b",
                              "jaccard", nl.alias("doc_id"))
+    ngram_leg = (ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                     threshold=0.5)
+                 .select(F.lit("ngram").alias("stage"), "id_a", "id_b",
+                         "jaccard", nl.alias("doc_id")))
 
     day2 = (docs.filter(F.col("doc_id") % 7 == 0)
             .withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -372,7 +401,8 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("index").alias("stage"), nl.alias("id_a"),
                    nl.alias("id_b"), nd.alias("jaccard"),
                    F.col("keep_id").alias("doc_id")))
-    return pairs_leg.unionByName(incr).unionByName(idx)
+    return (pairs_leg.unionByName(ngram_leg).unionByName(incr)
+            .unionByName(idx))
 
 
 _CLUSTERS_ORACLE = _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1) + """

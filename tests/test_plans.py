@@ -230,8 +230,16 @@ def test_near_dup_stats_pruned_by_candidate_semi_join(spark, name):
     pruned to candidate-pair docs via a semi-join BEFORE the per-doc
     groupBy — without it the stats stage shuffles the whole corpus's
     shingles by doc_id, the kind of full-relation exchange that dies at
-    100 TB."""
-    p = plan_of(spark, name)
+    100 TB. (doc_ngram_jaccard is a library query since r11 — its
+    driver-record surface is doc_minhash_lsh's `ngram` grain — but its
+    plan contract is pinned standalone.)"""
+    if name in QUERIES:
+        p = plan_of(spark, name)
+    else:
+        from data_engineering_etl_pipeline_spark.queries.text import (
+            doc_ngram_jaccard)
+
+        p = plan_text(doc_ngram_jaccard(spark, SF_DIR))
     assert "LeftSemi" in p, f"{name} lost the candidate-id stats prune:\n{p}"
 
 

@@ -53,6 +53,18 @@ def test_event_time_windows_library_query_matches_oracle(spark, duck):
                           EVENT_TIME_WINDOWS_ORACLE, "event_time_windows")
 
 
+def test_doc_ngram_jaccard_library_query_matches_oracle(spark, duck):
+    """doc_ngram_jaccard left the driver registry in r11 (headroom
+    consolidation #5: its pair grain rides doc_minhash_lsh as the
+    'ngram' stage) but remains library surface — its full value oracle
+    moves here so the standalone builder keeps a hash-checked twin."""
+    from data_engineering_etl_pipeline_spark.queries.text import (
+        NGRAM_JACCARD_ORACLE, doc_ngram_jaccard)
+
+    assert_matches_oracle(doc_ngram_jaccard(spark, SF_DIR), duck,
+                          NGRAM_JACCARD_ORACLE, "doc_ngram_jaccard")
+
+
 def test_corpus_split_profile_library_query_matches_oracle(spark, duck):
     """corpus_split_profile left the driver registry in r8 (headroom
     consolidation #1: it rides prep_training_corpus as the 'profile'
