@@ -572,17 +572,48 @@ def hyperplane_lsh_buckets(df: DataFrame, id_col: str = "vec_id",
 
 def _multi_table_buckets(df: DataFrame, id_col: str, vec_col: str,
                          n_planes: int, n_tables: int, dim: int,
-                         carry: tuple[str, ...] = ()) -> DataFrame:
-    """(id, *carry, table, bucket) for all LSH tables in ONE scan, via an
-    Arrow-vectorized pandas UDF: one numpy matmul per batch computes every
-    plane dot for every table (a (batch × dim) @ (dim × planes·tables) BLAS
-    call). The pure-expression alternative (n_tables × n_planes × dim
-    multiply-add chains) is correct but Janino-compile-bound: ~2 s per extra
-    table per stage at dim=64 — compile cost, not data cost. Map-only either
-    way; this keeps it constant-time in the plan. ``carry`` names extra
-    ``df`` columns to keep on the exploded rows (so callers like the
-    signature-index builder need no corpus-sized join-back — r6 review
-    finding)."""
+                         carry: tuple[str, ...] = (),
+                         sig_mode: str = "arrow") -> DataFrame:
+    """(id, *carry, table, bucket) for all LSH tables in ONE scan. Both
+    modes use IDENTICAL seeded-Gaussian plane constants (table t =
+    ``hyperplanes(100 + t)``'s stream) — choose by portability need:
+
+    ``arrow`` (default, the 100 TB path): an Arrow-vectorized pandas UDF —
+    one numpy matmul per batch computes every plane dot for every table
+    (a (batch × dim) @ (dim × planes·tables) BLAS call). The pure-
+    expression alternative at production widths (16×4) is correct but
+    Janino-compile-bound: ~2 s per extra table per stage at dim=64 —
+    compile cost, not data cost. Map-only; constant-time in the plan.
+
+    ``fold`` (r11 — the oracle-portable config, the minhash ``md5``
+    precedent): per-table :func:`_plane_sign_bits` fold expressions —
+    left-associated index-order accumulation whose SIGNS a DuckDB
+    literal chain reproduces (the ``embedding_lsh_near_dup`` parity
+    argument; BLAS blocked summation carries no such guarantee near
+    zero dots). Sized for small verify configs (8×2); NULL/short
+    vectors bucket 0 per table (NULL dots fail ``>= 0``) where arrow's
+    zero-row convention buckets all-ones — callers mixing modes on
+    NULL-bearing corpora must not (documented, not reachable from the
+    registry row, whose inputs are non-NULL).
+
+    ``carry`` names extra ``df`` columns to keep on the exploded rows
+    (so callers like the signature-index builder need no corpus-sized
+    join-back — r6 review finding)."""
+    if sig_mode not in ("arrow", "fold"):
+        raise ValueError(
+            f"_multi_table_buckets: sig_mode={sig_mode!r} not in "
+            "('arrow', 'fold')")
+    if sig_mode == "fold":
+        staged = df.withColumn(
+            "__mtv", F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        sig_arr = F.array(*[
+            _plane_sign_bits(F.col("__mtv"), 100 + t, n_planes, dim)
+            for t in range(n_tables)])
+        tagged = staged.select(F.col(id_col), *[F.col(c) for c in carry],
+                               sig_arr.alias("__sigs"))
+        return (tagged.select(
+            F.col(id_col), *[F.col(c) for c in carry],
+            F.posexplode(F.col("__sigs")).alias("table", "bucket")))
     planes = []
     for t in range(n_tables):
         rnd = random.Random(100 + t)
@@ -1959,7 +1990,8 @@ _SIG_INDEX_COLS = ("table", "bucket", "keep_id", "keep_vec", "keep_inv",
 def embedding_signature_index(df: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding", n_planes: int = 16,
                               n_tables: int = 4,
-                              dim: int = VECTOR_DIM) -> DataFrame:
+                              dim: int = VECTOR_DIM,
+                              sig_mode: str = "arrow") -> DataFrame:
     """The persistable SEMANTIC dedup index — the embedding twin of
     ``dedup.doc_fingerprints``: one row per (keeper, LSH table) with
     ``(table, bucket, keep_id, keep_vec)``, where ``keep_vec`` is the
@@ -1980,10 +2012,14 @@ def embedding_signature_index(df: DataFrame, id_col: str = "vec_id",
     ``incremental_semantic_dedup`` can REFUSE a config-mismatched index
     instead of silently matching nothing (r6 review findings). Built
     map-only: signatures and carried columns come from one scan, no
-    join-back."""
+    join-back. ``sig_mode='fold'`` builds the signatures with the
+    bit-portable fold expressions instead of the Arrow matmul (the
+    oracle config — see ``_multi_table_buckets``); an index must be
+    ingested under the SAME mode it was built with."""
     staged = with_vec_inv(df, vec_col, "keep_vec", "keep_inv", dim)
     sigs = _multi_table_buckets(staged, id_col, vec_col, n_planes, n_tables,
-                                dim, carry=("keep_vec", "keep_inv"))
+                                dim, carry=("keep_vec", "keep_inv"),
+                                sig_mode=sig_mode)
     return sigs.select(
         F.col(id_col).alias("keep_id"), "table", "bucket", "keep_vec",
         "keep_inv", F.lit(n_planes).alias("planes"),
@@ -2036,7 +2072,8 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding",
                                n_planes: int = 16, n_tables: int = 4,
-                               dim: int = VECTOR_DIM
+                               dim: int = VECTOR_DIM,
+                               sig_mode: str = "arrow"
                                ) -> tuple[DataFrame, DataFrame]:
     """Incremental SEMANTIC dedup — the daily-ingest form of embedding
     near-dup removal, mirroring ``dedup.incremental_exact_dedup``'s
@@ -2073,17 +2110,24 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     is not re-examined when a later batch would have clustered them
     differently — ingest order is part of the semantics.
 
-    Why unit-covered rather than driver-oracle-checked (by decision, not
-    omission): the multi-table signatures come from a numpy MATMUL, whose
-    blocked/pairwise summation is not the left-associated index-order
-    accumulation a SQL literal chain evaluates — near-zero plane dots can
-    sign-flip by ulps between the two, so (unlike
-    ``hyperplane_lsh_buckets``'s fold form, whose bit-parity the
-    ``embedding_lsh_near_dup`` oracle proves) a DuckDB twin of this path
-    is not guaranteed bit-stable. The units pin the contracts that ARE
-    deterministic: exact copies drop (signature equality needs no
-    summation-order agreement), idempotent replay, disk==memory index.
-    """
+    Verification split (r11 — r10 VERDICT item 1): under the DEFAULT
+    ``sig_mode='arrow'`` the multi-table signatures come from a numpy
+    MATMUL, whose blocked/pairwise summation is not the left-associated
+    index-order accumulation a SQL literal chain evaluates — near-zero
+    plane dots can sign-flip by ulps between the two, so that path stays
+    unit-covered (exact copies drop, idempotent replay, disk==memory
+    index — contracts that need no summation-order agreement). Under
+    ``sig_mode='fold'`` the signatures are the bit-portable fold
+    expressions (the ``embedding_lsh_near_dup`` parity argument), and
+    the WHOLE cross-batch keeper decision is hash-verified by the
+    driver: the ``incr_fresh``/``index`` grains of the
+    ``embedding_semantic_dedup`` row (queries/vectors.py) recompute
+    signatures, buckets, within-batch closure, and the carried-vector
+    cosine verify in DuckDB — replayed-copy drop, zero-tail-mutant
+    threshold decision, and sign-flip survival end-to-end. An index
+    must be ingested under the SAME mode it was built with (signatures
+    agree between modes except within reassociation ulps of a zero
+    plane dot, but the contract is per-mode)."""
     from ..caching import pin
     from .dedup import dedup_clusters
 
@@ -2128,7 +2172,7 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
 
     sigs = pin(_multi_table_buckets(
         batch.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
-        n_planes, n_tables, dim))
+        n_planes, n_tables, dim, sig_mode=sig_mode))
     v = with_vec_inv(batch, vec_col, "v", "i", dim).select(
         F.col(id_col), "v", "i")
 
@@ -2171,5 +2215,5 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     # pass over the small fresh set — no join-back against `sigs`)
     updated = index.select(*_SIG_INDEX_COLS).unionByName(
         embedding_signature_index(fresh, id_col, vec_col, n_planes,
-                                  n_tables, dim))
+                                  n_tables, dim, sig_mode=sig_mode))
     return fresh, updated

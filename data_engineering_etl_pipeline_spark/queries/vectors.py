@@ -223,9 +223,52 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.unionByName(stats, allowMissingColumns=True)
 
 
-@register(
-    "embedding_semantic_dedup",
-    oracle="""
+_ISD_PLANES, _ISD_TABLES, _ISD_THRESHOLD, _ISD_TAIL = 8, 2, 0.94, 8
+
+
+def _semantic_incr_oracle() -> str:
+    """DuckDB twin of the FULL embedding_semantic_dedup row — the batch
+    ``drops`` leg (exact all-pairs SemDeDup at n_clusters=1, the
+    original oracle) PLUS the r10-verdict-item-1 incremental legs,
+    recomputed from raw embeddings: per-table fold signatures from the
+    SAME ``hyperplanes(100 + t)`` constants the Spark fold expressions
+    embed (signs only — the ``_lsh_bucket_oracle`` parity argument),
+    within-batch bucket-candidate pairs → exact cosine verify →
+    recursive-closure keeper resolution, cross-batch survivor-vs-index
+    bucket join → carried-vector cosine ``>= threshold`` (unrounded,
+    the verify-tail convention) — the keeper DECISION the r10 verdict
+    wanted hash-verified. Day-2 ingest: replayed exact copies (every
+    7th, id+1e6 — cosine 1, must drop), zero-tail mutants (every 5th,
+    id+2e6, last {tail} of {dim} components zeroed — cosine spreads
+    around the 0.94 threshold, measured min decision margin ≥ 1e-4 at
+    both driver SFs, so the per-row decision genuinely splits), and
+    sign-flipped vectors (every 9th, id+3e6 — cosine −1, must
+    survive)."""
+    from ..extensions.similarity import hyperplanes
+
+    dim, keep = 64, 64 - _ISD_TAIL
+    sig_cte = []
+    for src, pre in (("day2", "b"), ("vone", "i")):
+        for t in range(_ISD_TABLES):
+            planes = hyperplanes(100 + t, _ISD_PLANES, dim)
+            dot_cols = ",\n        ".join(
+                "(" + " + ".join(f"ve[{j + 1}]*{planes[i][j]!r}"
+                                 for j in range(dim)) + f") AS d{i}"
+                for i in range(_ISD_PLANES))
+            sig = " + ".join(
+                f"(CASE WHEN d{i} >= 0 THEN CAST({1 << i} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+                for i in range(_ISD_PLANES))
+            sig_cte.append(
+                f"{pre}d{t} AS (SELECT vec_id,\n        {dot_cols}\n"
+                f"      FROM {src})")
+            sig_cte.append(
+                f"{pre}s{t} AS (SELECT vec_id, CAST({t} AS INT) AS tbl, "
+                f"{sig} AS bucket FROM {pre}d{t})")
+    sig_ctes = ",\n    ".join(sig_cte)
+    zeros = ", ".join("CAST(0 AS DOUBLE)" for _ in range(_ISD_TAIL))
+    t = _ISD_THRESHOLD
+    return f"""
     WITH RECURSIVE doubled AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
@@ -251,12 +294,87 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s, d FROM edges
       UNION
       SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), vone AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), day2 AS (
+      SELECT vec_id + 1000000 AS vec_id, ve FROM vone WHERE vec_id % 7 = 0
+      UNION ALL
+      SELECT vec_id + 2000000 AS vec_id, ve[1:{keep}] || [{zeros}] AS ve
+      FROM vone WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 3000000 AS vec_id, list_transform(ve, x -> -x) AS ve
+      FROM vone WHERE vec_id % 9 = 0
+    ), bn AS (
+      SELECT vec_id, ve,
+             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+                  THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
+      FROM day2
+    ), dn AS (
+      SELECT vec_id, ve,
+             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+                  THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
+      FROM vone
+    ),
+    {sig_ctes},
+    bsig AS (SELECT * FROM bs0 UNION ALL SELECT * FROM bs1),
+    isig AS (SELECT * FROM is0 UNION ALL SELECT * FROM is1),
+    wcand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bsig a JOIN bsig b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), wpairs AS (
+      SELECT c.id_a, c.id_b
+      FROM wcand c
+      JOIN bn x ON x.vec_id = c.id_a
+      JOIN bn y ON y.vec_id = c.id_b
+      WHERE list_dot_product(x.ve, y.ve) * x.inv * y.inv >= {t}
+    ), wedges AS (
+      SELECT id_a AS s, id_b AS d FROM wpairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM wpairs
+    ), wreach(s, d) AS (
+      SELECT s, d FROM wedges
+      UNION
+      SELECT r.s, e.d FROM wreach r JOIN wedges e ON r.d = e.s
+    ), wdrops AS (
+      SELECT s AS vec_id FROM wreach GROUP BY s
+      HAVING LEAST(s, MIN(d)) <> s
+    ), surv AS (
+      SELECT vec_id FROM day2
+      WHERE vec_id NOT IN (SELECT vec_id FROM wdrops)
+    ), xc AS (
+      SELECT DISTINCT sb.vec_id, ib.vec_id AS keep_id
+      FROM bsig sb
+      JOIN surv s ON s.vec_id = sb.vec_id
+      JOIN isig ib ON ib.tbl = sb.tbl AND ib.bucket = sb.bucket
+    ), hits AS (
+      SELECT DISTINCT x.vec_id
+      FROM xc x
+      JOIN bn b ON b.vec_id = x.vec_id
+      JOIN dn k ON k.vec_id = x.keep_id
+      WHERE list_dot_product(b.ve, k.ve) * b.inv * k.inv >= {t}
+    ), fresh AS (
+      SELECT vec_id FROM surv
+      WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+    ), idx AS (
+      SELECT vec_id FROM vone
+      UNION
+      SELECT vec_id FROM fresh
     )
-    SELECT s AS vec_id, LEAST(s, MIN(d)) AS keeper_id
+    SELECT 'drops' AS stage, s AS vec_id, LEAST(s, MIN(d)) AS keeper_id
     FROM reach GROUP BY s
     HAVING s <> LEAST(s, MIN(d))
-    """,
-)
+    UNION ALL
+    SELECT 'incr_fresh' AS stage, vec_id, CAST(NULL AS BIGINT) AS keeper_id
+    FROM fresh
+    UNION ALL
+    SELECT 'index' AS stage, vec_id, CAST(NULL AS BIGINT) AS keeper_id
+    FROM idx
+    """
+
+
+@register("embedding_semantic_dedup", oracle=_semantic_incr_oracle())
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) on the driver record
     (new r5 row, r4 VERDICT 'What's missing' item 1): k-means-partitioned
@@ -270,14 +388,68 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle end-to-end. The production multi-cluster config keeps its
     planted-copy recall unit in tests/test_similarity_recall.py. The
     oracle recomputes the drop set via a recursive transitive closure over
-    the exact pair graph (keeper = min reachable id)."""
-    from ..extensions.similarity import semantic_dedup
+    the exact pair graph (keeper = min reachable id).
+
+    ``incr_fresh``/``index`` (r11 — r10 VERDICT item 1, the last
+    unoracled ingest-decision surface): the operator a continuous
+    embedding pipeline runs DAILY
+    (:func:`similarity.incremental_semantic_dedup` under the PORTABLE
+    ``sig_mode='fold'`` config, 8 planes × 2 tables, threshold 0.94 —
+    the ``doc_minhash_lsh`` md5-config precedent applied to the
+    semantic family). Day-1 corpus → carried-vector signature index;
+    day-2 ingest = replayed exact copies (every 7th, id+1e6 — cosine 1,
+    must drop), zero-tail mutants (every 5th, id+2e6, last 8 of 64
+    components zeroed — cosine spreads around the threshold, so the
+    signature-bucket + carried-vector-cosine decision genuinely splits;
+    measured min decision margin ≥ 1e-4 at both driver SFs, far beyond
+    the ~ulp cross-engine chain-reassociation window) and sign-flipped
+    vectors (every 9th, id+3e6 — every signature bit flips, cosine −1,
+    must survive). ``incr_fresh`` emits the surviving ids; ``index``
+    the updated index's distinct keeper ids. The oracle recomputes
+    signatures/buckets/closure/cosines from raw embeddings in SQL, so
+    the cross-batch keeper decision is value-verified end-to-end."""
+    from ..extensions.similarity import (embedding_signature_index,
+                                         incremental_semantic_dedup,
+                                         semantic_dedup)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     doubled = emb.unionByName(
         emb.filter(F.col("vec_id") % 7 == 0)
         .withColumn("vec_id", F.col("vec_id") + 1000000))
-    return semantic_dedup(doubled, threshold=0.95, n_clusters=1)
+    nl = F.lit(None).cast("long")
+    drops = (semantic_dedup(doubled, threshold=0.95, n_clusters=1)
+             .select(F.lit("drops").alias("stage"), "vec_id", "keeper_id"))
+
+    dv = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double")).alias("embedding"))
+    keep = 64 - _ISD_TAIL
+    day2 = (dv.filter(F.col("vec_id") % 7 == 0)
+            .withColumn("vec_id", F.col("vec_id") + 1000000)
+            .unionByName(
+                dv.filter(F.col("vec_id") % 5 == 0)
+                .withColumn("vec_id", F.col("vec_id") + 2000000)
+                .withColumn("embedding", F.concat(
+                    F.slice(F.col("embedding"), 1, keep),
+                    F.array(*[F.lit(0.0) for _ in range(_ISD_TAIL)]))))
+            .unionByName(
+                dv.filter(F.col("vec_id") % 9 == 0)
+                .withColumn("vec_id", F.col("vec_id") + 3000000)
+                .withColumn("embedding", F.transform(F.col("embedding"),
+                                                     lambda x: -x))))
+    index = embedding_signature_index(dv, n_planes=_ISD_PLANES,
+                                      n_tables=_ISD_TABLES,
+                                      sig_mode="fold")
+    fresh, updated = incremental_semantic_dedup(
+        day2, index, threshold=_ISD_THRESHOLD, n_planes=_ISD_PLANES,
+        n_tables=_ISD_TABLES, sig_mode="fold")
+    incr = fresh.select(F.lit("incr_fresh").alias("stage"), "vec_id",
+                        nl.alias("keeper_id"))
+    idx = (updated.select("keep_id").distinct()
+           .select(F.lit("index").alias("stage"),
+                   F.col("keep_id").alias("vec_id"), nl.alias("keeper_id")))
+    return drops.unionByName(incr).unionByName(idx)
 
 
 def _lsh_bucket_oracle(seed: int = 42, n_planes: int = 16, dim: int = 64,

