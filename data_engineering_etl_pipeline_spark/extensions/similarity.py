@@ -25,6 +25,7 @@ Execution-model notes (learned the hard way, each measured at sf0.1):
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -889,6 +890,110 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
         return pd.Series(out)
 
     return df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_encode_fold(df: DataFrame, codebooks: list[list[list[float]]],
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = VECTOR_DIM,
+                   q_scale: int = 1 << 20) -> DataFrame:
+    """Bit-portable twin of :func:`pq_encode`'s code-assignment DECISION
+    (r10 VERDICT item 7 — the ``logreg_gate_fold`` recipe applied to the
+    PQ family): per subspace j and code c, the fixed-point score
+    ``z_q(c) = Σ_i floor(((v_i · inv) · cb[c][i]) · Q) +
+    floor(−0.5·‖cb[c]‖²·Q)`` — each term ONE deterministic IEEE product
+    chain (portable), the sum BIGINT (associativity-free) — and the code
+    is the argmax with ties to the LOWEST index (np.argmax's rule).
+    Emits ``(id, code0..code{n_sub−1})``; NULL/zero-norm/wrong-length
+    vectors emit NULL codes (the ``pq_encode`` convention — their NULL
+    ``inv`` NULLs every score). Production encoding stays on the Arrow
+    kernel (:func:`pq_encode`, whose float argmax this fold matches
+    whenever the top-2 scores are separated beyond quantization — the
+    planted-codebook unit asserts exact agreement on real data);
+    :func:`pq_encode_fold_sql` is the DuckDB twin built from the SAME
+    codebook constants. Map-only expressions, no Python, no shuffle."""
+    n_sub = len(codebooks)
+    sub = dim // n_sub
+    staged = with_vec_inv(df, vec_col, "__pqv", "__pqi", dim)
+    cols = [F.col(id_col)]
+    for j, cb in enumerate(codebooks):
+        scores = []
+        for cent in cb:
+            bias = math.floor(-0.5 * sum(x * x for x in cent) * q_scale)
+            z = F.lit(int(bias)).cast("long")
+            for i in range(sub):
+                term = F.floor(
+                    F.get(F.col("__pqv"), j * sub + i) * F.col("__pqi")
+                    * F.lit(float(cent[i])) * F.lit(float(q_scale))
+                ).cast("long")
+                z = z + term
+            scores.append(z)
+        code = None
+        for c in range(len(cb) - 1):
+            cond = None
+            for m in range(c + 1, len(cb)):
+                ge = scores[c] >= scores[m]
+                cond = ge if cond is None else (cond & ge)
+            code = (F.when(cond, F.lit(c)) if code is None
+                    else code.when(cond, F.lit(c)))
+        code = code.otherwise(F.lit(len(cb) - 1))
+        cols.append(F.when(F.col("__pqi").isNull()
+                           | (F.size(F.col("__pqv")) != dim),
+                           F.lit(None).cast("int"))
+                    .otherwise(code.cast("int")).alias(f"code{j}"))
+    return staged.select(*cols)
+
+
+def pq_encode_fold_sql(codebooks: list[list[list[float]]],
+                       dim: int = VECTOR_DIM, q_scale: int = 1 << 20,
+                       id_expr: str = "vec_id",
+                       vec_expr: str = "embedding",
+                       table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`pq_encode_fold` from the SAME codebook
+    constants: identical ``((v_i · inv) · w) · Q`` product order per
+    term, BIGINT sums, identical ties-to-lowest CASE argmax."""
+    n_sub = len(codebooks)
+    sub = dim // n_sub
+    inv = ("CASE WHEN sqrt(list_dot_product(ve, ve)) > 0 "
+           "THEN 1.0 / sqrt(list_dot_product(ve, ve)) END")
+    outs = []
+    for j, cb in enumerate(codebooks):
+        zs = []
+        for cent in cb:
+            bias = math.floor(-0.5 * sum(x * x for x in cent) * q_scale)
+            chain = " + ".join(
+                f"CAST(FLOOR(ve[{j * sub + i + 1}] * inv * {cent[i]!r} "
+                f"* {float(q_scale)!r}) AS BIGINT)"
+                for i in range(sub))
+            zs.append(f"(CAST({bias} AS BIGINT) + {chain})")
+        whens = " ".join(
+            "WHEN " + " AND ".join(f"z{j}_{c} >= z{j}_{m}"
+                                   for m in range(c + 1, len(cb)))
+            + f" THEN {c}" for c in range(len(cb) - 1))
+        outs.append((
+            ", ".join(f"{z} AS z{j}_{c}" for c, z in enumerate(zs)),
+            f"CASE WHEN inv IS NULL THEN NULL ELSE "
+            f"CASE {whens} ELSE {len(cb) - 1} END END AS code{j}"))
+    zcols = ",\n             ".join(o[0] for o in outs)
+    codes = ",\n           ".join(o[1] for o in outs)
+    return f"""
+    WITH v AS (
+      SELECT {id_expr} AS vec_id,
+             list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS ve
+      FROM {table}
+    ), nv AS (
+      SELECT vec_id, ve,
+             CASE WHEN ve IS NULL OR len(ve) <> {dim} THEN NULL
+                  ELSE {inv} END AS inv
+      FROM v
+    ), z AS (
+      SELECT vec_id, inv,
+             {zcols}
+      FROM nv
+    )
+    SELECT vec_id,
+           {codes}
+    FROM z
+    """
 
 
 def _assign_and_encode_residual(df: DataFrame, centroids: list[list[float]],

@@ -540,6 +540,38 @@ def test_incremental_semantic_dedup_daily_ingest(spark):
     assert fresh2.count() == 0
 
 
+def test_pq_encode_fold_matches_duckdb_and_arrow(spark, duck):
+    """r10 VERDICT item 7 — the PQ family's code-assignment DECISION
+    hash-checked, closing the gap between 'recall-tested' and
+    'decision-verified': under a planted codebook (seeded-Gaussian unit
+    sub-centroids, constants shared verbatim), the fixed-point fold
+    twin's codes (a) hash-match the DuckDB twin exactly — integer sums,
+    ties-to-lowest argmax — and (b) equal the production Arrow kernel's
+    argmax on the real embeddings table (the float/fixed-point decisions
+    agree whenever top-2 scores separate beyond quantization; planted
+    Gaussian codebooks give macroscopic margins). NULL codes for a
+    zero vector in both (c)."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        planted_centroids, pq_encode, pq_encode_fold, pq_encode_fold_sql)
+
+    n_sub, sub, n_codes = 4, 16, 4
+    cbs = [planted_centroids(3000 + j, n_codes, sub) for j in range(n_sub)]
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    got = pq_encode_fold(emb, cbs, dim=64)
+    from .conftest import assert_matches_oracle
+    assert_matches_oracle(got, duck, pq_encode_fold_sql(cbs, dim=64),
+                          "pq_encode_fold")
+    fold = {r["vec_id"]: tuple(r[f"code{j}"] for j in range(n_sub))
+            for r in got.collect()}
+    arrow = {r["vec_id"]: tuple(r["codes"]) for r in
+             pq_encode(emb, cbs, dim=64).collect()}
+    assert fold == arrow
+    zero = spark.createDataFrame([(1, [0.0] * 64)],
+                                 "vec_id long, embedding array<double>")
+    z = pq_encode_fold(zero, cbs, dim=64).collect()[0]
+    assert all(z[f"code{j}"] is None for j in range(n_sub))
+
+
 def test_fold_signatures_agree_with_arrow_and_drive_ingest(spark):
     """r11 (r10 VERDICT item 1): the bit-portable `sig_mode='fold'`
     signature expressions must agree bucket-for-bucket with the Arrow
