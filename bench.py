@@ -133,23 +133,38 @@ def main() -> int:
     # against another's (or its own earlier pass's) persisted
     # intermediates — warm code, cold data.
     skip_warmup = os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP") == "1"
-    cal_before = calibration_run(spark)
-    times: dict[str, float] = {}
-    # phase 1: the main set; phase 2: the tail set (see TAIL_QUERIES) —
-    # each phase gets its own warmup + min-of-3 so the tail's JVM
-    # side-effects never touch a main-set sample.
-    for phase in (BENCH_QUERIES, TAIL_QUERIES):
-        if not skip_warmup:
-            for name in phase:
-                run_one(name)
-                cold_data()
-        for _ in range(1 if skip_warmup else 3):
-            for name in phase:
-                t = run_one(name)
-                times[name] = min(times.get(name, t), t)
-                cold_data()
+    # --require-stable (or SPARK_GRAFT_BENCH_REQUIRE_STABLE=1): re-run the
+    # whole measurement loop (≤3 attempts) until the host sentinel is
+    # quiet — the r10/r9 driver records were captured under intra-run
+    # drift two rounds running (r10 VERDICT item 4); an unstable record
+    # is a blurry anchor, so the close-out protocol asks for this flag.
+    require_stable = ("--require-stable" in sys.argv[1:]
+                      or os.environ.get(
+                          "SPARK_GRAFT_BENCH_REQUIRE_STABLE") == "1")
+    attempts = 3 if require_stable else 1
+    for attempt in range(attempts):
+        cal_before = calibration_run(spark)
+        times: dict[str, float] = {}
+        # phase 1: the main set; phase 2: the tail set (see TAIL_QUERIES)
+        # — each phase gets its own warmup + min-of-3 so the tail's JVM
+        # side-effects never touch a main-set sample.
+        for phase in (BENCH_QUERIES, TAIL_QUERIES):
+            if not skip_warmup:
+                for name in phase:
+                    run_one(name)
+                    cold_data()
+            for _ in range(1 if skip_warmup else 3):
+                for name in phase:
+                    t = run_one(name)
+                    times[name] = min(times.get(name, t), t)
+                    cold_data()
 
-    cal_after = calibration_run(spark)
+        cal_after = calibration_run(spark)
+        stability = calibration_stability(cal_before, cal_after)
+        if not stability.get("calibration_unstable"):
+            break
+        print(f"# attempt {attempt + 1}: "
+              f"{stability['calibration_note']}", file=sys.stderr)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "sum_query_seconds",
@@ -164,7 +179,7 @@ def main() -> int:
         "calibration_after_s": cal_after,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
-    out.update(calibration_stability(cal_before, cal_after))
+    out.update(stability)
     print(json.dumps(out))
     return 0
 
@@ -174,8 +189,10 @@ def main() -> int:
 #: intra-run — r9 VERDICT watch item 1 / next-round item 3): the record
 #: stays usable (nothing is suppressed) but carries the flag so
 #: cross-round comparisons reach for a stable re-run instead of README
-#: archaeology.
-CALIBRATION_DRIFT_RATIO = 1.5
+#: archaeology. Tightened 1.5 → 1.25 in r11 (r10 VERDICT item 4: the
+#: r10 record's 1.294 intra-run drift sailed under the old threshold
+#: but was still a blurry cross-round anchor).
+CALIBRATION_DRIFT_RATIO = 1.25
 
 
 def calibration_stability(cal_before: float, cal_after: float) -> dict:

@@ -138,9 +138,12 @@ def test_bench_calibration_stability_flag():
         "calibration_unstable"] is True
     assert bench.calibration_stability(0.0, 1.0)[
         "calibration_unstable"] is True
-    # boundary: exactly the threshold is still stable
+    # boundary: exactly the threshold is still stable (1.25 since r11 —
+    # r10 VERDICT item 4: the r10 record's 1.294 drift must now flag)
     assert "calibration_unstable" not in bench.calibration_stability(
-        1.5, 1.0)
+        1.25, 1.0)
+    assert bench.calibration_stability(0.749, 0.579)[
+        "calibration_unstable"] is True
 
 
 def test_bench_and_smoke_names_exist_in_registry():
