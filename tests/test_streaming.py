@@ -670,6 +670,82 @@ def test_streaming_incremental_minhash_foreachbatch(spark, tmp_path):
                                 "mhhash"}
 
 
+def test_streaming_incremental_fill_foreachbatch(spark, tmp_path):
+    """The mixture-budget twin of the ingest-dedup e2es above (r11 —
+    the corpus_schedule family operationally): micro-batches of curated
+    docs arrive as files; foreachBatch runs
+    incremental_token_budget_fill against a parquet-persisted
+    (key, consumed) state, so the run fills each source's REMAINING
+    token budget in ingest order — earlier keepers are never displaced,
+    the total kept mass never exceeds the budget, and the final state
+    equals the kept mass exactly."""
+    import os
+
+    from data_engineering_etl_pipeline_spark.extensions.mixing import (
+        incremental_token_budget_fill)
+
+    schema = "doc_id long, lang string, n_tokens long"
+    budgets = {"en": 20, "de": 7}
+    batches = [
+        [(1, "en", 9), (2, "de", 5), (3, "en", 8)],
+        [(4, "en", 9), (5, "de", 5), (6, "en", 2)],   # de 5 > remaining 2
+        [(7, "en", 1), (8, "de", 2), (9, "en", 50)],  # de 2 fits exactly
+    ]
+    stage = tmp_path / "src"
+    stage.mkdir()
+    for i, rows in enumerate(batches):
+        out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        src = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        dst = os.path.join(str(stage), f"{i:02d}.parquet")
+        os.rename(os.path.join(out, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    state_dir = str(tmp_path / "consumed")
+    flags_dir = str(tmp_path / "flags")
+    spark.createDataFrame([], "lang string, consumed long") \
+        .write.parquet(state_dir)
+
+    def sink(batch_df, batch_id):
+        from data_engineering_etl_pipeline_spark.caching import (
+            engine_pin_scope)
+
+        with engine_pin_scope():
+            consumed = batch_df.sparkSession.read.parquet(state_dir)
+            flags, new_consumed = incremental_token_budget_fill(
+                batch_df, consumed, budgets, key_col="lang",
+                token_col="n_tokens", id_col="doc_id", salt="stream-fill")
+            flags.write.mode("append").parquet(flags_dir)
+            new_consumed.write.mode("overwrite").parquet(state_dir + "_n")
+            batch_df.sparkSession.read.parquet(state_dir + "_n") \
+                .write.mode("overwrite").parquet(state_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    q.stop()
+
+    flags = {r["doc_id"]: r["kept"]
+             for r in spark.read.parquet(flags_dir).collect()}
+    assert len(flags) == 9
+    sizes = {i: t for rows in batches for i, _, t in rows}
+    langs = {i: k for rows in batches for i, k, _ in rows}
+    mass = {"en": 0, "de": 0}
+    for i, kept in flags.items():
+        if kept:
+            mass[langs[i]] += sizes[i]
+    # never exceed; de fills 5 (b1) + 2 (b3, after 5 > remaining-2 drops)
+    assert mass["en"] <= 20 and mass["de"] == 7
+    assert flags[2] and not flags[5] and flags[8]
+    assert not flags[9]  # 50 tokens can never fit en's remainder
+    state = {r["lang"]: r["consumed"]
+             for r in spark.read.parquet(state_dir).collect()}
+    assert state == {k: v for k, v in mass.items() if v}
+
+
 def test_streaming_covariance_accumulator_matches_batch_bitwise(spark,
                                                                 tmp_path):
     """The exact-moment machinery is STREAMING-COMPOSABLE with zero drift:
