@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "ccnet_perplexity_mix",
     "dsir_select",
     "pack_sequences",
+    "corpus_schedule",
+    "embedding_semantic_dedup",
     "doc_tfidf_near_dup",
     "embedding_topk_exact",
     "embedding_near_dup",
