@@ -413,7 +413,7 @@ def _schedule_oracle() -> str:
 @register("corpus_schedule", oracle=_schedule_oracle())
 def corpus_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-ingest mixing/epoch surface ON the driver record
-    (r10 VERDICT item 3; the slot came from headroom consolidation #5,
+    (r10 VERDICT item 3; the slot came from headroom consolidation #4,
     ``doc_ngram_jaccard`` → ``doc_minhash_lsh``'s ``ngram`` grain) —
     four stage-tagged grains over the training-schedule family:
 

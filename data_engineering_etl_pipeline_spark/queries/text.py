@@ -136,7 +136,7 @@ _SHINGLE_CTE = """
 
 
 #: full value oracle of the standalone trigram-Jaccard builder — the row
-#: left the driver registry in r11 (headroom consolidation #5: its pair
+#: left the driver registry in r11 (headroom consolidation #4: its pair
 #: grain rides ``doc_minhash_lsh`` as the ``ngram`` stage, same documents
 #: table, same pair grain); the standalone keeps this hash-checked twin as
 #: a unit (tests/test_queries_oracle.py), the retired-row convention.
@@ -353,7 +353,7 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-verified end-to-end, closing the one unverified decision
     surface of the dedup family.
 
-    ``ngram`` (r11 — headroom consolidation #5): the exact word-trigram
+    ``ngram`` (r11 — headroom consolidation #4): the exact word-trigram
     Jaccard near-dup pairs (threshold 0.5) of the former standalone
     ``doc_ngram_jaccard`` row ride this row as a fourth grain — same
     documents table, same (id_a, id_b, jaccard) pair grain, and the

@@ -55,7 +55,7 @@ def test_event_time_windows_library_query_matches_oracle(spark, duck):
 
 def test_doc_ngram_jaccard_library_query_matches_oracle(spark, duck):
     """doc_ngram_jaccard left the driver registry in r11 (headroom
-    consolidation #5: its pair grain rides doc_minhash_lsh as the
+    consolidation #4: its pair grain rides doc_minhash_lsh as the
     'ngram' stage) but remains library surface — its full value oracle
     moves here so the standalone builder keeps a hash-checked twin."""
     from data_engineering_etl_pipeline_spark.queries.text import (
