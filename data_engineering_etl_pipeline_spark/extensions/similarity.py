@@ -953,7 +953,12 @@ def pq_encode_fold_sql(codebooks: list[list[list[float]]],
     term, BIGINT sums, identical ties-to-lowest CASE argmax."""
     n_sub = len(codebooks)
     sub = dim // n_sub
-    inv = ("CASE WHEN sqrt(list_dot_product(ve, ve)) > 0 "
+    # isfinite conjunct mirrors with_vec_inv's ~isnan / < inf guard: an
+    # Inf-norm vector must yield NULL codes (not inv=0.0 → Inf·0 = NaN
+    # score terms whose CAST(FLOOR(NaN) AS BIGINT) errors in DuckDB) —
+    # r11 advisor finding.
+    inv = ("CASE WHEN isfinite(list_dot_product(ve, ve)) "
+           "AND sqrt(list_dot_product(ve, ve)) > 0 "
            "THEN 1.0 / sqrt(list_dot_product(ve, ve)) END")
     outs = []
     for j, cb in enumerate(codebooks):

@@ -271,6 +271,27 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm.unionByName(ds)
 
 
+#: doc_chunking's standalone construction (registry row r5–r11; retired to
+#: the ``chunk`` grain of ``pack_sequences`` in r12 — headroom
+#: consolidation #5, same token-window grain family). Kept verbatim as the
+#: library twin's full value oracle (tests/test_queries_oracle.py), the
+#: retired-row convention.
+DOC_CHUNKING_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT doc_id, tk,
+             (CASE WHEN len(tk) > 64 THEN len(tk) - 64 ELSE 0 END + 47) // 48
+               AS kmax
+      FROM t
+    )
+    SELECT doc_id, CAST(u.k AS INT) AS chunk_idx,
+           CAST(least(64, len(tk) - (u.k * 48 + 1) + 1) AS INT) AS n_tokens,
+           array_to_string(tk[u.k * 48 + 1 : u.k * 48 + 64], ' ') AS chunk_text
+    FROM s, LATERAL (SELECT unnest(range(0, kmax + 1)) AS k) u
+    """
+
+
 @register(
     "pack_sequences",
     oracle="""
@@ -281,24 +302,64 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(""" + _MD5_32.format(arg="CAST(doc_id AS VARCHAR)") + """
                % 8 AS BIGINT) AS shard
       FROM documents
+    ), ct AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents WHERE text IS NOT NULL),
+    cs AS (
+      SELECT doc_id, tk,
+             (CASE WHEN len(tk) > 64 THEN len(tk) - 64 ELSE 0 END + 47) // 48
+               AS kmax
+      FROM ct
     )
-    SELECT doc_id, n_tokens, shard,
+    SELECT 'pack' AS stage, doc_id, n_tokens, shard,
            CAST(shard * 4294967296
            + (COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              // 512) AS BIGINT) AS pack_id
+              // 512) AS BIGINT) AS pack_id,
+           CAST(NULL AS BIGINT) AS chunk_idx,
+           CAST(NULL AS VARCHAR) AS chunk_text
     FROM toks
+    UNION ALL
+    SELECT 'chunk' AS stage, doc_id,
+           CAST(least(64, len(tk) - (u.k * 48 + 1) + 1) AS BIGINT)
+             AS n_tokens,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pack_id,
+           CAST(u.k AS BIGINT) AS chunk_idx,
+           array_to_string(tk[u.k * 48 + 1 : u.k * 48 + 64], ' ')
+             AS chunk_text
+    FROM cs, LATERAL (SELECT unnest(range(0, kmax + 1)) AS k) u
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing into training packs: per-shard window
-    cumsum, no global sort (extensions/corpus.py pack_sequences). Uses the
-    portable md5 shard so the oracle reproduces the full shard → offset →
-    pack assignment, not just the arithmetic."""
+    """Token-window constructions over the documents table, two
+    stage-tagged grains (r12 headroom consolidation #5):
+
+    ``pack``: token-budget sequence packing into training packs —
+    per-shard window cumsum, no global sort (extensions/corpus.py
+    pack_sequences). Uses the portable md5 shard so the oracle reproduces
+    the full shard → offset → pack assignment, not just the arithmetic.
+
+    ``chunk``: the former ``doc_chunking`` row — overlapping token-window
+    chunking (window 64, stride 48 → 16-token overlap), the long-document
+    split that precedes packing (extensions/corpus.py chunk_documents).
+    Map-only explode with bounded fan-out ⌈n_tok/stride⌉; every token
+    lands in ≥1 chunk (coverage/overlap invariants unit-tested). The
+    standalone builder keeps its full value oracle as a unit
+    (``DOC_CHUNKING_ORACLE``, tests/test_queries_oracle.py)."""
     docs = load_table(spark, sf_dir, "documents")
     packed = corpus.pack_sequences(docs, budget=512, n_shards=8,
                                    portable_shard=True)
-    return packed.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+    nl = F.lit(None).cast("long")
+    pack_leg = packed.select(
+        F.lit("pack").alias("stage"), "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "shard",
+        "pack_id", nl.alias("chunk_idx"),
+        F.lit(None).cast("string").alias("chunk_text"))
+    chunk_leg = corpus.chunk_documents(docs, window=64, stride=48).select(
+        F.lit("chunk").alias("stage"), "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        nl.alias("shard"), nl.alias("pack_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text")
+    return pack_leg.unionByName(chunk_leg)
 
 
 #: planted per-language budgets for the corpus_schedule fills: en truncates
@@ -736,31 +797,128 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_rows.unionByName(prof_rows)
 
 
-@register(
-    "doc_chunking",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
-               FROM documents WHERE text IS NOT NULL),
-    s AS (
-      SELECT doc_id, tk,
-             (CASE WHEN len(tk) > 64 THEN len(tk) - 64 ELSE 0 END + 47) // 48
-               AS kmax
-      FROM t
-    )
-    SELECT doc_id, CAST(u.k AS INT) AS chunk_idx,
-           CAST(least(64, len(tk) - (u.k * 48 + 1) + 1) AS INT) AS n_tokens,
-           array_to_string(tk[u.k * 48 + 1 : u.k * 48 + 64], ' ') AS chunk_text
-    FROM s, LATERAL (SELECT unnest(range(0, kmax + 1)) AS k) u
-    """,
-)
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (window 64, stride 48 → 16-token
     overlap) — the long-document split that precedes packing
     (extensions/corpus.py chunk_documents). Map-only explode with bounded
     fan-out ⌈n_tok/stride⌉; every token lands in ≥1 chunk (coverage/overlap
-    invariants unit-tested)."""
+    invariants unit-tested). Registry row r5–r11; rides ``pack_sequences``
+    as the ``chunk`` grain since r12 (headroom consolidation #5) — this
+    standalone builder stays library surface with its full value oracle as
+    a unit (``DOC_CHUNKING_ORACLE``, tests/test_queries_oracle.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.chunk_documents(docs, window=64, stride=48)
+
+
+_BPE_MERGES = 24
+_BPE_MIN_FREQ = 2
+
+
+def _bpe_merge_oracle() -> str:
+    """DuckDB twin of the FULL BPE tokenizer-training decision surface
+    (r11 VERDICT items 1b + 4): the learned merge SEQUENCE — argmax pair
+    count per round, lexicographic ties, stop-when-nothing-repeats — as a
+    bounded-rounds unrolled CTE chain (extensions/bpe.bpe_sql_ctes: merge
+    = left-to-right non-overlapping string REPLACE over chr(31)-wrapped
+    symbol strings), the ``min_freq`` distributed floor DECISION (the
+    planted per-doc rare words flip the top merges if the floor fails —
+    (q,z) would count once per doc), and the per-doc ENCODE counts under
+    the learned merges, including sub-floor (unseen-in-training) words —
+    rank-order merge application, provably the lowest-rank-pair loop."""
+    from ..extensions.bpe import _SEP2, bpe_sql_ctes
+
+    ctes, merges_select, vfinal = bpe_sql_ctes(
+        _BPE_MERGES, min_freq=_BPE_MIN_FREQ, corpus_cte="bpe_corpus")
+    return f"""
+    WITH bpe_corpus AS MATERIALIZED (
+      SELECT doc_id,
+             concat_ws(' ', text,
+                       'qz' || CAST(doc_id AS VARCHAR) || 'q') AS text
+      FROM documents
+    ),
+    {ctes},
+    bpe_docw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM bpe_corpus)
+      WHERE word <> ''
+    ),
+    bpe_ns AS (
+      SELECT word,
+             CAST(len(string_split(s[2:len(s)-1], {_SEP2})) AS BIGINT)
+               AS n_syms
+      FROM {vfinal}
+    ),
+    bpe_enc AS (
+      SELECT c.doc_id, COALESCE(SUM(ns.n_syms), 0) AS n_units
+      FROM bpe_corpus c
+      LEFT JOIN bpe_docw w ON w.doc_id = c.doc_id
+      LEFT JOIN bpe_ns ns ON ns.word = w.word
+      GROUP BY c.doc_id
+    )
+    SELECT 'merge' AS stage, merge_rank, left_sym, right_sym,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_units
+    FROM ({merges_select})
+    UNION ALL
+    SELECT 'encode' AS stage, CAST(NULL AS BIGINT) AS merge_rank,
+           CAST(NULL AS VARCHAR) AS left_sym,
+           CAST(NULL AS VARCHAR) AS right_sym, doc_id, n_units
+    FROM bpe_enc
+    """
+
+
+@register("bpe_merge_sequence", oracle=_bpe_merge_oracle())
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning + encoding ON the driver record (r11 VERDICT
+    items 1b and 4 — the last LLM-family decision surface that was
+    unit-only; the slot came from headroom consolidation #5,
+    ``doc_chunking`` → ``pack_sequences``'s ``chunk`` grain). Two
+    stage-tagged grains over a corpus of the documents text plus ONE
+    planted unique rare word per doc (``qz<doc_id>q`` — freq 1 each, so
+    the shared (q, z) character pair would rank top-of-list if the
+    ``min_freq`` floor ever failed to drop them):
+
+    ``merge``: the learned merge sequence from
+    :func:`extensions.bpe.train_bpe` at ``min_freq=2`` — the distributed
+    frequency-floor prefilter (r11 item 1a, the SentencePiece/HF
+    web-scale recipe) runs BEFORE the guarded vocabulary collect; the
+    driver-side loop itself (deterministic: lexicographic ties, stop
+    below count 2) is recomputed by the oracle's unrolled
+    replace-per-round CTE chain, so the merge DECISION is on the hash.
+
+    ``encode``: per-doc token counts under the learned merges
+    (:func:`extensions.bpe.bpe_token_count`, the Arrow encode kernel) —
+    the planted sub-floor words exercise the unseen-word segmentation
+    path, the property BPE exists for, verified against the oracle's
+    rank-order merge application.
+
+    Scale shape: word_frequencies is the only corpus-sized stage (one
+    map-side-combined exchange); the merge loop is codebook-sized by the
+    floor; encoding is map-only Arrow batches."""
+    from ..extensions.bpe import (bpe_token_count, train_bpe,
+                                  word_frequencies)
+
+    docs = load_table(spark, sf_dir, "documents")
+    corp = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.concat(F.lit("qz"), F.col("doc_id").cast("string"),
+                     F.lit("q"))).alias("text"))
+    merges = train_bpe(word_frequencies(corp), n_merges=_BPE_MERGES,
+                       min_freq=_BPE_MIN_FREQ)
+    nl, ns = F.lit(None).cast("long"), F.lit(None).cast("string")
+    mdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, left_sym string, right_sym string").select(
+        F.lit("merge").alias("stage"), "merge_rank", "left_sym",
+        "right_sym", nl.alias("doc_id"), nl.alias("n_units"))
+    enc = corp.select(
+        F.lit("encode").alias("stage"), nl.alias("merge_rank"),
+        ns.alias("left_sym"), ns.alias("right_sym"), "doc_id",
+        bpe_token_count("text", merges).alias("n_units"))
+    return mdf.unionByName(enc)
 
 
 @register(

@@ -83,6 +83,57 @@ def test_bpe_vocab_budget_guard(spark):
         train_bpe(wf, n_merges=1, vocab_row_budget=2)
 
 
+def test_bpe_min_freq_floor_is_the_scale_path(spark):
+    """r11 VERDICT item 1a: the distributed frequency floor (a) drops
+    sub-floor words BEFORE the guarded collect, so a table that would
+    refuse the budget trains fine under a floor, and (b) changes the
+    learned merges exactly as filtering the table by hand would."""
+    base = _paper_corpus(spark)
+    # 40 unique rare words sharing the (q, z) pair: without a floor they
+    # dominate pair counts; with freq floor 2 they vanish entirely.
+    rare = spark.createDataFrame(
+        [(100 + i, f"qz{i}q") for i in range(40)], "doc_id long, text string")
+    wf = word_frequencies(base.unionByName(rare))
+
+    floored = train_bpe(wf, n_merges=4, min_freq=2)
+    by_hand = train_bpe(wf.filter(F.col("freq") >= 2), n_merges=4)
+    assert floored == by_hand
+    assert floored[0] == ("e", "s")  # the paper corpus result, unpolluted
+
+    unfloored = train_bpe(wf, n_merges=4)
+    assert unfloored[0] == ("q", "z")  # rare-word pair mass dominates
+
+    # the floor makes an over-budget table collectable: 31 + 40 words
+    # exceed a 35-row budget raw, but only 8 distinct words repeat >= 2
+    import pytest
+    with pytest.raises(ValueError, match="vocabulary-sized"):
+        train_bpe(wf, n_merges=2, vocab_row_budget=35)
+    assert train_bpe(wf, n_merges=2, vocab_row_budget=35,
+                     min_freq=2) == by_hand[:2]
+
+
+def test_bpe_merge_sequence_matches_unrolled_sql_twin(spark, duck):
+    """r11 VERDICT item 1b: the merge-sequence DECISION hash-matches a
+    bounded-rounds DuckDB twin (replace-per-round over chr(31)-wrapped
+    symbol strings) on a planted corpus with adjacent-repeat adversaries
+    ([a,a,a] must merge non-overlapping → [aa, a]) and a tie round."""
+    from data_engineering_etl_pipeline_spark.extensions.bpe import (
+        bpe_sql_ctes)
+
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+             + ["aaa"] * 3 + ["aaaa"] * 2 + ["banana"] * 4)
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::4])) for i in range(4)],
+        "doc_id long, text string")
+    merges = train_bpe(word_frequencies(docs), n_merges=10)
+    ctes, msel, _ = bpe_sql_ctes(10, corpus_cte="bpe_corpus")
+    text = " ".join(words)
+    sql = (f"WITH bpe_corpus AS (SELECT '{text}' AS text),\n {ctes}\n"
+           f"SELECT * FROM ({msel}) ORDER BY merge_rank")
+    want = [(a, b) for _, a, b in duck.execute(sql).fetchall()]
+    assert merges == want and len(merges) > 4
+
+
 def test_pack_sequences_by_learned_bpe_counts(spark):
     """Composition the corpus family is designed for: train a tokenizer,
     count with it, pack training sequences on the LEARNED counts (not the

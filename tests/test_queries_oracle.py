@@ -65,6 +65,18 @@ def test_doc_ngram_jaccard_library_query_matches_oracle(spark, duck):
                           NGRAM_JACCARD_ORACLE, "doc_ngram_jaccard")
 
 
+def test_doc_chunking_library_query_matches_oracle(spark, duck):
+    """doc_chunking left the driver registry in r12 (headroom
+    consolidation #5: its token-window grain rides pack_sequences as the
+    'chunk' stage) but remains library surface — its full value oracle
+    moves here so the standalone chunker keeps a hash-checked twin."""
+    from data_engineering_etl_pipeline_spark.queries.corpusq import (
+        DOC_CHUNKING_ORACLE, doc_chunking)
+
+    assert_matches_oracle(doc_chunking(spark, SF_DIR), duck,
+                          DOC_CHUNKING_ORACLE, "doc_chunking")
+
+
 def test_corpus_split_profile_library_query_matches_oracle(spark, duck):
     """corpus_split_profile left the driver registry in r8 (headroom
     consolidation #1: it rides prep_training_corpus as the 'profile'

@@ -965,3 +965,49 @@ def test_fold_and_gemm_assignment_agree_on_malformed_rows(spark):
                                         nprobe=1).collect()}
     assert fold == gemm
     assert fold[2] == 0 and fold[3] == 0
+
+
+def test_semantic_incr_mutant_margin_floor():
+    """r11 advisor finding: the incremental semantic-dedup oracle's hash
+    parity near the 0.94 threshold rests on the planted zero-tail mutants
+    keeping a decision margin far beyond the cross-engine float-chain
+    reassociation window (~20 ulp). Re-measure that margin over EVERY
+    cosine the operator could ever compare against the threshold — the
+    full day2 × (index ∪ day2) superset of any signature-bucket candidate
+    set — at every driver/bench SF present, and fail loudly below a 1e-5
+    floor so a future data regeneration that plants a too-close mutant
+    surfaces as a DATA problem, not an oracle flake."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_engineering_etl_pipeline_spark.queries.vectors import (
+        _ISD_TAIL, _ISD_THRESHOLD)
+
+    checked = 0
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        tbl = pq.read_table(path).to_pydict()
+        ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+        emb = np.asarray([list(v) for v in tbl["embedding"]],
+                         dtype=np.float64)
+        zt = emb[ids % 5 == 0].copy()
+        zt[:, 64 - _ISD_TAIL:] = 0.0
+        day2 = np.vstack([emb[ids % 7 == 0], zt, -emb[ids % 9 == 0]])
+        pool = np.vstack([emb, day2])
+
+        def unit(m):
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = np.inf  # zero vectors have no cosine — drop
+            return m / n[:, None]
+        cos = unit(day2) @ unit(pool).T
+        margin = np.abs(cos - _ISD_THRESHOLD).min()
+        assert margin >= 1e-5, (
+            f"sf{sf}: planted mutant cosine within {margin:.2e} of the "
+            f"{_ISD_THRESHOLD} threshold — regenerate or re-plant the "
+            "mutant population before trusting the incr oracle hash")
+        checked += 1
+    assert checked >= 2  # at least the driver (0.01) and local dev SFs
