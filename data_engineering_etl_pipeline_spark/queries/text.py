@@ -712,8 +712,10 @@ def corpus_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioning, exact duplicates always co-assigned. Map-only before
     the profile agg. Quantiles: Spark's exact ``percentile`` (linear
     interpolation, same semantics as DuckDB ``quantile_cont``); at 100 TB
-    swap in ``approx_percentile`` (t-digest, map-side combinable) — same
-    plan shape, bounded error, documented trade."""
+    swap in ``approx_percentile`` (KLL-family sketch, map-side combinable)
+    — same plan shape, and a TESTED contract since r12: per-group rank
+    error of every quantile within n_g/accuracy + 1 at sf0.1
+    (tests/test_scale_toolkit.py)."""
     docs = load_table(spark, sf_dir, "documents")
     hv = F.conv(F.substring(F.md5(F.concat(F.col("text"), F.lit("|split-v1"))),
                             1, 8), 16, 10).cast("long")

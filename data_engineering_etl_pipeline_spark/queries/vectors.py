@@ -401,8 +401,13 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must drop), zero-tail mutants (every 5th, id+2e6, last 8 of 64
     components zeroed — cosine spreads around the threshold, so the
     signature-bucket + carried-vector-cosine decision genuinely splits;
-    measured min decision margin ≥ 1e-4 at both driver SFs, far beyond
-    the ~ulp cross-engine chain-reassociation window) and sign-flipped
+    min decision margin over the full pair superset is GUARDED at ≥ 2e-5
+    by tests/test_similarity_recall.py::
+    test_incremental_dedup_mutant_margin_floor — measured 8.5e-5–3.6e-4
+    across the driver SFs, far beyond the ~ulp cross-engine
+    chain-reassociation window; a too-close regenerated mutant fails
+    there as a data problem, not here as a hash mismatch — r11 advisor
+    finding) and sign-flipped
     vectors (every 9th, id+3e6 — every signature bit flips, cosine −1,
     must survive). ``incr_fresh`` emits the surviving ids; ``index``
     the updated index's distinct keeper ids. The oracle recomputes
@@ -417,7 +422,12 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 7 == 0)
         .withColumn("vec_id", F.col("vec_id") + 1000000))
     nl = F.lit(None).cast("long")
-    drops = (semantic_dedup(doubled, threshold=0.95, n_clusters=1)
+    # cluster_driver_budget: the pair list here is KB-scale, so closure
+    # runs the driver union-find (identical output; the distributed
+    # pointer-jumping path keeps its own driver row, doc_dedup_clusters,
+    # and its bounded-rounds smoke — r12 perf, r11 VERDICT item 3)
+    drops = (semantic_dedup(doubled, threshold=0.95, n_clusters=1,
+                            cluster_driver_budget=1_000_000)
              .select(F.lit("drops").alias("stage"), "vec_id", "keeper_id"))
 
     dv = emb.select(
@@ -438,9 +448,16 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("vec_id", F.col("vec_id") + 3000000)
                 .withColumn("embedding", F.transform(F.col("embedding"),
                                                      lambda x: -x))))
-    index = embedding_signature_index(dv, n_planes=_ISD_PLANES,
-                                      n_tables=_ISD_TABLES,
-                                      sig_mode="fold")
+    # pinned: the day-1 index subtree feeds BOTH the cross-batch candidate
+    # join and the updated-index union below — unpinned, the fold
+    # signature expressions (the row's priciest codegen) would run twice
+    # (r12 — r11 VERDICT item 3; the builder's attached manifest makes
+    # the ingest config check metadata-only, so the pin materializes once)
+    from ..caching import pin
+
+    index = pin(embedding_signature_index(dv, n_planes=_ISD_PLANES,
+                                          n_tables=_ISD_TABLES,
+                                          sig_mode="fold"))
     fresh, updated = incremental_semantic_dedup(
         day2, index, threshold=_ISD_THRESHOLD, n_planes=_ISD_PLANES,
         n_tables=_ISD_TABLES, sig_mode="fold")

@@ -335,8 +335,17 @@ def test_map_only_cleaners_have_zero_shuffles(spark, name):
     column expressions — they must compile to ZERO shuffle exchanges (and
     no Python for the regexp families) so they stream through a 100 TB
     scan at scan speed. A shuffle appearing here means someone introduced
-    an accidental wide dependency into a map-only cleaner."""
-    p = plan_of(spark, name)
+    an accidental wide dependency into a map-only cleaner.
+    ``doc_chunking`` left the registry in r12 (the ``chunk`` grain of
+    ``pack_sequences``, whose pack leg legitimately shuffles) — the
+    map-only pin stays on the library builder."""
+    if name == "doc_chunking":
+        from data_engineering_etl_pipeline_spark.queries.corpusq import (
+            doc_chunking)
+
+        p = plan_text(doc_chunking(spark, SF_DIR))
+    else:
+        p = plan_of(spark, name)
     assert shuffles(p) == 0, f"{name} gained a shuffle:\n{p}"
     if name != "doc_chunking":
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
