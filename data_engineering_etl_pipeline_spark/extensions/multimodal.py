@@ -2,15 +2,19 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched pandas
 UDFs over ``mapInPandas``.
 
-The decode is REAL for every codec-free container: PPM (P6) images, raw
-unsigned 8-bit PCM audio, and Y4M (YUV4MPEG2 — text header + uncompressed
-YUV frames) video, each parsed in pure Python/numpy. Compressed formats
-(JPEG/PNG magic bytes, MP4/H.264) raise ``NotImplementedError``: those
-codecs are not in this container, and the honest stub marks exactly where
-PIL/ffmpeg plug in. Everything Spark-side — schema, partition sizing, UDF
-signatures, batch shapes — plus the PPM/PCM/Y4M decodes themselves are
+The decode is REAL for every container reachable without codec libraries:
+PPM (P6) images, PNG (r12 — stdlib ``zlib`` IDAT inflate + numpy scanline
+unfiltering for 8-bit gray/RGB/RGBA, all five filter types), raw unsigned
+8-bit PCM audio, and Y4M (YUV4MPEG2 — text header + uncompressed YUV
+frames) video, each parsed in pure Python/numpy. Genuinely codec-bound
+formats (JPEG, MP4/H.264) raise ``NotImplementedError``: those codecs are
+not in this container, and the honest stub marks exactly where PIL/ffmpeg
+plug in. Everything Spark-side — schema, partition sizing, UDF
+signatures, batch shapes — plus the PPM/PNG/PCM/Y4M decodes themselves are
 therefore value-checkable end-to-end (the registry queries carry
-closed-form DuckDB oracles).
+closed-form DuckDB oracles; ``media_pipeline``'s image rows alternate
+PPM/PNG containers over the SAME pixel recipe, so the PNG inflate +
+unfilter path sits on the driver hash with zero oracle change).
 
 Scale notes: binary payloads dominate row size → cap
 ``spark.sql.files.maxPartitionBytes`` so a partition of blobs fits executor
@@ -46,6 +50,151 @@ def _ppm_bytes(media_id: int, w: int, h: int) -> bytes:
     return header + ((media_id * 7 + k * 13) % 256).astype(np.uint8).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type we parse (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (RFC 2083 §6.6), vectorized over byte lanes:
+    nearest of (left, up, upper-left) to p = a + b − c, ties a → b → c."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = (np.abs(p - a), np.abs(p - b), np.abs(p - c))
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _png_bytes(media_id: int, w: int, h: int, color_type: int = 2) -> bytes:
+    """Deterministic REAL PNG blob over the SAME pixel recipe as
+    :func:`_ppm_bytes` (byte k = ``(id*7 + k*13) % 256`` in scanline
+    order), so the closed-form mean oracle is container-independent.
+    Scanline r is filtered with type ``r % 5`` — None/Sub/Up/Average/Paeth
+    all appear in any image with ≥5 rows, so a decoder that mishandles any
+    unfilter path breaks the value hash, not just a unit."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    k = np.arange(w * h * ch, dtype=np.int64)
+    px = ((media_id * 7 + k * 13) % 256).astype(np.uint8).reshape(h, w * ch)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for r in range(h):
+        recon = px[r]
+        left = np.concatenate([np.zeros(ch, np.uint8), recon[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+        ft = r % 5
+        if ft == 0:
+            filt = recon
+        elif ft == 1:
+            filt = recon - left
+        elif ft == 2:
+            filt = recon - prev
+        elif ft == 3:
+            filt = recon - ((left.astype(np.uint16) + prev) // 2).astype(
+                np.uint8)
+        else:
+            filt = recon - _paeth(left, prev, upleft)
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prev = recon
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes) -> tuple[int, int, float]:
+    """Decode one PNG payload → (width, height, mean_pixel) with zero
+    codec dependencies: chunk walk → IHDR validation → stdlib ``zlib``
+    inflate of the concatenated IDATs → numpy scanline unfiltering
+    (None/Sub/Up/Average/Paeth). 8-bit gray/RGB/RGBA, non-interlaced —
+    the common web/ML-corpus shapes; 16-bit, palette, and Adam7 raise the
+    same honest NotImplementedError seam as the codec formats. Sub runs
+    as a per-lane ``uint8`` cumsum (mod-256 addition is associative);
+    Average/Paeth carry a true left dependency and walk pixels within the
+    row. The mean divides one integer sum, matching the oracle's
+    integer-list construction bit-for-bit."""
+    import zlib
+
+    b = bytes(blob)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color_type, comp, filt, interlace = data[8:13]
+            if depth != 8 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} / color type {color_type} not "
+                    "supported (8-bit gray/RGB/RGBA only)")
+            if interlace:
+                raise NotImplementedError("Adam7 interlacing not supported")
+            if comp or filt:
+                raise ValueError("invalid PNG compression/filter method")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError(f"PNG raw size {raw.size} != {h}*({stride}+1)")
+    rows = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft, filt = rows[r, 0], rows[r, 1:]
+        if ft == 0:
+            recon = filt.copy()
+        elif ft == 1:
+            # mod-256 left accumulation, one cumsum per byte lane
+            recon = np.cumsum(
+                filt.reshape(-1, ch), axis=0, dtype=np.uint64
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:
+            recon = filt + prev
+        elif ft == 3:
+            recon = filt.copy()
+            up = prev.astype(np.uint16)
+            recon[:ch] += (up[:ch] // 2).astype(np.uint8)
+            for x in range(ch, stride, ch):
+                recon[x:x + ch] += (
+                    (recon[x - ch:x].astype(np.uint16) + up[x:x + ch]) // 2
+                ).astype(np.uint8)
+        elif ft == 4:
+            recon = filt.copy()
+            z = np.zeros(ch, dtype=np.uint8)
+            recon[:ch] += _paeth(z, prev[:ch], z)
+            for x in range(ch, stride, ch):
+                recon[x:x + ch] += _paeth(recon[x - ch:x], prev[x:x + ch],
+                                          prev[x - ch:x])
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[r] = recon
+        prev = recon
+    return w, h, float(int(out.sum(dtype=np.int64))) / out.size
+
+
 def _pcm_bytes(media_id: int, n: int) -> bytes:
     """Deterministic raw u8 PCM blob: sample byte k = (id*11 + k*5) % 256."""
     k = np.arange(n, dtype=np.int64)
@@ -69,15 +218,20 @@ def _y4m_bytes(media_id: int, w: int, h: int, n_frames: int) -> bytes:
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table: REAL PPM image blobs, real raw
-    u8 PCM audio blobs, real Y4M video blobs — closed-form byte recipes so
-    a SQL oracle can recompute every decoded feature without the blobs."""
+    """Deterministic synthetic media table: REAL image blobs (PPM and —
+    r12 — PNG containers alternating over the SAME pixel recipe, so the
+    oracle's closed-form mean is container-independent while the PNG
+    inflate + all-five-filters unfilter path sits on the driver hash),
+    real raw u8 PCM audio blobs, real Y4M video blobs — closed-form byte
+    recipes so a SQL oracle can recompute every decoded feature without
+    the blobs."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
             w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
-            rows.append((i, kind, bytearray(_ppm_bytes(i, w, h)),
+            enc = _png_bytes if i % 6 == 3 else _ppm_bytes
+            rows.append((i, kind, bytearray(enc(i, w, h)),
                          w, h, None, None))
         elif kind == "audio":
             n_samples = 256 + (i % 5) * 64
@@ -93,14 +247,18 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
 def decode_image(blob: bytes) -> tuple[int, int, float]:
     """Decode one image payload → (width, height, mean_pixel).
 
-    Real parse for PPM(P6); compressed containers need codec libraries not
-    present here — the NotImplementedError marks the PIL/opencv seam.
-    The mean is an integer sum divided once at the end, so it is bit-equal
-    to the oracle's integer-list construction.
+    Real parse for PPM(P6) and PNG (magic dispatch → :func:`decode_png`,
+    stdlib zlib + numpy unfiltering — r12, closing the most common
+    compressed-format seam with zero new dependencies); JPEG genuinely
+    needs codec libraries not present here — the NotImplementedError
+    marks the PIL/opencv seam. The mean is an integer sum divided once at
+    the end, so it is bit-equal to the oracle's integer-list construction.
     """
+    if bytes(blob)[:8] == _PNG_SIG:
+        return decode_png(blob)
     if blob[:2] != b"P6":
         raise NotImplementedError(
-            "only PPM(P6) decodes codec-free; JPEG/PNG need PIL/opencv "
+            "only PPM(P6) and PNG decode codec-free; JPEG needs PIL/opencv "
             "(not available in this container)")
     # header: P6 \n <w> <h> \n <maxval> \n  (single-space variant we emit)
     parts = bytes(blob).split(b"\n", 3)
