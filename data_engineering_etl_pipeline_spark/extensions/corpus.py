@@ -277,6 +277,12 @@ def epoch_plan(packs: DataFrame, n_epochs: int,
     per pack — epochs are single digits), and the rank runs per
     ``(epoch, shard)`` — the pack_sequences convention: shards bound
     every sort at 1/n_shards of the corpus, nothing sorts globally.
+    That bound assumes roughly uniform shards, which
+    ``pack_sequences``' hash assignment guarantees; a CALLER feeding
+    externally skewed shards puts the dominant shard's rank in one
+    task (measured: per-row ratio 0.749 at 16× rows with a 90%-hot
+    shard, scripts/mixing_skew_smoke.py — still sub-linear, but
+    re-shard first at scale).
     Duplicate pack rows are collapsed first (``pack_sequences`` emits
     one row per DOC; the plan is per PACK — docs-sized input, pack-
     sized output). NULL pack ids are excluded in BOTH engines: the
