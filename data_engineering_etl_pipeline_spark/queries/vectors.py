@@ -401,9 +401,9 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must drop), zero-tail mutants (every 5th, id+2e6, last 8 of 64
     components zeroed — cosine spreads around the threshold, so the
     signature-bucket + carried-vector-cosine decision genuinely splits;
-    min decision margin over the full pair superset is GUARDED at ≥ 2e-5
+    min decision margin over the full pair superset is GUARDED at ≥ 1e-5
     by tests/test_similarity_recall.py::
-    test_incremental_dedup_mutant_margin_floor — measured 8.5e-5–3.6e-4
+    test_semantic_incr_mutant_margin_floor — measured 8.5e-5–3.6e-4
     across the driver SFs, far beyond the ~ulp cross-engine
     chain-reassociation window; a too-close regenerated mutant fails
     there as a data problem, not here as a hash mismatch — r11 advisor

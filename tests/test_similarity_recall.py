@@ -1011,58 +1011,3 @@ def test_semantic_incr_mutant_margin_floor():
             "mutant population before trusting the incr oracle hash")
         checked += 1
     assert checked >= 2  # at least the driver (0.01) and local dev SFs
-
-
-def test_incremental_dedup_mutant_margin_floor():
-    """r11 advisor finding (queries/vectors.py incremental oracle): the
-    driver row's hash-parity near the 0.94 threshold rests on the mutant
-    population keeping a real decision margin — DuckDB reassociates long
-    float ``+`` chains (measured ~20 ulp vs Spark's left-associated fold),
-    so a cosine INSIDE that window would flake the hash as an "oracle
-    mismatch" when it is actually a data problem. This guard recomputes,
-    in numpy from the raw parquet, min |cosine − 0.94| over the FULL
-    day2 × (day1 ∪ day2) pair superset (a superset of every pair either
-    engine ever evaluates — within-batch bucket pairs and cross-batch
-    candidate pairs alike) for every driver SF present, and fails loudly
-    below 2e-5 — measured: 1.4e-4 (sf0.001), 3.6e-4 (sf0.01), 8.5e-5
-    (sf0.1), all ≥3 decades above the reassociation window. A future
-    data regeneration that plants a too-close mutant breaks HERE with a
-    data-problem message, not in CORRECTNESS."""
-    import os
-
-    import duckdb
-    import numpy as np
-
-    from data_engineering_etl_pipeline_spark.queries.vectors import (
-        _ISD_TAIL, _ISD_THRESHOLD)
-
-    checked = 0
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        path = f"/root/testdata/{sf}/embeddings.parquet"
-        if not os.path.exists(path):
-            continue
-        v = duckdb.sql(f"SELECT vec_id, embedding FROM '{path}' "
-                       "ORDER BY vec_id").fetchnumpy()
-        ids = v["vec_id"]
-        day1 = np.array([np.asarray(e, dtype=np.float64)
-                         for e in v["embedding"]])
-        mut = day1[ids % 5 == 0].copy()
-        mut[:, -_ISD_TAIL:] = 0.0
-        day2 = np.vstack([day1[ids % 7 == 0], mut, -day1[ids % 9 == 0]])
-
-        def unit(x):
-            n = np.linalg.norm(x, axis=1)
-            n[n == 0] = np.inf
-            return x / n[:, None]
-
-        cos = unit(day2) @ unit(np.vstack([day1, day2])).T
-        margin = float(np.abs(cos - _ISD_THRESHOLD).min())
-        assert margin >= 2e-5, (
-            f"{sf}: a day-2 pair cosine sits {margin:.2e} from the "
-            f"{_ISD_THRESHOLD} threshold — inside the guard floor. This is "
-            "a TESTDATA problem (regenerated embeddings planted a "
-            "threshold-straddling mutant too close to the cross-engine "
-            "reassociation window), not an engine bug; adjust _ISD_TAIL / "
-            "_ISD_THRESHOLD or the mutant recipe.")
-        checked += 1
-    assert checked, "no driver SF dirs found"
