@@ -707,12 +707,22 @@ def minhash_band_index(docs: DataFrame, id_col: str = "doc_id",
             F.struct(F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("bh"))
             for bi in range(bands)
         ])).alias("b"))
-    return banded.select(
+    out = banded.select(
         F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
         "keep_id", "keep_sig",
         F.lit(num_perm).alias("nperm"), F.lit(bands).alias("nbands"),
         F.lit(n).alias("ngram"), F.lit(seed).alias("mhseed"),
         F.lit(hash_fn).alias("mhhash"))
+    # The builder KNOWS the config — attach the same manifest the disk
+    # roundtrip carries (read_minhash_band_index's contract), so a
+    # build→ingest handoff in one session takes the metadata-only fast
+    # path instead of the fallback distinct scan, which costs a whole
+    # extra signature pass over the index just to read five constants
+    # (r12 — the embedding_signature_index fix applied family-wide).
+    # Derived frames drop the attribute and fall back to the scan.
+    out._index_manifest = {"nperm": num_perm, "nbands": bands, "ngram": n,
+                           "mhseed": seed, "mhhash": hash_fn}
+    return out
 
 
 def write_minhash_band_index(index: DataFrame, table: str,
@@ -835,10 +845,10 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
                     ("nperm", "nbands", "ngram", "mhseed", "mhhash"))
         if got != (num_perm, bands, n, seed, hash_fn):
             raise ValueError(
-                f"incremental_minhash_lsh_dedup: index manifest says "
-                f"(num_perm, bands, n, seed, hash_fn)={got} but this call "
-                f"uses ({num_perm}, {bands}, {n}, {seed}, {hash_fn!r}) — "
-                "band hashes would not match")
+                f"incremental_minhash_lsh_dedup: index manifest says it was "
+                f"built with (num_perm, bands, n, seed, hash_fn)={got} but "
+                f"this call uses ({num_perm}, {bands}, {n}, {seed}, "
+                f"{hash_fn!r}) — band hashes would not match")
     else:
         cfg = [(r["nperm"], r["nbands"], r["ngram"], r["mhseed"],
                 r["mhhash"]) for r in

@@ -389,8 +389,16 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("text", F.array_join(
                     F.reverse(F.split(F.trim(F.col("text")), r"\s+")),
                     " "))))
-    index = minhash_band_index(docs, "doc_id", "text", n=3, num_perm=64,
-                               bands=16, seed=42, hash_fn="md5")
+    # pinned: the day-1 index subtree feeds BOTH the cross-batch candidate
+    # join and the updated-index union — unpinned, the md5 signature
+    # expressions (the row's priciest codegen) would run twice; the
+    # builder-attached manifest makes the ingest config check
+    # metadata-only (r12 — the embedding_signature_index fix applied
+    # family-wide)
+    from ..caching import pin
+
+    index = pin(minhash_band_index(docs, "doc_id", "text", n=3, num_perm=64,
+                                   bands=16, seed=42, hash_fn="md5"))
     fresh, updated = incremental_minhash_lsh_dedup(
         day2, index, "doc_id", "text", n=3, num_perm=64, bands=16,
         threshold=0.5, seed=42, hash_fn="md5")

@@ -36,7 +36,8 @@ _TOPK_SQL = """
       FROM embeddings
     ), n AS (
       SELECT vec_id, ve,
-             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+             CASE WHEN isfinite(list_dot_product(ve, ve))
+                  AND sqrt(list_dot_product(ve, ve)) > 0
                   THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
       FROM v
     ), q AS (
@@ -105,7 +106,8 @@ def embedding_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM doubled
     ), n AS (
       SELECT vec_id, ve,
-             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+             CASE WHEN isfinite(list_dot_product(ve, ve))
+                  AND sqrt(list_dot_product(ve, ve)) > 0
                   THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
       FROM v
     ), lv AS (
@@ -135,7 +137,8 @@ def embedding_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS max_dim0
     FROM n c JOIN (
       SELECT vec_id, ve,
-             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+             CASE WHEN isfinite(list_dot_product(ve, ve))
+                  AND sqrt(list_dot_product(ve, ve)) > 0
                   THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
       FROM (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
@@ -279,7 +282,8 @@ def _semantic_incr_oracle() -> str:
       FROM doubled
     ), n AS (
       SELECT vec_id, ve,
-             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+             CASE WHEN isfinite(list_dot_product(ve, ve))
+                  AND sqrt(list_dot_product(ve, ve)) > 0
                   THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
       FROM v
     ), pairs AS (
@@ -307,12 +311,14 @@ def _semantic_incr_oracle() -> str:
       FROM vone WHERE vec_id % 9 = 0
     ), bn AS (
       SELECT vec_id, ve,
-             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+             CASE WHEN isfinite(list_dot_product(ve, ve))
+                  AND sqrt(list_dot_product(ve, ve)) > 0
                   THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
       FROM day2
     ), dn AS (
       SELECT vec_id, ve,
-             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+             CASE WHEN isfinite(list_dot_product(ve, ve))
+                  AND sqrt(list_dot_product(ve, ve)) > 0
                   THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
       FROM vone
     ),
@@ -512,7 +518,8 @@ def _lsh_bucket_oracle(seed: int = 42, n_planes: int = 16, dim: int = 64,
       SELECT vec_id, {sig_expr} AS sig FROM dots
     ), n AS (
       SELECT vec_id, ve,
-             CASE WHEN sqrt(list_dot_product(ve, ve)) > 0
+             CASE WHEN isfinite(list_dot_product(ve, ve))
+                  AND sqrt(list_dot_product(ve, ve)) > 0
                   THEN 1.0 / sqrt(list_dot_product(ve, ve)) END AS inv
       FROM v
     ), cand AS (
