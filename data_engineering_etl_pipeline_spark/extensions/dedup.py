@@ -173,9 +173,18 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     store it (parquet, bucketed by ``__fp`` for co-located incremental
     joins) so tomorrow's ingest dedups against the whole historical corpus
     without rescanning it."""
-    return (docs.select(F.col(id_col), *_default_fingerprint(text_col))
-            .groupBy("__fp", "__fplen")
-            .agg(F.min(id_col).alias("keep_id")))
+    out = (docs.select(F.col(id_col), *_default_fingerprint(text_col))
+           .groupBy("__fp", "__fplen")
+           .agg(F.min(id_col).alias("keep_id")))
+    # The builder KNOWS its fingerprint is total (NULL text → __fplen=-1,
+    # never NULL) — attach that as metadata so a build→ingest handoff in
+    # one session skips incremental_exact_dedup's NULL-__fplen migration
+    # probe, which would otherwise EAGERLY materialize this whole
+    # aggregate once just for take(1) (r12 — the index-manifest fix
+    # applied family-wide). Derived frames drop the attribute and fall
+    # back to the probe — pre-total persisted indexes are still refused.
+    out._index_manifest = {"fp_total": True}
+    return out
 
 
 def write_fingerprint_index(index: DataFrame, table: str,
@@ -240,7 +249,13 @@ def incremental_exact_dedup(new_docs: DataFrame, index: DataFrame,
     # (coalesce(__fplen, -1)) would fix the match but WRAP the bucket
     # column in an expression, silently disabling the exchange-free
     # bucketed join this path exists for — hence refuse-and-rebuild.
-    if index.filter(F.col("__fplen").isNull()).take(1):
+    # Fast path (r12): a doc_fingerprints-built frame carries
+    # fp_total=True as metadata — skip the probe entirely (an in-memory
+    # build→ingest handoff would otherwise pay one full eager
+    # materialization of the index aggregate just for take(1)).
+    manifest = getattr(index, "_index_manifest", None)
+    fp_total = bool(manifest and manifest.get("fp_total"))
+    if not fp_total and index.filter(F.col("__fplen").isNull()).take(1):
         raise ValueError(
             "incremental_exact_dedup: index contains NULL __fplen rows — "
             "it predates the total fingerprint (NULL text → __fplen=-1). "

@@ -106,7 +106,14 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 == 0)
         .withColumn("doc_id", F.col("doc_id") + 2000000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))))
-    index = doc_fingerprints(docs, "doc_id", "text")
+    # pinned: the day-1 index subtree feeds BOTH the anti-join and the
+    # updated-index union — unpinned, the fingerprint aggregate over the
+    # day-1 scan would run twice; the builder-attached fp_total manifest
+    # also skips the migration probe's eager materialization (r12 — the
+    # index-manifest fix applied family-wide)
+    from ..caching import pin
+
+    index = pin(doc_fingerprints(docs, "doc_id", "text"))
     fresh, updated = incremental_exact_dedup(day2, index, "doc_id", "text")
     nl = F.lit(None).cast("long")
     incr = fresh.select(F.lit("incr_fresh").alias("stage"),

@@ -713,6 +713,40 @@ def test_incremental_exact_dedup_across_batches(spark):
     assert set(index3.columns) == {"__fp", "__fplen", "keep_id"}
 
 
+def test_incremental_exact_dedup_legacy_index_refused(spark):
+    """The NULL-__fplen migration guard (r6 advisor finding): an index
+    persisted BEFORE the fingerprint became total must be refused loudly
+    (plain-equality keys would silently re-admit indexed NULL-text
+    duplicates every batch). A doc_fingerprints-built frame carries
+    fp_total metadata and skips the probe (r12 fast path) — but the
+    metadata dies with derived frames, so a legacy index can never
+    smuggle itself past the guard by construction."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.extensions.dedup import (
+        doc_fingerprints, incremental_exact_dedup)
+
+    legacy = spark.createDataFrame(
+        [(123456789, 5, 1), (987654321, None, 3)],
+        "__fp long, __fplen long, keep_id long")
+    batch = spark.createDataFrame([(10, "alpha")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="NULL __fplen"):
+        incremental_exact_dedup(batch, legacy)
+
+    # the builder's manifest marks the fingerprint total...
+    built = doc_fingerprints(spark.createDataFrame(
+        [(1, "alpha"), (2, None)], "doc_id long, text string"))
+    assert built._index_manifest == {"fp_total": True}
+    fresh, _ = incremental_exact_dedup(batch, built)
+    assert fresh.count() == 0  # alpha already indexed
+    # ...and a derived frame drops it, falling back to the probe (which
+    # passes here: the built index genuinely has no NULL __fplen)
+    derived = built.select("__fp", "__fplen", "keep_id")
+    assert getattr(derived, "_index_manifest", None) is None
+    fresh2, _ = incremental_exact_dedup(batch, derived)
+    assert fresh2.count() == 0
+
+
 def test_write_training_shards_manifest_and_layout(spark, tmp_path):
     """The shard sink writes one directory per shard, bounds file sizes via
     maxRecordsPerFile without a repartition, and the manifest's per-shard
