@@ -562,3 +562,42 @@ def test_token_budget_fill_two_phase_prefix_selection(spark):
     seg = p[iw:im]
     assert "Scan parquet" not in seg and "InMemoryTableScan" not in seg, seg
     assert p.count("BroadcastHashJoin LeftOuter") == 2, p
+
+
+def test_incremental_semantic_dedup_fused_verify_join_census(spark):
+    """r12 fusion pin (r11 VERDICT item 3): the within-batch exact verify
+    rides the bucket self-join's filter and the cross-batch cosine runs
+    directly on candidate rows that already CARRY (v, inv) from the one
+    staged signature pass — no verify join-backs against a separate
+    vector relation anywhere. The plan census for ``fresh`` is exactly
+    5 joins: the bucket self-join (verify fused), the survivors
+    anti-join, the cross-batch index join, the hits anti-join, and the
+    final fresh anti-join. A 6th join appearing here means someone
+    reintroduced a join-back (each one re-shuffled vector payloads
+    comparable to the signature exchange itself)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.caching import pin
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        embedding_signature_index, incremental_semantic_dedup)
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding")
+    index = pin(embedding_signature_index(emb))
+    batch = emb.withColumn("vec_id", F.col("vec_id") + 5_000_000)
+    try:
+        fresh, _ = incremental_semantic_dedup(batch, index)
+        p = plan_text(fresh)
+    finally:
+        index.unpersist()
+    joins = [l for l in p.splitlines()
+             if re.search(r"\(\d+\)\s+\S*(Join|CartesianProduct)", l)]
+    assert len(joins) == 5, f"join census changed ({len(joins)}):\n" + \
+        "\n".join(joins)
+    # (ArrowEvalPython nodes ARE expected here: the default sig_mode
+    # runs the documented Arrow signature kernel — the pin is the join
+    # census, not Python-freedom)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
