@@ -264,13 +264,10 @@ def make_fake_warc_file(path: str, file_seed: int, n_records: int = 12,
     raw = make_fake_warc_bytes(file_seed, n_records)
     if per_record_gzip:
         # split on the known record framing ONLY for fixture writing:
-        # re-parse with the real parser to find record boundaries honestly
-        members = []
-        stream = io.BytesIO(raw)
-        pos = 0
+        # validate with the real parser first, then cut each record's
+        # byte span into its own gzip member
         for _ in iter_warc_records(io.BytesIO(raw)):
-            pass  # validates raw before we cut it
-        # cut by re-walking: emit each record's byte span as one member
+            pass
         stream = io.BytesIO(raw)
         spans = []
         while True:
