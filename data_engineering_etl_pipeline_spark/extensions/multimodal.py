@@ -154,6 +154,8 @@ def decode_png(blob: bytes) -> tuple[int, int, float]:
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PNG dimensions {w}x{h} invalid")
     ch = _PNG_CHANNELS[color_type]
     stride = w * ch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
