@@ -150,7 +150,15 @@ def main() -> int:
                           or "--single-attempt" in sys.argv[1:])
     attempts = 3 if require_stable else 1
     for attempt in range(attempts):
-        cal_before = calibration_run(spark)
+        # Multi-point sentinel (r12): endpoint-only before/after ratios
+        # MISSED a mid-run host storm that inflated single rows by 2.6×
+        # while the endpoints happened to agree (observed: a row at
+        # 16.6 s in-record vs 7.6 s re-measured quiet, ratio 1.06) — so a
+        # calibration point now lands after EVERY measured pass, and the
+        # drift ratio is max/min over all points. min-of-3 absorbs a
+        # storm that hits one pass; the sentinel flags a storm that
+        # spans passes. ~3 s per point against a ~300 s loop.
+        cals = [calibration_run(spark)]
         times: dict[str, float] = {}
         # phase 1: the main set; phase 2: the tail set (see TAIL_QUERIES)
         # — each phase gets its own warmup + min-of-3 so the tail's JVM
@@ -165,9 +173,9 @@ def main() -> int:
                     t = run_one(name)
                     times[name] = min(times.get(name, t), t)
                     cold_data()
+                cals.append(calibration_run(spark))
 
-        cal_after = calibration_run(spark)
-        stability = calibration_stability(cal_before, cal_after)
+        stability = calibration_stability(*cals)
         if not stability.get("calibration_unstable"):
             break
         print(f"# attempt {attempt + 1}: "
@@ -178,12 +186,12 @@ def main() -> int:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        # host-speed sentinel, measured before AND after the query loop
-        # (a drifting host shows as cal_after >> cal_before); normalize
-        # cross-day records by calibration_s before comparing (README)
-        "calibration_s": round((cal_before + cal_after) / 2, 3),
-        "calibration_before_s": cal_before,
-        "calibration_after_s": cal_after,
+        # host-speed sentinel: one point before the loop + one after
+        # every measured pass (a drifting host shows as spread across
+        # the points); normalize cross-day records by calibration_s
+        # before comparing (README)
+        "calibration_s": round(sorted(cals)[len(cals) // 2], 3),
+        "calibration_points": cals,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     out.update(stability)
@@ -202,19 +210,21 @@ def main() -> int:
 CALIBRATION_DRIFT_RATIO = 1.25
 
 
-def calibration_stability(cal_before: float, cal_after: float) -> dict:
+def calibration_stability(*cals: float) -> dict:
     """Annotate a BENCH record with intra-run host stability: the
-    before/after sentinel ratio, and ``calibration_unstable: true`` plus
-    re-run guidance when it exceeds ``CALIBRATION_DRIFT_RATIO`` in
-    either direction."""
-    ratio = (max(cal_before, cal_after) / min(cal_before, cal_after)
-             if min(cal_before, cal_after) > 0 else float("inf"))
+    max/min sentinel ratio over every calibration point (two-point
+    before/after until r12; now one point per measured pass, so a
+    mid-run storm the endpoints straddle still flags), and
+    ``calibration_unstable: true`` plus re-run guidance when it exceeds
+    ``CALIBRATION_DRIFT_RATIO`` in either direction."""
+    ratio = (max(cals) / min(cals) if min(cals) > 0 else float("inf"))
     out: dict = {"calibration_ratio": round(ratio, 3)}
     if ratio > CALIBRATION_DRIFT_RATIO:
+        path = " -> ".join(f"{c}s" for c in cals)
         out["calibration_unstable"] = True
         out["calibration_note"] = (
             f"host drifted {ratio:.2f}x intra-run (sentinel "
-            f"{cal_before}s -> {cal_after}s); re-run on a stable host "
+            f"{path}); re-run on a stable host "
             "before cross-round comparison")
     return out
 

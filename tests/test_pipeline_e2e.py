@@ -144,6 +144,14 @@ def test_bench_calibration_stability_flag():
         1.25, 1.0)
     assert bench.calibration_stability(0.749, 0.579)[
         "calibration_unstable"] is True
+    # r12 multi-point form: a mid-run storm the endpoints straddle must
+    # flag (the r12 finding: a row inflated 2.6x under endpoint ratio
+    # 1.06), and an all-quiet path must not
+    mid = bench.calibration_stability(0.5, 0.52, 1.9, 0.51)
+    assert mid["calibration_unstable"] is True
+    assert "1.9s" in mid["calibration_note"]
+    assert "calibration_unstable" not in bench.calibration_stability(
+        0.5, 0.52, 0.55, 0.51)
 
 
 def test_bench_and_smoke_names_exist_in_registry():
