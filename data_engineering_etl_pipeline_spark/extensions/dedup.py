@@ -562,14 +562,25 @@ def minhash_signatures(shingles: DataFrame, id_col: str, num_perm: int = 64,
     """Minhash signature per doc: for permutation i, min over shingles of
     ``(a_i * h(shingle) + b_i) mod p`` with ``h`` per
     :func:`minhash_token_hash`. One groupBy computes all ``num_perm``
-    mins (map-side partial agg keeps the shuffle tiny)."""
+    mins (map-side partial agg keeps the shuffle tiny).
+
+    The base hash ``h`` is HOISTED into a projection below the aggregate
+    (r12): inlined into all ``num_perm`` update expressions it would run
+    once per permutation per shingle — aggregate update expressions get
+    no guaranteed subexpression elimination — which for the md5-portable
+    config is 64 md5+conv chains per shingle instead of one. The projection is
+    multi-referenced and non-cheap, so CollapseProject leaves it
+    materialized; same arithmetic, same values, and the shingle string
+    never reaches the aggregate — only its 8-byte hash."""
     coeffs = minhash_coefficients(num_perm, seed)
-    h = minhash_token_hash(hash_fn)
+    hashed = shingles.select(
+        F.col(id_col), minhash_token_hash(hash_fn).alias("__h"))
+    h = F.col("__h")
     aggs = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def _check_bands(num_perm: int, bands: int, where: str) -> int:
@@ -909,10 +920,26 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
     # (b) cross-batch: survivors' band rows vs the index on (band, bh) —
     # exchange-free on a bucketed index — then one dedup to (row, keeper)
     # grain and the estimated-Jaccard verify against the carried keep_sig.
-    surv_bands = band_rows.join(survivors.select(id_col), id_col,
-                                "left_semi")
+    # The batch row's own ``sig`` rides its band rows (r12 — the
+    # incremental_semantic_dedup fusion applied to the lexical twin;
+    # previously the verify joined back against the pinned signature
+    # relation, one extra shuffle join per ingest). The carried signature
+    # widens the batch's band rows by num_perm longs — the keep_sig trade
+    # the index itself makes, on the daily small side only; ``sig`` is
+    # functionally dependent on ``id_col``, so the (id, keep_id) dedup
+    # result is unchanged.
+    band_sig = sigd.select(
+        F.col(id_col), F.col("sig"),
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("bh"))
+            for bi in range(bands)
+        ])).alias("b"),
+    ).select(id_col, "sig", F.col("b.band").alias("band"),
+             F.col("b.bh").alias("bh"))
+    surv_bands = band_sig.join(survivors.select(id_col), id_col,
+                               "left_semi")
     xcand = (surv_bands.join(index, ["band", "bh"])
-             .select(F.col(id_col), "keep_id", "keep_sig")
+             .select(F.col(id_col), "sig", "keep_id", "keep_sig")
              .dropDuplicates([id_col, "keep_id"]))
     agree = F.aggregate(
         F.zip_with(F.col("sig"), F.col("keep_sig"),
@@ -920,8 +947,7 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
         F.lit(0), lambda acc, v: acc + v)
     # unrounded >= threshold, the verify-tail convention; integer
     # agreement count over longs — deterministic, no float summation
-    hits = (xcand.join(sigd.select(id_col, "sig"), id_col)
-            .filter(agree / F.lit(num_perm) >= F.lit(threshold))
+    hits = (xcand.filter(agree / F.lit(num_perm) >= F.lit(threshold))
             .select(id_col).distinct())
     # pinned: fresh feeds the caller's write AND the index update below
     fresh = pin(survivors.join(hits, id_col, "left_anti"))
@@ -934,7 +960,7 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
     return fresh, updated
 
 
-def _simhash_from_votes(votes: DataFrame, docs: DataFrame,
+def _simhash_from_votes(votes: DataFrame, docs: DataFrame | None,
                         id_col: str) -> DataFrame:
     """Shared sign→bit OR-fold + token-less-doc restore of both SimHash
     variants (xxhash64 and the md5-portable oracle twin): one copy so a
@@ -946,13 +972,19 @@ def _simhash_from_votes(votes: DataFrame, docs: DataFrame,
     (exponential expression size, analyzer OOM). Token-less (null-text)
     docs vanish at the upstream explode; the left join restores them with
     simhash=0 (the all-negative-votes fingerprint of the original
-    formulation)."""
+    formulation). ``docs=None`` skips the restore and returns the bare
+    ``(id, simhash)`` relation — for callers that already hold a
+    one-row-per-doc relation and reattach with their OWN left join +
+    coalesce(0), saving this function's extra source scan (r12:
+    doc_text_stats folds the restore into its existing join)."""
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
     sim = F.lit(0).cast("long")
     for i, m in enumerate(masks):
         sim = sim.bitwiseOR(
             F.when(F.col(f"v_{i}") > 0, F.lit(m)).otherwise(F.lit(0).cast("long")))
     sig = votes.select(F.col(id_col), sim.alias("simhash"))
+    if docs is None:
+        return sig
     return (
         docs.select(id_col)
         .join(sig, id_col, "left")
@@ -963,7 +995,8 @@ def _simhash_from_votes(votes: DataFrame, docs: DataFrame,
 
 def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       tokens_col: str | None = None) -> DataFrame:
+                       tokens_col: str | None = None,
+                       restore: bool = True) -> DataFrame:
     """SimHash-64 over an ENGINE-PORTABLE token hash: md5 exists bit-for-bit
     identically in Spark and DuckDB, so this variant is oracle-checkable
     (unlike ``simhash64``'s xxhash64, which has no DuckDB twin).
@@ -976,7 +1009,9 @@ def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
     remains the 100 TB default and this one is the verification twin.
     ``tokens_col``: consume a pre-materialized whitespace token array
     instead of re-splitting (doc_text_stats passes its shared projection —
-    r6 review finding: the consolidation's 'one split' invariant)."""
+    r6 review finding: the consolidation's 'one split' invariant).
+    ``restore=False`` returns the bare ``(id, simhash)`` relation without
+    the token-less-doc restore join — see ``_simhash_from_votes``."""
     toks = (F.col(tokens_col) if tokens_col is not None
             else F.split(F.trim(F.col(text_col)), r"\s+"))
     tok = docs.select(
@@ -996,7 +1031,7 @@ def simhash64_portable(docs: DataFrame, id_col: str = "doc_id",
             1).otherwise(-1)).alias(f"v_{i}")
         for i in range(64)
     ])
-    return _simhash_from_votes(votes, docs, id_col)
+    return _simhash_from_votes(votes, docs if restore else None, id_col)
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:

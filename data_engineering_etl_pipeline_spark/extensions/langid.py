@@ -193,7 +193,8 @@ def predict_lang_trained(docs: DataFrame, model: dict,
                          out_col: str = "pred_lang",
                          fallback: str = "heuristic",
                          q_scale: int = LOGREG_Q_SCALE,
-                         mode: str = "arrow") -> DataFrame:
+                         mode: str = "arrow",
+                         carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Predict languages with a :func:`fit_lang_id` model: ``(id,
     pred_lang, z_q)`` where ``pred_lang`` is the argmax language of the
     per-language fixed-point score folds (``z_q`` the winning score;
@@ -231,7 +232,15 @@ def predict_lang_trained(docs: DataFrame, model: dict,
       construction (unit-pinned). One vectorized pass whatever K is;
       also the large-K path (a 100-language model in expr mode is
       K·dim ≈ 6400+ floor terms per row, past whole-stage-codegen's
-      expression budget)."""
+      expression budget).
+
+    ``carry_cols`` (r12): extra ``docs`` columns preserved verbatim on
+    the output, so a map-only caller can fold the prediction into its
+    own projection instead of paying a corpus-wide join back on
+    ``id_col`` (doc_text_stats previously joined three scans of the
+    same table; at 100 TB that join is two full shuffles). Names equal
+    to ``id_col`` are ignored (it is always returned); ``text_col`` may
+    be listed to carry the text through."""
     if fallback not in ("heuristic", "und"):
         raise ValueError(
             f"predict_lang_trained: fallback={fallback!r} "
@@ -252,9 +261,14 @@ def predict_lang_trained(docs: DataFrame, model: dict,
     if mode not in ("expr", "arrow"):
         raise ValueError(
             f"predict_lang_trained: mode={mode!r} (want 'expr' or 'arrow')")
+    # carried columns ride the staged projection and the final select;
+    # id/text are already staged, so drop them from the extras list
+    extras = [c for c in carry_cols if c not in (id_col, text_col)]
+    out_carry = [c for c in carry_cols if c != id_col]
     if mode == "expr":
         v = char_freq_vector(text_col, dim, n, salt)
-        staged = docs.select(F.col(id_col), F.col(text_col), v.alias("__v"))
+        staged = docs.select(F.col(id_col), F.col(text_col),
+                             *[F.col(c) for c in extras], v.alias("__v"))
         zcols = {lang: _zq_fold(F.col("__v"),
                                 model["models"][lang]["weights"],
                                 model["models"][lang]["bias"], q_scale)
@@ -301,6 +315,7 @@ def predict_lang_trained(docs: DataFrame, model: dict,
         # downstream reference (the 590 s expr-mode bench finding)
         bk = char_ngram_buckets(text_col, dim, n, salt)
         staged = (docs.select(F.col(id_col), F.col(text_col),
+                              *[F.col(c) for c in extras],
                               bk.alias("__bk"))
                   .withColumn("__z", all_scores(F.col("__bk"))))
         zcols = {lang: F.element_at(F.col("__z"), i + 1)
@@ -320,6 +335,7 @@ def predict_lang_trained(docs: DataFrame, model: dict,
         fb = F.lit("und")
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in out_carry],
         F.when(no_features, fb).otherwise(pred).alias(out_col),
         F.when(no_features, F.lit(None).cast("long"))
         .otherwise(best).alias("z_q"))

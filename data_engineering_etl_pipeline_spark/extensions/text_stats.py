@@ -63,16 +63,30 @@ def predict_lang(toks: Column) -> Column:
     """Argmax language by stopword hits; 'und' (undetermined) when no hits.
 
     Deterministic tiebreak: language code ascending (stable cross-engine).
+
+    Built as ONE fold over an array of (count, lang) structs so each
+    per-language stopword count is evaluated exactly once per row. The
+    former when/greatest chain repeated every count expression ~12×
+    textually (once per equality test plus once per ``greatest`` arm),
+    and higher-order functions are CodegenFallback — no whole-stage
+    codegen, no subexpression elimination — so every repeat re-filtered
+    the whole token array (~60 interpreted array passes per row,
+    measured as the dominant cost of ``doc_text_stats`` at sf0.1; r12
+    guide §2.3 'don't compute things you throw away'). The fold visits
+    languages in ascending code order with a strict ``>``, seeded with
+    ``(0, 'und')`` — identical semantics: argmax, ties break to the
+    alphabetically first language, all-zero (or NULL tokens) → 'und'.
     """
-    scores = lang_scores(toks)
-    pairs = sorted(scores.items())
-    best_score: Column = F.greatest(*[s for _, s in pairs])
-    expr: Column = F.lit("und")
-    # Build innermost-last so the alphabetically-first language is the
-    # outermost WHEN and therefore wins ties.
-    for lang, score in pairs[::-1]:
-        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    pairs = sorted(lang_scores(toks).items())
+    arr = F.array(*[
+        F.struct(score.cast("int").alias("s"), F.lit(lang).alias("l"))
+        for lang, score in pairs
+    ])
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(0).cast("int").alias("s"), F.lit("und").alias("l")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc))
+    return best["l"]
 
 
 def quality_score(text: str | Column, toks: Column | None = None) -> Column:

@@ -53,8 +53,68 @@ def require_utc_session(spark: SparkSession) -> None:
             "Build the session via session.get_spark, or set the conf.")
 
 
+#: Input-parallelism floor threshold (bytes). A parquet input whose files
+#: total LESS than this would scan as a handful of tasks (a single
+#: default-sized split, and single-row-group files cannot split at all) —
+#: so every map-heavy pipeline above it runs on one core no matter how
+#: many the cluster has. Below the threshold, ``load_table`` repartitions
+#: to ``defaultParallelism`` right after the read — the guide §2.5 fix
+#: ("one huge unsplittable file … repartition immediately after the
+#: read"): a sub-128 MB shuffle is microseconds-cheap next to freeing
+#: N−1 idle cores for the regex/hash/HOF work the text and embedding
+#: operators do per row. At 100 TB every table is past the threshold and
+#: this is a structural NO-OP (zero extra exchanges — the scan already
+#: has thousands of splits), so it is scale-adaptive, not a local[32]
+#: tuning: the floor engages exactly when the input is too small to
+#: occupy the cluster, whatever the cluster is. Filters and projections
+#: still reach the scan — Catalyst pushes both through Repartition
+#: (PushedFilters plan pins re-verified in tests/test_plans.py).
+#: Override via spark.sql.graft.scanParallelismFloorBytes (0 disables).
+_SCAN_FLOOR_BYTES = 128 * 1024 * 1024
+
+#: Tables the floor applies to: the ones whose consumers do heavy PER-ROW
+#: CPU above the scan (regex tokenization, per-shingle hashing, HOF folds,
+#: vector math) — there the raw-row exchange is microseconds against
+#: seconds of single-core expression work. The numeric star tables are
+#: deliberately NOT floored: their consumers are column-pruned scans +
+#: partial aggregation, which collapse the data BEFORE any exchange, so a
+#: floor there shuffles raw rows to save sub-second single-task agg work
+#: (measured: pricing_summary 0.31 s → 0.71 s with the floor on lineitem
+#: — a net loss). Override via spark.sql.graft.scanFloorTables.
+_SCAN_FLOOR_TABLES = "documents,embeddings"
+
+
+def _input_parallelism_floor(df: DataFrame, spark: SparkSession,
+                             path: str, name: str) -> DataFrame:
+    tables = spark.conf.get("spark.sql.graft.scanFloorTables",
+                            _SCAN_FLOOR_TABLES)
+    if name not in {t.strip() for t in tables.split(",") if t.strip()}:
+        return df
+    floor = int(spark.conf.get("spark.sql.graft.scanParallelismFloorBytes",
+                               str(_SCAN_FLOOR_BYTES)))
+    if floor <= 0:
+        return df
+    try:
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path) for f in files)
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return df  # non-local FS: the driver star tables are local files
+    if total >= floor:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    Small inputs come back repartitioned to ``defaultParallelism`` (the
+    input-parallelism floor above — r12): the driver testdata ships as
+    single-row-group parquet, which scans as ONE task and serialized the
+    whole map-heavy text/embedding family onto one core.
 
     ``events.ts`` is normalized to session-zoned TIMESTAMP at this single
     boundary, whatever the parquet file stores:
@@ -72,21 +132,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       asserts that instead of silently shifting instants in a caller-built
       non-UTC session (``get_spark`` pins UTC; a custom session must too).
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _input_parallelism_floor(spark.read.parquet(path), spark,
+                                        path, name)
     require_utc_session(spark)
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "true")
     try:
-        df = normalize_event_ts(
-            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+        df = normalize_event_ts(spark.read.parquet(path))
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
-    return df
+    return _input_parallelism_floor(df, spark, path, name)
 
 
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:

@@ -655,31 +655,46 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlining the split into every consumer re-runs the regex per reference).
     docs = raw.select("doc_id", "lang", "text", tokens("text").alias("__toks"))
     t = F.col("__toks")
-    # consumes the SAME __toks projection — no second corpus split (the
-    # consolidation's 'one split feeds all stats' invariant, r6 review)
-    simhash = simhash64_portable(docs, "doc_id", "text", tokens_col="__toks")
+    # ONE map-only pipeline (r12 — guide §2.4): the trained-lang-ID
+    # prediction rides the same projection via carry_cols instead of a
+    # third documents scan joined back on doc_id (two exchanges gone at
+    # scale; the join was corpus × corpus), and the simhash vote
+    # aggregate — the row's only genuine shuffle — reattaches through
+    # the existing left join + coalesce(0) instead of
+    # _simhash_from_votes' own restore join against a fourth scan.
+    trained = predict_lang_trained(
+        raw, _langid_model(), out_col="pred_lang_trained", fallback="und",
+        carry_cols=("lang", "text")
+    ).withColumnRenamed("z_q", "zq_trained").withColumn("__toks",
+                                                        tokens("text"))
     # O(len)/doc Arrow form; integer-equal to the oracle's list_reduce
     # recurrence (the pure-expression twin is rolling_fingerprint — O(len²))
     fingerprint = rolling_fingerprint_udf("text")
     avg_len = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0).cast("long"),
         lambda acc, x: acc + x).cast("double") / F.size(t)
-    stats = docs.select(
+    stats = trained.select(
         "doc_id", "lang",
         F.size(t).cast("long").alias("n_tokens"),
         token_count_regex("text").cast("long").alias("n_tokens_bpe"),
         F.round(avg_len, 4).alias("avg_token_len"),
         fingerprint.alias("fingerprint"),
-        predict_lang(F.transform(t, lambda x: F.lower(x))).alias("pred_lang"),
-        quality_score("text").alias("quality"),
+        # raw tokens: stopword_count lowers per element anyway, and
+        # lower() is idempotent — the former transform(t, lower) argument
+        # paid one extra full array pass per language count (r12)
+        predict_lang(t).alias("pred_lang"),
+        # share the materialized token array (quality_score would
+        # otherwise re-split the text for its alpha-token fraction)
+        quality_score("text", toks=t).alias("quality"),
         F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
         F.round(top_ngram_fraction_udf("text", 2), 6).alias("top_bigram_frac"),
+        "pred_lang_trained", "zq_trained",
     )
-    trained = (predict_lang_trained(raw, _langid_model(),
-                                    out_col="pred_lang_trained",
-                                    fallback="und")
-               .withColumnRenamed("z_q", "zq_trained"))
-    return stats.join(simhash, "doc_id").join(trained, "doc_id")
+    sig = simhash64_portable(docs, "doc_id", "text", tokens_col="__toks",
+                             restore=False)
+    return (stats.join(sig, "doc_id", "left")
+            .withColumn("simhash",
+                        F.coalesce(F.col("simhash"), F.lit(0).cast("long"))))
 
 
 #: corpus_split_profile's value oracle — registry slot consolidated in r8

@@ -73,9 +73,13 @@ def main() -> int:
             cold_data()
             ts = []
             for i in range(args.reps + 1):
-                df = QUERIES[name](spark, args.sf_dir)
+                # time construction + action together, like bench.run_one:
+                # several queries run eager jobs at CONSTRUCTION time
+                # (checkpoint loops, budget probes, codebook fits), so
+                # timing only the noop save under-reports them.
                 t0 = time.time()
-                df.write.format("noop").mode("overwrite").save()
+                QUERIES[name](spark, args.sf_dir).write.format(
+                    "noop").mode("overwrite").save()
                 ts.append(round(time.time() - t0, 3))
                 cold_data()
             stats["sec"] = min(ts[1:])  # first pass warms codegen/JIT
