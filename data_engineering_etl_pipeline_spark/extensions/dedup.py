@@ -952,11 +952,21 @@ def incremental_minhash_lsh_dedup(new_docs: DataFrame, index: DataFrame,
     # pinned: fresh feeds the caller's write AND the index update below
     fresh = pin(survivors.join(hits, id_col, "left_anti"))
 
-    # (c) index update: band rows for fresh keepers, map-only over the
-    # small fresh set (no join-back against the pinned signatures)
+    # (c) index update: the PINNED sig-carrying band rows already hold
+    # every fresh keeper's (band, bh, sig) — semi-join them to the fresh
+    # ids instead of re-tokenizing and re-hashing the fresh texts through
+    # a second minhash_band_index pass (r12: the md5 signature build ran
+    # TWICE per ingest — once into the pin, once for the update; the
+    # semi-join reads the cache). Shingle-less fresh docs have no band
+    # rows in either construction — identical index contents.
     updated = index.select(*_MH_INDEX_COLS).unionByName(
-        minhash_band_index(fresh, id_col, text_col, n, num_perm, bands,
-                           seed, hash_fn))
+        band_sig.join(fresh.select(id_col), id_col, "left_semi")
+        .select(F.col("band"), F.col("bh"),
+                F.col(id_col).alias("keep_id"),
+                F.col("sig").alias("keep_sig"),
+                F.lit(num_perm).alias("nperm"), F.lit(bands).alias("nbands"),
+                F.lit(n).alias("ngram"), F.lit(seed).alias("mhseed"),
+                F.lit(hash_fn).alias("mhhash")))
     return fresh, updated
 
 

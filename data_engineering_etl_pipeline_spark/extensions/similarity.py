@@ -230,14 +230,14 @@ def gemm_cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
         F.col(query_id_col), "vq", "iq")
     budget = int(spark.conf.get(
         "spark.sql.graft.blasBroadcastRows", str(_BLAS_BROADCAST_ROWS)))
-    probe = qv.select(query_id_col).limit(budget + 1).count()
-    if probe > budget:
+    # one pass decides AND fetches (see _blas_candidate_pairs — r12)
+    qpdf = qv.limit(budget + 1).toPandas()
+    if len(qpdf) > budget:
         raise ValueError(
             f"gemm_cosine_topk: query side exceeds the broadcast budget of "
             f"{budget} rows — it is collected like a broadcast join build "
             "side. Swap base/queries or raise "
             "spark.sql.graft.blasBroadcastRows.")
-    qpdf = qv.toPandas()
     q_ids = qpdf[query_id_col].to_numpy()
     q_unit = _unit_matrix(qpdf, "vq", "iq", dim)
     bc = spark.sparkContext.broadcast((q_ids, q_unit))
@@ -354,8 +354,17 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
     spark = v.sparkSession
     budget = int(spark.conf.get(
         "spark.sql.graft.blasBroadcastRows", str(_BLAS_BROADCAST_ROWS)))
-    probe = v.select(id_col).limit(budget + 1).count()
-    if probe > budget:
+    # ONE pass decides AND fetches (r12 — the dedup_clusters r6 lesson
+    # applied to every BLAS build-side collect): the former separate
+    # limit(budget+1).count() probe paid a full extra job over the build
+    # relation per call — at corpus scale a whole scan just to count.
+    # limit+collect early-exits a few rows past the budget instead.
+    # Collect ONLY the scoring columns: with_vec_inv keeps every source
+    # column, and an un-projected collect would haul raw embeddings plus
+    # arbitrary payloads (text!) to the driver, making the row-count budget
+    # guard wildly underestimate bytes (r5 review finding)
+    build = v.select(id_col, "v", "i").limit(budget + 1).toPandas()
+    if len(build) > budget:
         raise ValueError(
             f"_blas_candidate_pairs: build side exceeds the broadcast "
             f"budget of {budget} rows — the exact GEMM path collects one "
@@ -366,11 +375,6 @@ def _blas_candidate_pairs(v: DataFrame, id_col: str, threshold: float,
             "equi-join instead; the exact verification tail is identical "
             "either way. (Raise spark.sql.graft.blasBroadcastRows to "
             "override.)")
-    # collect ONLY the scoring columns: with_vec_inv keeps every source
-    # column, and an un-projected collect would haul raw embeddings plus
-    # arbitrary payloads (text!) to the driver, making the row-count budget
-    # guard wildly underestimate bytes (r5 review finding)
-    build = v.select(id_col, "v", "i").toPandas()
     ids = build[id_col].to_numpy()
     unit = _unit_matrix(build, "v", "i", dim)
     bc = spark.sparkContext.broadcast((ids, unit))
@@ -587,15 +591,26 @@ def _multi_table_buckets(df: DataFrame, id_col: str, vec_col: str,
     compile cost, not data cost. Map-only; constant-time in the plan.
 
     ``fold`` (r11 — the oracle-portable config, the minhash ``md5``
-    precedent): per-table :func:`_plane_sign_bits` fold expressions —
-    left-associated index-order accumulation whose SIGNS a DuckDB
-    literal chain reproduces (the ``embedding_lsh_near_dup`` parity
-    argument; BLAS blocked summation carries no such guarantee near
-    zero dots). Sized for small verify configs (8×2); NULL/short
-    vectors bucket 0 per table (NULL dots fail ``>= 0``) where arrow's
-    zero-row convention buckets all-ones — callers mixing modes on
-    NULL-bearing corpora must not (documented, not reachable from the
-    registry row, whose inputs are non-NULL).
+    precedent): per-table plane dots with LEFT-ASSOCIATED index-order
+    accumulation whose SIGNS a DuckDB literal chain reproduces (the
+    ``embedding_lsh_near_dup`` parity argument; BLAS blocked summation
+    carries no such guarantee near zero dots). Since r12 the fold
+    signatures are computed by an Arrow kernel whose ``np.cumsum``
+    prefix scan performs the IDENTICAL float64 addition sequence as the
+    ``aggregate(zip_with(...))`` expressions it replaces — same
+    products, same addition order, bit-equal dots (the leading ``0.0 +``
+    of the expression fold can only change the sign of zero, which
+    ``>= 0`` cannot observe — the :func:`_plane_sign_bits` argument).
+    The expression form evaluated on Spark's INTERPRETED path at
+    ~1.2 ms/row for 8×2×64 (measured: the three fold passes were ~7 s
+    of embedding_semantic_dedup's sf0.1 cost); the kernel is one
+    elementwise product + prefix scan per batch. Equality incl. the
+    NULL/short/NaN conventions is unit-pinned
+    (tests/test_similarity_recall.py::test_fold_kernel_matches_fold_expressions).
+    NULL/short/NULL-element vectors bucket 0 per table (NULL dots fail
+    ``>= 0``) where arrow's zero-row convention buckets all-ones —
+    callers mixing modes on NULL-bearing corpora must not (documented,
+    not reachable from the registry row, whose inputs are non-NULL).
 
     ``carry`` names extra ``df`` columns to keep on the exploded rows
     (so callers like the signature-index builder need no corpus-sized
@@ -604,17 +619,6 @@ def _multi_table_buckets(df: DataFrame, id_col: str, vec_col: str,
         raise ValueError(
             f"_multi_table_buckets: sig_mode={sig_mode!r} not in "
             "('arrow', 'fold')")
-    if sig_mode == "fold":
-        staged = df.withColumn(
-            "__mtv", F.transform(F.col(vec_col), lambda x: x.cast("double")))
-        sig_arr = F.array(*[
-            _plane_sign_bits(F.col("__mtv"), 100 + t, n_planes, dim)
-            for t in range(n_tables)])
-        tagged = staged.select(F.col(id_col), *[F.col(c) for c in carry],
-                               sig_arr.alias("__sigs"))
-        return (tagged.select(
-            F.col(id_col), *[F.col(c) for c in carry],
-            F.posexplode(F.col("__sigs")).alias("table", "bucket")))
     planes = []
     for t in range(n_tables):
         rnd = random.Random(100 + t)
@@ -623,13 +627,42 @@ def _multi_table_buckets(df: DataFrame, id_col: str, vec_col: str,
     pmat = np.asarray(planes, dtype=np.float64).reshape(n_tables * n_planes, dim)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
-    @F.pandas_udf("array<long>")
-    def sigs(emb: pd.Series) -> pd.Series:
-        m = _vec_matrix(emb, dim)
-        d = m @ pmat.T                                   # n × (tables·planes)
-        bits = (d >= 0).reshape(len(m), n_tables, n_planes)
-        sig = (bits * weights).sum(axis=2)               # n × tables
-        return pd.Series(list(sig))
+    if sig_mode == "fold":
+        @F.pandas_udf("array<long>")
+        def sigs(emb: pd.Series) -> pd.Series:
+            rows = np.zeros((len(emb), dim), dtype=np.float64)
+            ok = np.zeros(len(emb), dtype=bool)
+            for r, v in enumerate(emb):
+                if v is None or len(v) != dim:
+                    continue  # expression fold: NULL dot -> every bit 0
+                rows[r] = np.asarray(v, dtype=np.float64)
+                ok[r] = True
+            # exact twin of the expression fold: same per-term float64
+            # products, then a sequential prefix scan — cumsum computes
+            # every prefix, so its addition order IS the fold's
+            # left-to-right order (pairwise/SIMD reassociation is
+            # impossible for a scan). A NaN dot sets the bit, matching
+            # Spark's NaN-greatest comparison semantics (NaN >= 0 is
+            # TRUE in SQL, probe-confirmed). One documented divergence:
+            # a NULL ELEMENT inside a non-NULL vector reaches this
+            # kernel as NaN (Arrow has no per-element null here), so it
+            # signs like NaN where the expression fold's NULL dot gave
+            # bit 0 — unreachable from every registry input (non-NULL
+            # dense vectors) and pinned in the kernel-equality unit.
+            prods = rows[:, None, :] * pmat[None, :, :]  # n × (T·P) × dim
+            d = np.cumsum(prods, axis=2)[:, :, -1]
+            bits = ((d >= 0) | np.isnan(d)) & ok[:, None]
+            sig = (bits.reshape(len(emb), n_tables, n_planes)
+                   * weights).sum(axis=2)
+            return pd.Series(list(sig))
+    else:
+        @F.pandas_udf("array<long>")
+        def sigs(emb: pd.Series) -> pd.Series:
+            m = _vec_matrix(emb, dim)
+            d = m @ pmat.T                               # n × (tables·planes)
+            bits = (d >= 0).reshape(len(m), n_tables, n_planes)
+            sig = (bits * weights).sum(axis=2)           # n × tables
+            return pd.Series(list(sig))
 
     tagged = df.select(F.col(id_col), *[F.col(c) for c in carry],
                        sigs(F.col(vec_col)).alias("__sigs"))
@@ -1375,13 +1408,13 @@ def cosine_cross_pairs(left: DataFrame, right: DataFrame,
     else:
         budget = int(spark.conf.get(
             "spark.sql.graft.blasBroadcastRows", str(_BLAS_BROADCAST_ROWS)))
-        probe = rv.select(right_id).limit(budget + 1).count()
-        if probe > budget:
+        # one pass decides AND fetches (see _blas_candidate_pairs — r12)
+        rpdf = rv.limit(budget + 1).toPandas()
+        if len(rpdf) > budget:
             raise ValueError(
                 f"cosine_cross_pairs: right side exceeds the broadcast "
                 f"budget of {budget} rows — pass n_blocks= for the "
                 "cogrouped block form (no collect), or swap sides.")
-        rpdf = rv.toPandas()
         r_ids = rpdf[right_id].to_numpy()
         r_unit = _unit_matrix(rpdf, "vq", "iq", dim)
         bc = spark.sparkContext.broadcast((r_ids, r_unit))
@@ -2362,9 +2395,18 @@ def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
     # run the cross-batch scoring twice (r6 review finding)
     fresh = pin(survivors.join(hit_ids, id_col, "left_anti"))
 
-    # (c) index update: rebuild rows for fresh keepers map-only (one sig
-    # pass over the small fresh set — no join-back against `sigs`)
+    # (c) index update: the PINNED signature relation already carries
+    # every fresh keeper's (table, bucket, v, i) — semi-join it to the
+    # fresh ids instead of re-running a second signature pass over the
+    # fresh texts (r12: the sig build ran twice per ingest; the
+    # semi-join reads the cache). `v`/`i` are with_vec_inv's double-cast
+    # vector and inverse norm — exactly what embedding_signature_index
+    # would recompute as keep_vec/keep_inv.
     updated = index.select(*_SIG_INDEX_COLS).unionByName(
-        embedding_signature_index(fresh, id_col, vec_col, n_planes,
-                                  n_tables, dim, sig_mode=sig_mode))
+        sigs.join(fresh.select(id_col), id_col, "left_semi")
+        .select(F.col("table"), F.col("bucket"),
+                F.col(id_col).alias("keep_id"),
+                F.col("v").alias("keep_vec"), F.col("i").alias("keep_inv"),
+                F.lit(n_planes).alias("planes"),
+                F.lit(n_tables).alias("tables")))
     return fresh, updated

@@ -73,15 +73,19 @@ def require_utc_session(spark: SparkSession) -> None:
 _SCAN_FLOOR_BYTES = 128 * 1024 * 1024
 
 #: Tables the floor applies to: the ones whose consumers do heavy PER-ROW
-#: CPU above the scan (regex tokenization, per-shingle hashing, HOF folds,
-#: vector math) — there the raw-row exchange is microseconds against
-#: seconds of single-core expression work. The numeric star tables are
-#: deliberately NOT floored: their consumers are column-pruned scans +
-#: partial aggregation, which collapse the data BEFORE any exchange, so a
-#: floor there shuffles raw rows to save sub-second single-task agg work
-#: (measured: pricing_summary 0.31 s → 0.71 s with the floor on lineitem
-#: — a net loss). Override via spark.sql.graft.scanFloorTables.
-_SCAN_FLOOR_TABLES = "documents,embeddings"
+#: CPU above the scan (regex tokenization, per-shingle hashing, HOF
+#: expression folds) — there the raw-row exchange is microseconds against
+#: seconds of single-core expression work. Deliberately NOT floored:
+#: - the numeric star tables — their consumers are column-pruned scans +
+#:   partial aggregation, which collapse the data BEFORE any exchange
+#:   (measured: pricing_summary 0.31 s → 0.71 s with lineitem floored);
+#: - embeddings — its consumers hand whole Arrow batches to BLAS, which
+#:   is already fast; splitting 2000 vectors into 32 tiny batches only
+#:   multiplies per-task/per-batch overhead (interleaved same-session
+#:   A/B at sf0.1: topk 6.9→8.3 s, near_dup 6.9→7.8 s, semantic
+#:   13.5→14.8 s with the floor on — all losses).
+#: Override via spark.sql.graft.scanFloorTables.
+_SCAN_FLOOR_TABLES = "documents"
 
 
 def _input_parallelism_floor(df: DataFrame, spark: SparkSession,

@@ -572,6 +572,55 @@ def test_pq_encode_fold_matches_duckdb_and_arrow(spark, duck):
     assert all(z[f"code{j}"] is None for j in range(n_sub))
 
 
+def test_fold_kernel_matches_fold_expressions(spark):
+    """r12: `sig_mode='fold'` signatures are computed by an Arrow kernel
+    whose np.cumsum prefix scan must perform the IDENTICAL float64
+    addition sequence as the `aggregate(zip_with(...))` expression folds
+    it replaced (the oracle-portability contract). Pin bucket-for-bucket
+    equality against the expression form on adversarial inputs: seeded
+    dense vectors, the all-zero vector (signed-zero dots — every bit
+    set), a negated pair, NULL vector, short vector (both bucket 0 per
+    table), and a NaN element (all bits set — Spark's NaN >= 0 is TRUE).
+    The ONE documented divergence: a NULL element inside a non-NULL
+    vector crosses the Arrow boundary as NaN, so the kernel signs it
+    like NaN (all-ones) where the expression fold's NULL dot gave 0 —
+    unreachable from every registry input, pinned here explicitly. If a
+    future numpy vectorizes cumsum with a reassociating scan, this test
+    is the tripwire."""
+    from data_engineering_etl_pipeline_spark.extensions.similarity import (
+        _multi_table_buckets, _plane_sign_bits)
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0.0, 1.0) for _ in range(64)]) for i in range(64)]
+    rows += [(100, [0.0] * 64),                       # zero vector
+             (101, [-x for x in rows[0][1]]),         # negated
+             (102, None),                             # NULL vector
+             (103, [1.0, 2.0]),                       # short
+             (104, [None] + rows[1][1][1:]),          # NULL element
+             (105, [float("nan")] + rows[2][1][1:])]  # NaN element
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_id, r.table): r.bucket for r in _multi_table_buckets(
+        df, "vec_id", "embedding", 8, 2, 64, sig_mode="fold").collect()}
+    staged = df.withColumn(
+        "__mtv", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    sig_arr = F.array(*[_plane_sign_bits(F.col("__mtv"), 100 + t, 8, 64)
+                        for t in range(2)])
+    exp = {(r.vec_id, r.table): r.bucket for r in staged.select(
+        "vec_id", F.posexplode(sig_arr).alias("table", "bucket")).collect()}
+    all_ones = (1 << 8) - 1
+    assert len(got) == 2 * len(rows)
+    assert {k: v for k, v in got.items() if k[0] != 104} == \
+           {k: v for k, v in exp.items() if k[0] != 104}
+    # the degenerate conventions, pinned explicitly
+    assert got[(100, 0)] == all_ones              # zero vector: all bits set
+    assert got[(105, 0)] == all_ones == exp[(105, 0)]  # NaN: Spark NaN >= 0
+    for vid in (102, 103):                        # NULL / short vector
+        assert got[(vid, 0)] == 0 and got[(vid, 1)] == 0
+    # the documented NULL-element divergence: NaN through Arrow (kernel)
+    # vs NULL dot (expression fold)
+    assert got[(104, 0)] == all_ones and exp[(104, 0)] == 0
+
+
 def test_fold_signatures_agree_with_arrow_and_drive_ingest(spark):
     """r11 (r10 VERDICT item 1): the bit-portable `sig_mode='fold'`
     signature expressions must agree bucket-for-bucket with the Arrow
