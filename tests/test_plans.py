@@ -18,6 +18,43 @@ from data_engineering_etl_pipeline_spark.queries import QUERIES
 from .conftest import SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _floor_off(spark):
+    """Pin the AT-SCALE plan shape: the io.load_table input-parallelism
+    floor (r12) repartitions sub-128 MB documents scans — a deliberate
+    small-input-only exchange that is structurally absent at 100 TB
+    (where scans have thousands of splits). Disabling it here keeps
+    every shuffle-count pin about the operator's own shape; the floor
+    itself is pinned by test_small_scan_parallelism_floor below."""
+    spark.conf.set("spark.sql.graft.scanParallelismFloorBytes", "0")
+    yield
+    spark.conf.unset("spark.sql.graft.scanParallelismFloorBytes")
+
+
+def test_small_scan_parallelism_floor(spark):
+    """The r12 input-parallelism floor: a small documents scan gains
+    EXACTLY one round-robin repartition right above the scan (guide §2.5
+    — the testdata ships single-row-group parquet, which otherwise scans
+    as ONE task and serializes the text family onto one core), filters
+    still reach the scan through it, and non-floored tables (embeddings:
+    measured BLAS loss; numeric star tables: partial-agg collapse) stay
+    exchange-free."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_pipeline_spark.io import load_table
+
+    spark.conf.unset("spark.sql.graft.scanParallelismFloorBytes")
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") > 10).select("doc_id")
+    p = plan_text(docs)
+    assert shuffles(p) == 1 and "ROUNDROBIN" in p.upper(), p
+    assert pushed_filters(p) >= 1, p  # pushdown survives the repartition
+    for name in ("embeddings", "lineitem"):
+        q = plan_text(load_table(spark, SF_DIR, name).select(
+            load_table(spark, SF_DIR, name).columns[0]))
+        assert shuffles(q) == 0, f"{name} must not be floored:\n{q}"
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
