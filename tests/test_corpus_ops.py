@@ -197,16 +197,26 @@ def _plan(df) -> str:
 def test_corpus_ops_plans_stay_jvm_side(spark):
     """BM25 / packing / sampling / LM are pure Catalyst plans — no Python
     evaluation nodes anywhere (the ops must stream through codegen at
-    100 TB), and the sampler adds no shuffle at all (map-only filter)."""
-    docs = load_table(spark, SF_DIR, "documents")
-    for df in (bm25_scores(docs, QUERY),
-               pack_sequences(docs, budget=512, n_shards=8),
-               lm_cross_entropy(docs),
-               stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")):
-        p = _plan(df)
-        assert "Python" not in p and "ArrowEval" not in p, p
-    sample_plan = _plan(stratified_sample(docs, "lang", {"en": 0.5}, "doc_id"))
-    assert "Exchange" not in sample_plan, sample_plan
+    100 TB), and the sampler adds no shuffle at all (map-only filter).
+    The r12 input-parallelism floor is disabled for the scan here: it
+    adds a deliberate small-input-only exchange that is structurally
+    absent at scale (pinned separately in
+    test_plans.py::test_small_scan_parallelism_floor) — this pin is
+    about the OPERATORS' own shape."""
+    spark.conf.set("spark.sql.graft.scanParallelismFloorBytes", "0")
+    try:
+        docs = load_table(spark, SF_DIR, "documents")
+        for df in (bm25_scores(docs, QUERY),
+                   pack_sequences(docs, budget=512, n_shards=8),
+                   lm_cross_entropy(docs),
+                   stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")):
+            p = _plan(df)
+            assert "Python" not in p and "ArrowEval" not in p, p
+        sample_plan = _plan(
+            stratified_sample(docs, "lang", {"en": 0.5}, "doc_id"))
+        assert "Exchange" not in sample_plan, sample_plan
+    finally:
+        spark.conf.unset("spark.sql.graft.scanParallelismFloorBytes")
 
 
 _CONTAM_SQL = """
